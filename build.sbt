@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.ts is Parquet TIMESTAMP(NANOS): Spark 4.x refuses it unless this
+  // legacy flag is on (reads as LongType epoch-ns). See SURVEY.md §7.4.1.
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

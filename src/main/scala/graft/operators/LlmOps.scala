@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.10 — LLM-training-data-pipeline operators over `documents` and
+  * `embeddings`: dedup (exact + CDC-latest), text analysis (tokens,
+  * n-grams, TF-IDF, corpus stats), similarity search (cosine top-k,
+  * threshold join, kNN) and the multimodal doc⋈vector join.
+  *
+  * Similarity kernel: squared norms are precomputed once per vector, the
+  * dot product is a codegen'd higher-order-function fold over the double
+  * arrays — pure built-ins, no UDF. Brute force is O(n²) in pairs; at
+  * 100 TB the same kernel runs behind LSH banding ([[graft.functions.MinHash]])
+  * or an IVF-style bucket prefilter — the oracle-checked queries keep the
+  * exact semantics, the sketch path (q7A) is the scale story.
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embeddings with a double-cast vector + its squared norm (one scan). */
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nsq", expr("aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x)"))
+
+  /** cosine(a, b) from double arrays + precomputed squared norms,
+    * rounded to 4 decimals (the cross-engine determinism convention).
+    * Takes column NAMES (used inside a SQL lambda expression).
+    */
+  private def cosine(ea: String, eb: String, nsqA: String, nsqB: String): Column =
+    round(
+      expr(s"aggregate(zip_with($ea, $eb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        / sqrt(col(nsqA) * col(nsqB)), 4)
+
+  /** All pairs (a < b) with rounded cosine similarity. */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nsq").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nsq").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine("ea", "eb", "na", "nb"))
+      .select("id_a", "id_b", "sim")
+  }
+
+  private val dupW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup, survivor = min doc_id per text (deterministic keep-rule)
+    "q70_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(dupW))
+        .filter(col("rn") === 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // CDC-style latest event per (user, type) — the JDBC-upsert keep-rule
+    "q71_dedup_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.eventsUs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // token frequencies, top-20
+    "q72_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    // top-20 bigrams: zip tokens with their own tail (zip_with pads the
+    // short side with null → trailing null bigram filtered out)
+    "q73_text_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "filter(zip_with(toks, slice(toks, 2, size(toks)), (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
+    // TF-IDF top-10 (doc, term): tf ⋈ df ⋈ broadcast N, idf = ln((N+1)/(df+1))
+    "q74_text_tfidf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(countDistinct(col("doc_id")).as("n"))
+      tf.join(df, "term").join(broadcast(n))
+        .withColumn("score", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))
+        .select("doc_id", "term", "score")
+        .orderBy(col("score").desc, col("doc_id"), col("term"))
+        .limit(10)
+    }),
+
+    // corpus profile per language
+    "q75_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+        .orderBy("lang")),
+
+    // brute-force cosine top-10 pairs (id_a < id_b)
+    "q76_sim_cosine_topk" -> ((s, d) =>
+      pairs(s, d)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(10)),
+
+    // set-similarity join: all pairs at-or-above threshold
+    "q77_sim_threshold" -> ((s, d) =>
+      pairs(s, d)
+        .filter(col("sim") >= 0.38)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))),
+
+    // 5-NN majority label for query vectors vec_id < 10 (self excluded)
+    "q78_knn_label" -> ((s, d) => {
+      val v = vectors(s, d)
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nsq").as("qn"))
+      val cand = v.select(col("vec_id").as("n_id"), col("label"),
+        col("e").as("ne"), col("nsq").as("nn"))
+      val simW = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      val knn = q.join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine("qe", "ne", "qn", "nn"))
+        .withColumn("rn", row_number().over(simW))
+        .filter(col("rn") <= 5)
+      val votes = knn.groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      val voteW = Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(voteW))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy("q_id")
+    }),
+
+    // multimodal: docs ⋈ embeddings with nested struct metadata, filtered
+    // on a nested field, flattened for the oracle projection
+    "q79_multimodal_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .withColumn("text_meta", struct(col("lang"), col("source"), col("n_chars")))
+        .withColumn("vec_meta", struct(col("label"), size(col("embedding")).as("dim")))
+        .filter(col("vec_meta.label") >= 5)
+        .select(
+          col("doc_id"),
+          col("text_meta.lang").as("lang"),
+          col("text_meta.source").as("source"),
+          col("text_meta.n_chars").as("n_chars"),
+          col("vec_meta.label").as("label"),
+          col("vec_meta.dim").cast("long").as("dim"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs FROM (
+        |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q71_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q72_text_tokens" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q73_text_ngrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(2, len(t) + 1),
+        |                               i -> t[i - 1] || ' ' || t[i])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q74_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY score DESC, doc_id, term LIMIT 10""".stripMargin,
+    "q75_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q76_sim_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+    "q77_sim_threshold" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.38
+        |ORDER BY sim DESC, id_a, id_b""".stripMargin,
+    "q78_knn_label" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |knn AS (
+        |  SELECT q.vec_id AS q_id, c.label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |votes AS (
+        |  SELECT q_id, label, count(*) AS votes FROM knn WHERE rn <= 5
+        |  GROUP BY q_id, label)
+        |SELECT q_id, label AS pred_label, votes FROM (
+        |  SELECT q_id, label, votes,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+        |  FROM votes)
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    "q79_multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE label >= 5 ORDER BY doc_id""".stripMargin
+  )
+}
