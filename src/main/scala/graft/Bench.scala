@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times `.count()` of every registry entry at the
+  * driver-passed scale factor and prints one JSON line.
+  *
+  * Hygiene (round-2): queries run in sorted name order (Map iteration order
+  * made round 1's timings non-reproducible — the first query to run absorbs
+  * JVM/codegen warm-up, which is how q17 got billed 28 s for a 2 s plan); a
+  * warm-up query runs untimed first; failures are recorded and reported
+  * instead of silently producing a fast bench line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +23,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up (untimed): JIT/codegen/parquet-footer caches, so the first
+    // timed query isn't charged for JVM start-up.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    var failures = List.empty[String]
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failures ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

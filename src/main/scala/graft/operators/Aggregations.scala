@@ -71,43 +71,39 @@ object Aggregations {
         .orderBy("user_id")),
 
     // OLAP: GROUPING SETS ((event_type),(user_bucket),()) — Expand-based.
-    "q46_grouping_sets" -> ((s, d) => {
+    // Pure DataFrame DSL: no session-level temp-view side effects, so
+    // entries stay safe to build concurrently.
+    "q46_grouping_sets" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"), (col("user_id") % 10).as("user_bucket"))
-        .createOrReplaceTempView("graft_q46_ev")
-      s.sql(
-        """SELECT event_type, user_bucket, count(*) AS cnt,
-          |  CAST(grouping_id() AS BIGINT) AS gid
-          |FROM graft_q46_ev
-          |GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
-          |ORDER BY gid, event_type, user_bucket""".stripMargin)
-    }),
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_bucket")), Seq.empty),
+          col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "event_type", "user_bucket")),
 
-    "q47_rollup" -> ((s, d) => {
+    "q47_rollup" -> ((s, d) =>
       Tables.orders(s, d)
         .select(
           year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"),
           col("o_totalprice"))
-        .createOrReplaceTempView("graft_q47_ord")
-      s.sql(
-        """SELECT yr, mo, round(sum(o_totalprice), 4) AS sum_price, count(*) AS n,
-          |  CAST(grouping_id() AS BIGINT) AS gid
-          |FROM graft_q47_ord
-          |GROUP BY ROLLUP (yr, mo)
-          |ORDER BY gid, yr, mo""".stripMargin)
-    }),
+        .rollup(col("yr"), col("mo"))
+        .agg(
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "yr", "mo")),
 
-    "q48_cube" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_q48_li")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-          |  round(sum(l_quantity), 4) AS sum_qty,
-          |  CAST(grouping_id() AS BIGINT) AS gid
-          |FROM graft_q48_li
-          |GROUP BY CUBE (l_returnflag, l_linestatus)
-          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
-    }),
+    "q48_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
 
     // FILTER-clause / manual pivot: one conditional sum per tag. Portable
     // (vs .pivot) and a single pass over the data.

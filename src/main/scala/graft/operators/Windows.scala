@@ -83,12 +83,44 @@ object Windows {
         .orderBy("event_id")
     }),
 
-    // distribution: account-balance quartiles
+    // distribution: account-balance quartiles. A bare `ntile(4) OVER
+    // (ORDER BY ...)` would move the whole table into ONE task; instead:
+    // range-partition on the sort key, number rows per partition locally
+    // (parallel), prefix-sum the 32 per-partition counts (the only
+    // single-partition step — it runs over 32 metadata rows, not data),
+    // broadcast the offsets back, and derive the exact ntile bucket from
+    // the global row number in closed form. Bit-identical to ntile(4).
     "q56_win_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("quartile", ntile(4).over(w))
+        .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val localW = Window.partitionBy(col("pid"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val local = ranged.withColumn("lrn", row_number().over(localW).cast("long"))
+      val offW = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val totW = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(totW))
+        .select("pid", "off", "total")
+      // ntile(k): first (N mod k) tiles hold ceil(N/k) rows, the rest
+      // floor(N/k); invert that boundary function at the row's global rank.
+      val k = 4
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("off") + col("lrn"))
+        .withColumn("bsz", expr(s"total div $k"))
+        .withColumn("rem", col("total") % k)
+        .withColumn("quartile",
+          when(col("rn") <= col("rem") * (col("bsz") + 1),
+            ceil(col("rn") / (col("bsz") + 1)))
+            .otherwise(col("rem") +
+              ceil((col("rn") - col("rem") * (col("bsz") + 1)) / col("bsz")))
+            .cast("int"))
+        .select(col("c_custkey"), col("c_acctbal"), col("quartile"))
         .orderBy("c_custkey")
     }),
 
