@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHash}
 import graft.sources.Tables
 
 /** §2.10 — LLM-training-data-pipeline operators over `documents` and
@@ -65,6 +65,24 @@ object LlmOps {
     simCache.getOrElseUpdate(
       (System.identityHashCode(s), d),
       pairs(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** documents as distinct word-3-shingle sets (the unit of near-dup
+    * similarity; unigram token sets are useless here — the corpus draws
+    * from a ~30-word vocabulary, so every unigram set is near-identical).
+    * zip_with pads the short side with null and concat propagates it, so
+    * trailing partial shingles filter out.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """array_distinct(filter(
+          |  zip_with(
+          |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
+          |             (a, b) -> concat(a, ' ', b)),
+          |    slice(w, 3, greatest(size(w) - 2, 0)),
+          |    (ab, c) -> concat(ab, ' ', c)),
+          |  x -> x IS NOT NULL))""".stripMargin).as("shingles"))
 
   /** Dedup shuffle key: digest of the text, NOT the text itself — full
     * document bodies as shuffle keys would ship the whole corpus through
@@ -191,6 +209,42 @@ object LlmOps {
           col("vec_meta.label").as("label"),
           col("vec_meta.dim").cast("long").as("dim"))
         .orderBy("doc_id")
+    }),
+
+    // near-dup pairs via MinHash + LSH banding — the 100 TB dedup path.
+    // Shingles explode → graft_minhash UDAF (map-side partial combine, the
+    // shuffle carries 64-long signatures, not shingles) → band the
+    // signature into 32 buckets of 2 → equi-join on (band, band_hash) →
+    // exact-Jaccard verify of the candidates only. No all-pairs product
+    // anywhere. Hash-seed-specific candidates → rows-only check (no SQL
+    // oracle); property-tested vs exact Jaccard in MinHashSpec.
+    "q7A_dedup_minhash" -> ((s, d) => {
+      MinHash.register(s)
+      val sets = shingled(s, d)
+      val nBands = MinHash.K / 2
+      val sig = sets
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy("doc_id")
+        .agg(expr("graft_minhash(shingle)").as("sig"))
+      val bands = sig
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, ${nBands - 1}), " +
+            "b -> struct(b AS band, xxhash64(slice(sig, b * 2 + 1, 2)) AS bh))")).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+      val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+      cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     })
   )
 
