@@ -22,6 +22,28 @@ object Windows {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.eventsUs(s, d)
 
+  /** Gap-based sessionization (30 min), the classic two-window idiom:
+    * lag → new-session flag → running sum = session id → aggregate.
+    * Input needs (user_id, ts_us, event_id); output is per-user session
+    * count + avg length. Public so tests drive it with synthetic streams
+    * (its streaming twin is S4's `session_window` — StreamOps).
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val flagged = events
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("session_len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), round(avg("session_len"), 4).as("avg_len"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_win_row_number" -> ((s, d) =>
       ev(s, d)
@@ -139,26 +161,10 @@ object Windows {
         .orderBy("user_id", "day_id")
     }),
 
-    // gap-based sessionization (30 min), the classic two-window idiom:
-    // lag → new-session flag → running sum = session id → aggregate.
-    "q58_sessionize" -> ((s, d) => {
-      val gapUs = 30L * 60 * 1000000
-      val flagged = ev(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-        .withColumn("new_session",
-          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
-            .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum(col("new_session")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      flagged
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("session_len"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"), round(avg("session_len"), 4).as("avg_len"))
-        .orderBy("user_id")
-    }),
+    // gap-based sessionization (30 min) — see [[sessionize]].
+    "q58_sessionize" -> ((s, d) =>
+      sessionize(ev(s, d).select(col("user_id"), col("ts_us"), col("event_id")))
+        .orderBy("user_id")),
 
     // signup→purchase funnel: first signup, first purchase at-or-after it
     "q59_funnel" -> ((s, d) => {

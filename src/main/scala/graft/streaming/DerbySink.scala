@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** S7/S8 — the "to-db" half (SURVEY.md §2.1, §2.11): a `foreachBatch`
+  * JDBC sink that MERGEs each micro-batch into an embedded Derby table
+  * keyed on `event_id`.
+  *
+  * Delivery contract = the reference's: the replayable file source plus
+  * the streaming checkpoint give at-least-once; the idempotent per-key
+  * MERGE upgrades it to effectively-exactly-once — a replayed batch
+  * (e.g. after the S8 kill/restart) overwrites rows with identical
+  * values instead of duplicating them.
+  *
+  * Derby (10.16, the one JDBC engine shipped with the Spark jars) is
+  * single-JVM embedded — fine under local[*]; on a real cluster the same
+  * `foreachBatch` body points at a networked RDBMS and partitions write
+  * in parallel, which is why the write path is per-partition batched
+  * JDBC, not a driver-side collect.
+  */
+object DerbySink {
+
+  val TABLE = "events_sink"
+
+  /** Columns landed in the DB (envelope flattened to the µs convention —
+    * the reference's event→row ETL mapping).
+    */
+  private val COLS = Seq("event_id", "ts_us", "user_id", "event_type", "value")
+
+  def connect(url: String): Connection = DriverManager.getConnection(url)
+
+  /** CREATE TABLE if absent (Derby has no IF NOT EXISTS; X0Y32 = exists). */
+  def ensureTable(url: String): Unit = {
+    val c = connect(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $TABLE (
+           |  event_id BIGINT PRIMARY KEY,
+           |  ts_us BIGINT,
+           |  user_id BIGINT,
+           |  event_type VARCHAR(64),
+           |  value DOUBLE)""".stripMargin)
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    } finally c.close()
+  }
+
+  /** Idempotent per-row MERGE (Derby ≥10.11 supports MERGE; the 1-row
+    * SYSDUMMY1 source turns it into a keyed upsert).
+    */
+  private val MERGE_SQL =
+    s"""MERGE INTO $TABLE t USING SYSIBM.SYSDUMMY1
+       |ON t.event_id = ?
+       |WHEN MATCHED THEN UPDATE SET
+       |  ts_us = ?, user_id = ?, event_type = ?, value = ?
+       |WHEN NOT MATCHED THEN INSERT (event_id, ts_us, user_id, event_type, value)
+       |  VALUES (?, ?, ?, ?, ?)""".stripMargin
+
+  /** Upserts one micro-batch. Keys are deduped inside the batch first
+    * (last writer wins by event_id — they're identical under replay), so
+    * concurrent partitions never contend on the same key.
+    */
+  def upsertBatch(batch: DataFrame, url: String): Unit = {
+    val rows = batch
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .dropDuplicates("event_id")
+    rows.foreachPartition { it: Iterator[Row] =>
+      if (it.hasNext) {
+        val c = connect(url)
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(MERGE_SQL)
+          try {
+            var n = 0
+            it.foreach { r =>
+              val eid = r.getLong(0)
+              ps.setLong(1, eid)
+              ps.setLong(2, r.getLong(1)); ps.setLong(3, r.getLong(2))
+              ps.setString(4, r.getString(3)); ps.setDouble(5, r.getDouble(4))
+              ps.setLong(6, eid)
+              ps.setLong(7, r.getLong(1)); ps.setLong(8, r.getLong(2))
+              ps.setString(9, r.getString(3)); ps.setDouble(10, r.getDouble(4))
+              ps.addBatch()
+              n += 1
+              if (n % 500 == 0) ps.executeBatch()
+            }
+            ps.executeBatch()
+            c.commit()
+          } finally ps.close()
+        } finally c.close()
+      }
+    }
+  }
+
+  /** Wires a staged event stream into the sink with a checkpoint — the
+    * whole events-to-db pipeline (S1 source → S7 sink, resumable per S8).
+    */
+  def attach(events: DataFrame, url: String, checkpointDir: String): DataStreamWriter[Row] = {
+    ensureTable(url)
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, url) }
+  }
+}

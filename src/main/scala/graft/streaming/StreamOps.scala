@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row as seen by the stateful op (S9). */
+case class EvRow(user_id: Long, value: Double)
+
+/** Running per-user balance emitted by S9 after each micro-batch.
+  * `n_events` is strictly increasing per user, so "the row with the
+  * largest n_events" is the final state regardless of sink row order.
+  */
+case class Balance(user_id: Long, n_events: Long, balance: Double)
+
+/** S2–S6, S9 — the streaming transforms (SURVEY.md §2.11).
+  *
+  * Every transform is a plain `DataFrame => DataFrame` applied identically
+  * to a `readStream` source or a batch read: Structured Streaming's
+  * incrementalization (`IncrementalExecution`) is what makes the same
+  * declarative plan run as a stateful micro-batch pipeline. Parity tests
+  * (StreamingParitySpec) assert stream(chunks) == batch(all) per op.
+  *
+  * These are deliberately NOT in `SparkEntry.queries`: the bench harness
+  * calls `.count()` on every registry entry, which streaming DataFrames
+  * don't support (SURVEY.md §2.0).
+  */
+object StreamOps {
+
+  /** S2 — tumbling 1 h counts per event_type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** S3 — sliding 1 h window every 15 min: count + value sum. */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
+
+  /** S4 — session windows with a 30 min gap, per user (streaming twin of
+    * the batch q58 sessionizer). Streaming use requires a watermark on
+    * `ts_t` upstream.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("session_len"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("session_len"))
+
+  /** S5 — watermarked tumbling counts: rows later than `lateness` behind
+    * the max seen event time are dropped (the engine-side replacement for
+    * the reference's client-side `timeTravel` late-data signal).
+    */
+  def watermarkedCounts(events: DataFrame, lateness: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts_t", lateness))
+
+  /** S6 — streaming dedup by event_id within the watermark (the
+    * at-least-once → effectively-exactly-once half that doesn't need the
+    * sink: duplicate deliveries inside the lateness bound are suppressed
+    * engine-side).
+    */
+  def dedup(events: DataFrame, lateness: String): DataFrame =
+    events.withWatermark("ts_t", lateness).dropDuplicates("event_id")
+
+  /** S9 — custom stateful op: running per-user (event count, balance) via
+    * flatMapGroupsWithState, emitting the updated state each micro-batch.
+    * State is one (count, sum) pair per user — O(users), not O(events).
+    */
+  def runningBalance(events: DataFrame): Dataset[Balance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EvRow], state: GroupState[(Long, Double)]) =>
+          val (n0, b0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var b = b0
+          rows.foreach { r => n += 1; b += r.value }
+          state.update((n, b))
+          Iterator(Balance(uid, n, b))
+      }
+  }
+}

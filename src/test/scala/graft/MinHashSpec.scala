@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHash
+
+/** MinHash estimator properties (SURVEY.md §5.3) + end-to-end q7A recall
+  * against exact shingle-Jaccard ground truth computed in-test.
+  * Properties run through ScalaCheck's own runner (the scalatest bridge
+  * artifact isn't among the pinned deps).
+  */
+class MinHashSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def estimate(a: Set[String], b: Set[String]): Double = {
+    val sa = MinHash.signature(a)
+    val sb = MinHash.signature(b)
+    sa.zip(sb).count { case (x, y) => x == y }.toDouble / MinHash.K
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  private val tokenGen = Gen.oneOf(
+    ('a' to 'z').map(_.toString) ++ (0 to 40).map(i => s"tok$i"))
+  private val setGen = Gen.nonEmptyListOf(tokenGen).map(_.toSet)
+
+  test("identical sets give identical signatures (estimate = 1)") {
+    check(Prop.forAll(setGen) { a =>
+      MinHash.signature(a).sameElements(MinHash.signature(a)) &&
+        estimate(a, a) == 1.0
+    })
+  }
+
+  test("signature agreement estimates Jaccard (K=64 → ±0.32 at ~5 sigma)") {
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val j = jaccard(a, b)
+      val e = estimate(a, b)
+      // std of the estimator is sqrt(J(1-J)/K) <= 0.0625; allow ~5 sigma
+      math.abs(e - j) <= 0.32
+    })
+  }
+
+  test("signature is insensitive to element order and duplication") {
+    check(Prop.forAll(setGen) { a =>
+      val l = a.toList
+      MinHash.signature(l)
+        .sameElements(MinHash.signature(scala.util.Random.shuffle(l) ++ l))
+    })
+  }
+
+  test("q7A finds exactly the ground-truth near-dup pairs at sf0.001") {
+    // exact all-pairs 3-shingle Jaccard over the 500-doc fixture, in Scala
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet)
+    val want = (for {
+      (ia, sa) <- docs
+      (ib, sb) <- docs if ia < ib
+      j = jaccard(sa, sb) if j >= 0.6
+    } yield (ia, ib,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    val got = SparkEntry.queries("q7A_dedup_minhash")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture has no near-dups — ground truth broken")
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("q7A is idempotent: dedup of a deduped corpus finds nothing new") {
+    val out = SparkEntry.queries("q7A_dedup_minhash")(spark, sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pairs are unique and strictly ordered
+    assert(out.distinct.length == out.length)
+    assert(out.forall { case (a, b) => a < b })
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide smoke + per-family hand-checked expectations at sf0.001
+  * (SURVEY.md §5.2). The DuckDB oracle (driver-run) is the primary
+  * correctness gate; these specs independently recompute a representative
+  * query per family in plain Scala over collected fixture rows, so a
+  * regression is caught at `sbt test` time without the oracle loop.
+  */
+class OperatorSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val events =
+    graft.sources.Tables.eventsUs(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .collect()
+
+  test("registry: every declared entry runs and returns rows at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.size == 75) // 73 oracle + q44 + q7A (SURVEY.md §7.5)
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("registry: every oracle key has a query; column names line up") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach { k => assert(qs.contains(k), k) }
+    // the two declared non-oracle entries (hash/seed-specific sketches)
+    assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("q44_agg_approx_distinct", "q7A_dedup_minhash"))
+  }
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // §2.2 filters — q10 recomputed from collected rows
+  test("q10_filter_tag matches a plain Scala filter") {
+    val got = SparkEntry.queries("q10_filter_tag")(spark, sf0001).count()
+    val want = events.count(_.getString(2) == "purchase")
+    assert(got == want && want > 0)
+  }
+
+  // §2.5 aggregations — q41 per-type counts recomputed
+  test("q41_agg_group counts match a Scala groupBy") {
+    val got = SparkEntry.queries("q41_agg_group")(spark, sf0001)
+      .select("event_type", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+
+  // §2.5 — q44 HLL within ±5% of exact q43 (the declared property check)
+  test("q44_agg_approx_distinct within 5% of exact q43") {
+    val exact = SparkEntry.queries("q43_agg_count_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q44_agg_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"$k: approx $a vs exact $e drifts >5%")
+    }
+  }
+
+  // §2.4 joins — q30 row count recomputed from keys
+  test("q30_join_inner row count matches key-multiplicity product") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_custkey").collect().map(_.getLong(0))
+    val custs = graft.sources.Tables.customer(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val want = orders.count(custs.contains)
+    val got = SparkEntry.queries("q30_join_inner")(spark, sf0001).count()
+    assert(got == want && want > 0)
+  }
+
+  // §2.4 — as-of join recomputed in Scala: for every output row the
+  // matched click is the latest click at-or-before the purchase (ties by
+  // click_id, same-instant clicks count as before — kind ordering).
+  test("q37_join_asof picks the latest click at-or-before each purchase") {
+    val byId = events.map(r => r.getLong(0) -> r).toMap
+    val clicksByUser = events.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(1))
+    val out = SparkEntry.queries("q37_join_asof")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pid, user, clickId) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val pTs = byId(pid).getLong(4)
+      val want = clicksByUser(user)
+        .filter(_.getLong(4) <= pTs)
+        .maxBy(c => (c.getLong(4), c.getLong(0)))
+        .getLong(0)
+      assert(clickId == want, s"purchase $pid: asof picked $clickId, want $want")
+    }
+  }
+
+  // §2.6 windows — q53 running sum recomputed for the busiest user
+  test("q53_win_running cumulative sums match a Scala scan") {
+    val purchases = events.filter(_.getString(2) == "purchase")
+    val user = purchases.groupBy(_.getLong(1)).maxBy(_._2.length)._1
+    val mine = purchases.filter(_.getLong(1) == user)
+      .sortBy(r => (r.getLong(4), r.getLong(0)))
+    val want = mine.scanLeft(0.0)((acc, r) => acc + r.getDouble(3)).tail
+      .map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = SparkEntry.queries("q53_win_running")(spark, sf0001)
+      .filter(col("user_id") === user)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy(x => mine.indexWhere(_.getLong(0) == x._1))
+      .map(_._2)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  // §2.6 — q56's distributed ntile must equal the textbook window ntile
+  test("q56_win_ntile equals single-window ntile(4)") {
+    import org.apache.spark.sql.expressions.Window
+    val want = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = SparkEntry.queries("q56_win_ntile")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
+  // §2.7 — q61 top-k equals a Scala sort of collected rows
+  test("q61_topk equals Scala sort-take") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice").collect()
+    val want = li.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy { case (k, ln, p) => (-p, k, ln) }.take(20).map(_._3).toSeq
+    val got = SparkEntry.queries("q61_topk")(spark, sf0001)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).toSeq
+    assert(got == want)
+  }
+
+  // §2.10 — exact dedup survivor count equals distinct texts
+  test("q70_dedup_exact total survivors == distinct texts") {
+    val got = SparkEntry.queries("q70_dedup_exact")(spark, sf0001)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val want = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").distinct().count()
+    assert(got == want)
+  }
+
+  // sessionize invariants on the real fixture
+  test("q58_sessionize invariants: counts partition events") {
+    val perUser = events.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    SparkEntry.queries("q58_sessionize")(spark, sf0001).collect().foreach {
+      case Row(user: Long, n: Long, avgLen: Double) =>
+        val total = perUser(user)
+        assert(n >= 1 && n <= total)
+        // n_sessions * avg_len == n_events (avg rounded to 4 decimals)
+        assert(math.abs(n * avgLen - total) < n * 1e-3)
+    }
+  }
+}

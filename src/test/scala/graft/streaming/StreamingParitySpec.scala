@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase._
+import graft.operators.Windows
+
+/** S1–S6 + S9 batch-parity tests (SURVEY.md §5.4): each streaming op,
+  * replayed over the fixture split into micro-batch chunks, must equal its
+  * batch twin computed over the same rows in one pass. Exact equality for
+  * counts/keys/window bounds; 1e-6 tolerance for floating sums (stream
+  * state accumulates in arrival order, batch in partition order).
+  */
+class StreamingParitySpec extends AnyFunSuite {
+
+  private lazy val stagedDir: String = {
+    val dir = tmpDir("graft-stream")
+    EventStream.stage(spark, sf0001, dir, chunks = 4)
+    dir
+  }
+
+  /** Runs a streaming transform to a memory sink until exhausted. */
+  private def runStream(name: String, out: DataFrame, mode: String): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def rowsOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("S1: micro-batch file ingest delivers every event exactly once") {
+    val got = runStream("s1",
+      EventStream.read(spark, stagedDir).select("event_id"), "append")
+    val ids = got.collect().map(_.getLong(0))
+    val want = EventStream.readBatch(spark, stagedDir)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == want.length)
+    assert(ids.toSet == want.toSet)
+  }
+
+  test("S2: tumbling 1h counts — stream == batch") {
+    val got = runStream("s2",
+      StreamOps.tumblingCounts(EventStream.read(spark, stagedDir)), "complete")
+    val want = StreamOps.tumblingCounts(EventStream.readBatch(spark, stagedDir))
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("S3: sliding 1h/15m stats — stream == batch (sums at 1e-6)") {
+    val got = runStream("s3",
+      StreamOps.slidingStats(EventStream.read(spark, stagedDir)), "complete")
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = StreamOps.slidingStats(EventStream.readBatch(spark, stagedDir))
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) <= 1e-6, k) }
+  }
+
+  test("S4: session windows — stream == batch == q58 session counts") {
+    // separate staging dir: the flush sentinel must not pollute other tests
+    val dir = tmpDir("graft-s4")
+    EventStream.stage(spark, sf0001, dir, chunks = 4)
+    val maxTs = EventStream.readBatch(spark, dir).agg(max("ts")).collect()(0).getLong(0)
+
+    val stream = StreamOps.sessionCounts(
+      EventStream.read(spark, dir).withWatermark("ts_t", "10 minutes"))
+    val q = stream.writeStream.format("memory").queryName("s4").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark past every real session so append mode emits them
+      EventStream.appendFlush(spark, dir, maxTs + 10L * 86400 * 1000000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s4").filter(col("user_id") =!= -1L)
+
+    val want = StreamOps.sessionCounts(
+      EventStream.readBatch(spark, dir).filter(col("user_id") =!= -1L))
+    assert(rowsOf(got) == rowsOf(want))
+
+    // cross-check against the batch q58 sessionizer: same per-user session
+    // count (session_window's >=gap split vs q58's >gap split only differ
+    // on exact-30-min gaps, absent from the random-ns fixture)
+    val gotPerUser = got.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q58 = Windows.sessionize(
+      EventStream.readBatch(spark, dir).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("ts_us"), col("event_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPerUser == q58)
+  }
+
+  test("S5: watermark drops data later than the lateness bound") {
+    import spark.implicits._
+    val dir = tmpDir("graft-s5")
+    val H = 3600L * 1000000000L // 1h in ns
+    def ev(id: Long, tsNs: Long) = (id, tsNs, 1L, "click", 1.0, "{}")
+    // file 1: three events in hour 0, two in hour 2
+    Seq(ev(1, 10), ev(2, H / 2), ev(3, H - 1), ev(4, 2 * H + 10), ev(5, 2 * H + 20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1) // ONE file → one micro-batch → deterministic watermark
+      .write.mode("append").parquet(dir)
+
+    val stream = StreamOps.watermarkedCounts(EventStream.read(spark, dir), "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("s5").outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark now ≈ 2h50m — hour-0 window expired
+      // file 2: one too-late event for hour 0, one fresh event in hour 3
+      Seq(ev(6, 20), ev(7, 3 * H + 10))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // flush: close all remaining windows
+      EventStream.appendFlush(spark, dir, 30 * H)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val counts = spark.table("s5").filter(col("event_type") === "click")
+      .collect().map(r => r.getTimestamp(0).toInstant.getEpochSecond -> r.getLong(2)).toMap
+    // hour-0 window counted 3 events — the late 4th was dropped
+    assert(counts(0L) == 3L, s"late event leaked into hour-0: $counts")
+    assert(counts(7200L) == 2L)
+    assert(counts(10800L) == 1L)
+  }
+
+  test("S6: streaming dedup by event_id suppresses replayed chunks") {
+    val dir = tmpDir("graft-s6")
+    EventStream.stage(spark, sf0001, dir, chunks = 2)
+    // replay the whole corpus a second time = duplicate delivery
+    graft.sources.Tables.events(spark, sf0001)
+      .repartitionByRange(2, col("ts"), col("event_id"))
+      .write.mode("append").parquet(dir)
+    val got = runStream("s6",
+      StreamOps.dedup(EventStream.read(spark, dir), "30 days")
+        .select("event_id"), "append")
+    val ids = got.collect().map(_.getLong(0))
+    val want = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids.length == want.size, "duplicates leaked through dedup")
+    assert(ids.toSet == want)
+  }
+
+  test("S9: stateful running balance — final state == batch aggregate") {
+    val got = runStream("s9",
+      StreamOps.runningBalance(EventStream.read(spark, stagedDir)).toDF, "update")
+    // the row with the largest n_events per user is the final state
+    val finalRows = got.collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+    val want = EventStream.readBatch(spark, stagedDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalRows.keySet == want.keySet)
+    finalRows.foreach { case (u, row) =>
+      val (n, s) = want(u)
+      assert(row.getLong(1) == n, s"user $u event count")
+      assert(math.abs(row.getDouble(2) - s) <= 1e-6, s"user $u balance")
+    }
+  }
+}
