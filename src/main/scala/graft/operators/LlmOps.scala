@@ -84,6 +84,29 @@ object LlmOps {
           |    (ab, c) -> concat(ab, ' ', c)),
           |  x -> x IS NOT NULL))""".stripMargin).as("shingles"))
 
+  /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):
+    * 16 planes of dim 64 with signs drawn from a seeded splitmix64-style
+    * mix, rendered as SQL array literals so the sign test runs through
+    * the codegen'd graft_dot. Deterministic run-to-run.
+    */
+  private object AnnPlanes {
+    private def mix(z0: Long): Long = {
+      var z = z0 ^ 0x9e3779b97f4a7c15L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def sql(i: Int): String =
+      (0 until 64)
+        .map(k => if ((mix(i.toLong * 1000003 + k) & 1L) == 0L) "1D" else "-1D")
+        .mkString("array(", ",", ")")
+    /** One 4-bit LSH band = the sign bits of 4 hyperplane projections. */
+    def bandExpr(band: Int): String =
+      (0 until 4).map { j =>
+        s"IF(graft_dot(e, ${sql(band * 4 + j)}) >= 0D, ${1 << (3 - j)}, 0)"
+      }.mkString(" + ")
+  }
+
   /** Dedup shuffle key: digest of the text, NOT the text itself — full
     * document bodies as shuffle keys would ship the whole corpus through
     * the exchange at 100 TB; 32 bytes per row do the same job.
@@ -211,6 +234,48 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // multimodal asset pipeline (§2.10 q7B): media as an opaque binary
+    // column + typed metadata struct. The "decode" step is a
+    // deterministic fingerprint (sha2 over the bytes) standing in for
+    // image/audio decoding — no media codecs ship in this container —
+    // but the Spark-side plumbing is the real thing: binary column,
+    // nested metadata, per-source aggregation, all codegen'd built-ins.
+    // A real decoder plugs in as a mapPartitions over the same schema.
+    "q7B_multimodal_pipeline" -> ((s, d) => {
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("text").cast("binary").as("media"))
+        .withColumn("meta", struct(
+          octet_length(col("media")).as("n_bytes"),
+          sha2(col("media"), 256).as("fingerprint")))
+      assets.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_assets"),
+          round(avg(col("meta.n_bytes")), 4).as("avg_bytes"),
+          countDistinct(col("meta.fingerprint")).as("nd_media"))
+        .orderBy("source")
+    }),
+
+    // text quality scoring (§2.10 q7D): stopword share + lexical
+    // diversity → composite score; the junk-filter stage of a training
+    //-data pipeline. Everything stays in EXACT integer arithmetic (the
+    // score is basis points via integer division) — averaging two
+    // 4-decimal-rounded ratios lands exactly on .xxxx5 halves, which the
+    // two engines round apart (SURVEY.md §7.4.3).
+    "q7D_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_cnt",
+          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")))
+        .withColumn("distinct_cnt", size(array_distinct(col("toks"))))
+        // score/10000 = ((1 - stop_ratio) + distinct_ratio) / 2
+        .withColumn("score_bp", expr(
+          "((n_tokens - stop_cnt + distinct_cnt) * 5000L) div n_tokens"))
+        .select("doc_id", "n_tokens", "stop_cnt", "distinct_cnt", "score_bp")
+        .orderBy(col("score_bp").desc, col("doc_id"))
+        .limit(25)),
+
     // near-dup pairs via MinHash + LSH banding — the 100 TB dedup path.
     // Shingles explode → graft_minhash UDAF (map-side partial combine, the
     // shuffle carries 64-long signatures, not shingles) → band the
@@ -245,6 +310,37 @@ object LlmOps {
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    }),
+
+    // bucketed ANN (§2.10 q7C) — the scale path for similarity SEARCH
+    // (q7A covers near-dup dedup): random-hyperplane SimHash splits each
+    // vector's 16 sign bits into 4 LSH bands; query and candidate meet
+    // via an equi-join on (band, band_value) — never a cross join — and
+    // only bucket-mates get the exact cosine rerank. Bucket membership is
+    // hash-construction-specific → rows-only check; recall vs the exact
+    // 5-NN is asserted in AnnSpec.
+    "q7C_ann_simhash" -> ((s, d) => {
+      val v = vectors(s, d)
+      val nBands = 4
+      val banded = v.select(col("vec_id"), col("e"), col("nsq"),
+        posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
+          .as(Seq("band", "bval")))
+      val probes = banded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nsq").as("qn"), col("band"), col("bval"))
+      val cands = banded
+        .select(col("vec_id").as("n_id"), col("e").as("ne"),
+          col("nsq").as("nn"), col("band"), col("bval"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      probes.join(cands, Seq("band", "bval"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine("qe", "ne", "qn", "nn").as("sim"))
+        .distinct() // a pair can collide in several bands
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_id", "n_id", "sim", "rn")
+        .orderBy("q_id", "rn")
     })
   )
 
@@ -318,6 +414,26 @@ object LlmOps {
       """SELECT doc_id, lang, source, n_chars, label,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |WHERE label >= 5 ORDER BY doc_id""".stripMargin
+        |WHERE label >= 5 ORDER BY doc_id""".stripMargin,
+    // q7B: strlen = byte length; sha256 = the same fingerprint Spark's
+    // sha2(media, 256) computes over the UTF-8 bytes.
+    "q7B_multimodal_pipeline" ->
+      """SELECT source, count(*) AS n_assets,
+        |  round(avg(strlen(text)), 4) AS avg_bytes,
+        |  count(DISTINCT sha256(text)) AS nd_media
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q7D_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        s -> s IN ('the', 'a', 'of', 'and'))) AS INTEGER) AS stop_cnt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+        |      AS distinct_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stop_cnt, distinct_cnt,
+        |  CAST(((n_tokens - stop_cnt + distinct_cnt) * 5000) // n_tokens
+        |    AS BIGINT) AS score_bp
+        |FROM t ORDER BY score_bp DESC, doc_id LIMIT 25""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q7C bucketed-ANN validation: every reported similarity is exact (the
+  * rerank is brute-force within buckets) and recall vs the true 5-NN is
+  * materially above chance. Deterministic: planes and data are fixed.
+  */
+class AnnSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    BigDecimal(dot / math.sqrt(na * nb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def exactTop5(q: Long): Set[Long] =
+    vecs.view.filterKeys(_ != q).toSeq
+      .map { case (id, v) => (cosine(vecs(q), v), id) }
+      .sortBy { case (s, id) => (-s, id) }
+      .take(5).map(_._2).toSet
+
+  test("q7C reported similarities are exact and per-query ranks are dense") {
+    val out = SparkEntry.queries("q7C_ann_simhash")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        val want = cosine(vecs(q), vecs(r.getLong(1)))
+        assert(r.getDouble(2) == want, s"q=$q n=${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("q7C recall@5 vs exact 5-NN is well above chance") {
+    val out = SparkEntry.queries("q7C_ann_simhash")(spark, sf0001).collect()
+    val byQ = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val recalls = (0L until 10L).map { q =>
+      val ann = byQ.getOrElse(q, Set.empty)
+      exactTop5(q).count(ann.contains) / 5.0
+    }
+    val avg = recalls.sum / recalls.length
+    // chance level at sf0.001: 5 of 499 ≈ 1%; 4-bit × 4-band LSH should
+    // land a large multiple of that. Deterministic, so no flake risk.
+    assert(avg >= 0.3, s"avg recall@5 = $avg (${recalls.mkString(",")})")
+  }
+}

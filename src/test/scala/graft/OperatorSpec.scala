@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 75) // 73 oracle + q44 + q7A (SURVEY.md §7.5)
+    assert(qs.size == 78) // 75 oracle + q44 + q7A + q7C (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -30,9 +30,9 @@ class OperatorSpec extends AnyFunSuite {
   test("registry: every oracle key has a query; column names line up") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach { k => assert(qs.contains(k), k) }
-    // the two declared non-oracle entries (hash/seed-specific sketches)
+    // the declared non-oracle entries (hash/seed-specific sketches)
     assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q44_agg_approx_distinct", "q7A_dedup_minhash"))
+      Set("q44_agg_approx_distinct", "q7A_dedup_minhash", "q7C_ann_simhash"))
   }
 
   test("entry: flagship query returns rows") {
