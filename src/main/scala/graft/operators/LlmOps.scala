@@ -187,7 +187,11 @@ object LlmOps {
         .limit(10)),
 
     // set-similarity join: all pairs at-or-above threshold, reusing the
-    // same persisted sim table (round 1 recomputed the O(n²) pass here)
+    // same persisted sim table (round 1 recomputed the O(n²) pass here).
+    // Invariant: the 0.38 threshold (and q76's top-10 cut) compares
+    // 4-decimal-rounded cosines; it is safe only while no fixture pair's
+    // true cosine sits within ~1e-12 of a .xxxx5 rounding boundary or
+    // exactly at the threshold — verified against DuckDB at sf0.01/sf0.1.
     "q77_sim_threshold" -> ((s, d) =>
       simPairs(s, d)
         .filter(col("sim") >= 0.38)
