@@ -107,7 +107,8 @@ class OperatorSpec extends AnyFunSuite {
     val mine = purchases.filter(_.getLong(1) == user)
       .sortBy(r => (r.getLong(4), r.getLong(0)))
     val want = mine.scanLeft(0.0)((acc, r) => acc + r.getDouble(3)).tail
-      .map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .map(v => BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val got = SparkEntry.queries("q53_win_running")(spark, sf0001)
       .filter(col("user_id") === user)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
@@ -147,6 +148,64 @@ class OperatorSpec extends AnyFunSuite {
     val want = graft.sources.Tables.documents(spark, sf0001)
       .select("text").distinct().count()
     assert(got == want)
+  }
+
+  // §2.1 ETL — q03's JSON flatten recomputed with a Scala regex parse
+  test("q03_etl_flatten extracts props.k like a direct parse") {
+    val propsById = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val out = SparkEntry.queries("q03_etl_flatten")(spark, sf0001).collect()
+    assert(out.length == propsById.size)
+    out.foreach { r =>
+      val want = kRe.findFirstMatchIn(propsById(r.getLong(0))).map(_.group(1).toInt)
+      val got = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(got == want, s"event ${r.getLong(0)}")
+    }
+  }
+
+  // §2.3 projections — q20 net price recomputed for every row.
+  // (l_orderkey, l_linenumber) is NOT unique in this fixture (see the
+  // q60 comment) → compare per-key MULTISETS of net prices.
+  test("q20_proj_arith net price matches Scala arithmetic") {
+    val want = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        // BigDecimal.valueOf (shortest-decimal) mirrors Spark's Round;
+        // exact-binary BigDecimal(double) rounds edge values differently
+        BigDecimal(java.math.BigDecimal.valueOf(
+          r.getDouble(2) * (1 - r.getDouble(3)) * (1 + r.getDouble(4))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val got = SparkEntry.queries("q20_proj_arith")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == want)
+  }
+
+  // §2.8 set ops — q65 recomputed with Scala sets
+  test("q65_intersect equals Scala set intersection") {
+    def users(t: String) = events.filter(_.getString(2) == t).map(_.getLong(1)).toSet
+    val want = users("purchase").intersect(users("error"))
+    val got = SparkEntry.queries("q65_intersect")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  // §2.9 subqueries — q68's top-10-spenders semi-join recomputed
+  test("q68_subq_in keeps exactly the top-10 spenders' orders") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    val top10 = orders.groupBy(_.getLong(1)).view
+      .mapValues(rs => BigDecimal(rs.map(_.getDouble(2)).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .toSeq.sortBy { case (k, s) => (-s, k) }.take(10).map(_._1).toSet
+    val want = orders.filter(r => top10.contains(r.getLong(1))).map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q68_subq_in")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
   }
 
   // sessionize invariants on the real fixture
