@@ -107,6 +107,30 @@ object LlmOps {
       }.mkString(" + ")
   }
 
+  /** Winnowing document fingerprints (q7E): hash every word 4-gram, then
+    * keep each 8-window's minimum hash — the classic MOSS-style
+    * selection: ~n/8 fingerprints per doc, guaranteed to share
+    * fingerprints with any doc sharing a long-enough run. All per-row
+    * array expressions (no shuffle until the caller aggregates).
+    * Public so FingerprintSpec can check set-level properties.
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("grams", expr(
+        """filter(
+          |  zip_with(
+          |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)),
+          |    zip_with(slice(w, 3, greatest(size(w) - 2, 0)),
+          |             slice(w, 4, greatest(size(w) - 3, 0)), (c, e) -> concat(c, ' ', e)),
+          |    (ab, ce) -> concat(ab, ' ', ce)),
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("hashes", expr("transform(grams, g -> xxhash64(g))"))
+      .withColumn("fp", expr(
+        "array_distinct(transform(sequence(1, greatest(size(hashes) - 7, 1)), " +
+          "i -> array_min(slice(hashes, i, 8))))"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), col("fp"))
+
   /** Dedup shuffle key: digest of the text, NOT the text itself — full
     * document bodies as shuffle keys would ship the whole corpus through
     * the exchange at 100 TB; 32 bytes per row do the same job.
@@ -315,6 +339,18 @@ object LlmOps {
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
+
+    // document fingerprinting (§2.10 q7E): winnowing selection over
+    // rolling word-4-gram hashes — see [[fingerprints]]. Rows-only
+    // check (xxhash64 is engine-specific); properties in FingerprintSpec.
+    "q7E_doc_fingerprint" -> ((s, d) =>
+      fingerprints(s, d)
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          size(col("fp")).as("n_fingerprints"),
+          array_min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")),
 
     // bucketed ANN (§2.10 q7C) — the scale path for similarity SEARCH
     // (q7A covers near-dup dedup): random-hyperplane SimHash splits each

@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 78) // 75 oracle + q44 + q7A + q7C (SURVEY.md §7.5)
+    assert(qs.size == 79) // 75 oracle + q44 + q7A + q7C + q7E (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -32,7 +32,8 @@ class OperatorSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach { k => assert(qs.contains(k), k) }
     // the declared non-oracle entries (hash/seed-specific sketches)
     assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q44_agg_approx_distinct", "q7A_dedup_minhash", "q7C_ann_simhash"))
+      Set("q44_agg_approx_distinct", "q7A_dedup_minhash",
+        "q7C_ann_simhash", "q7E_doc_fingerprint"))
   }
 
   test("entry: flagship query returns rows") {
