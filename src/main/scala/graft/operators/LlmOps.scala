@@ -352,6 +352,40 @@ object LlmOps {
           array_min(col("fp")).as("min_fp"))
         .orderBy("doc_id")),
 
+    // language-ID (§2.10 q7F): n-gram-heuristic classifier as one
+    // distributed DAG — learn a top-20 char-bigram profile per labeled
+    // lang, score every doc by profile overlap (broadcast-sized profile
+    // table), predict the argmax lang, and emit the confusion matrix.
+    // The fixture's lang labels are random w.r.t. its word-salad text,
+    // so ACCURACY is chance — the operator under test is the scalable
+    // train→infer→evaluate pipeline shape, and the oracle checks it
+    // end-to-end. Ties: profile by (count desc, bigram), prediction by
+    // (score desc, lang) — deterministic on both engines.
+    "q7F_lang_id" -> ((s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+      val profW = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bg"))
+      val prof = bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(profW))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("cand"), col("bg"))
+      val docBg = bigrams.select("doc_id", "lang", "bg").distinct()
+      val predW = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand"))
+      docBg.join(broadcast(prof), "bg")
+        .groupBy(col("doc_id"), col("lang"), col("cand"))
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(predW))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("cand").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // bucketed ANN (§2.10 q7C) — the scale path for similarity SEARCH
     // (q7A covers near-dup dedup): random-hyperplane SimHash splits each
     // vector's 16 sign bits into 4 LSH bands; query and candidate meet
@@ -462,6 +496,29 @@ object LlmOps {
         |  round(avg(strlen(text)), 4) AS avg_bytes,
         |  count(DISTINCT sha256(text)) AS nd_media
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q7F_lang_id" ->
+      """WITH big AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS cand, bg FROM (
+        |    SELECT lang, bg,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, bg) AS rn
+        |    FROM big GROUP BY lang, bg) WHERE rn <= 20),
+        |docbg AS (SELECT DISTINCT doc_id, lang, bg FROM big),
+        |scores AS (
+        |  SELECT d.doc_id, d.lang, p.cand, count(*) AS score
+        |  FROM docbg d JOIN prof p USING (bg) GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, cand FROM (
+        |    SELECT doc_id, lang, cand,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cand) AS rn
+        |    FROM scores) WHERE rn = 1)
+        |SELECT lang, cand AS pred_lang, count(*) AS n
+        |FROM pred GROUP BY lang, cand ORDER BY lang, pred_lang""".stripMargin,
     "q7D_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
