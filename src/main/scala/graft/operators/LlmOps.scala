@@ -362,18 +362,20 @@ object LlmOps {
     // end-to-end. Ties: profile by (count desc, bigram), prediction by
     // (score desc, lang) — deterministic on both engines.
     "q7F_lang_id" -> ((s, d) => {
-      val bigrams = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bg"))
+      val grams = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
       val profW = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("bg"))
-      val prof = bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      val prof = Tables.documents(s, d)
+        .select(col("lang"), explode(expr(grams)).as("bg"))
+        .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(profW))
         .filter(col("rn") <= 20)
         .select(col("lang").as("cand"), col("bg"))
-      val docBg = bigrams.select("doc_id", "lang", "bg").distinct()
+      // per-doc distinct happens IN-ROW (array_distinct) — a global
+      // DISTINCT here would shuffle every (doc, bigram) occurrence
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(s"array_distinct($grams)")).as("bg"))
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))
       docBg.join(broadcast(prof), "bg")
@@ -497,17 +499,19 @@ object LlmOps {
         |  count(DISTINCT sha256(text)) AS nd_media
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q7F_lang_id" ->
-      """WITH big AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
-        |  FROM documents),
-        |prof AS (
+      """WITH prof AS (
         |  SELECT lang AS cand, bg FROM (
         |    SELECT lang, bg,
         |      row_number() OVER (PARTITION BY lang
         |        ORDER BY count(*) DESC, bg) AS rn
-        |    FROM big GROUP BY lang, bg) WHERE rn <= 20),
-        |docbg AS (SELECT DISTINCT doc_id, lang, bg FROM big),
+        |    FROM (SELECT lang,
+        |            unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
+        |          FROM documents)
+        |    GROUP BY lang, bg) WHERE rn <= 20),
+        |docbg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(1, len(text)), i -> text[i:i+1]))) AS bg
+        |  FROM documents),
         |scores AS (
         |  SELECT d.doc_id, d.lang, p.cand, count(*) AS score
         |  FROM docbg d JOIN prof p USING (bg) GROUP BY 1, 2, 3),
