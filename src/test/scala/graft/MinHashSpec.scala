@@ -14,7 +14,12 @@ class MinHashSpec extends AnyFunSuite {
   import SparkTestBase._
 
   private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    // fixed seed: the estimator-concentration property is statistical —
+    // a random seed would make `sbt test` nondeterministic at the tail
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260812L))
+    val res = SCTest.check(params, p)
     assert(res.passed, res.status.toString)
   }
 
