@@ -27,8 +27,13 @@ object Bench {
     // timed query isn't charged for JVM start-up.
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    // Optional isolation: SPARK_GRAFT_ONLY=<regex> times just the matching
+    // entries (fresh-JVM per-query runs — the regression-triage tool).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     var failures = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -41,7 +46,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    // total/failures LAST: the driver stores only the TAIL of stdout, so
+    // leading keys get truncated away on long lines (both r01 and r02 lost
+    // "value" and the first ~18 per-query timings — VERDICT r02 §Bench).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failures":$fs,"value":$total}""")
     spark.stop()
   }
 }

@@ -2,8 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** MinHash signature builder — the 100 TB near-dedup scale path (q7A).
   *
@@ -97,7 +101,70 @@ object MinHash {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
-  /** Idempotently registers `graft_minhash(shingle)` as a UDAF. */
-  def register(spark: SparkSession): Unit =
+  /** In-row signature over an already-assembled shingle array — the q7A
+    * hot path ([[MinHashSig]]'s eval body, and its codegen target via the
+    * object's static forwarder). Identical values to [[signature]] /
+    * [[Agg]]: same double-hash construction, the i·b multiply replaced by
+    * an incremental add. One pass, no per-shingle K-array allocation.
+    * Null elements are skipped (shingling already filters them, but the
+    * expression must not NPE on arbitrary input).
+    */
+  def sigFromArrayData(arr: ArrayData): ArrayData = {
+    val sig = Array.fill(K)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j).toString
+        val a = hash64(s, 0x5eed0001L)
+        val b = hash64(s, 0x5eed0002L) | 1L
+        var h = a
+        var i = 0
+        while (i < K) { if (h < sig(i)) sig(i) = h; i += 1; h += b }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Idempotently registers `graft_minhash(shingle)` (the distributive
+    * UDAF — the multi-row/streaming path) and `graft_minhash_row(shingles)`
+    * (the in-row expression — the batch hot path over per-doc shingle
+    * arrays; no explode inflation, no aggregation shuffle).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_minhash", functions.udaf(Agg))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_row", args => MinHashSig(args.head), "built-in")
+  }
+}
+
+/** Codegen'd in-row MinHash: `array<string>` shingles → the K-long
+  * signature, without exploding the array into rows. q7A's round-2 shape
+  * (explode → UDAF) paid for |shingles| row inflation plus an aggregation
+  * exchange just to rebuild per-doc state the row already had; since a
+  * document's shingles are one array in one row, the signature is a plain
+  * per-row function — zero shuffle. The loop body lives in
+  * [[MinHash.sigFromArrayData]] (shared with the interpreted path), called
+  * from inside the whole-stage-codegen'd stage via the object's static
+  * forwarder, so the per-row cost is one JIT-compiled call.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash_row"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHash.sigFromArrayData(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHash.sigFromArrayData($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -305,8 +305,11 @@ object LlmOps {
         .limit(25)),
 
     // near-dup pairs via MinHash + LSH banding — the 100 TB dedup path.
-    // Shingles explode → graft_minhash UDAF (map-side partial combine, the
-    // shuffle carries 64-long signatures, not shingles) → band the
+    // A doc's shingles are already one array per row, so the signature is
+    // computed IN-ROW by the codegen'd graft_minhash_row expression — no
+    // explode inflation, no aggregation shuffle (round 2's explode→UDAF
+    // shape was the 20.7 s bench hog; the UDAF in functions/MinHash.scala
+    // remains the documented multi-row/streaming path). Then band the
     // signature into 32 buckets of 2 → equi-join on (band, band_hash) →
     // exact-Jaccard verify of the candidates only. No all-pairs product
     // anywhere. Hash-seed-specific candidates → rows-only check (no SQL
@@ -316,9 +319,7 @@ object LlmOps {
       val sets = shingled(s, d)
       val nBands = MinHash.K / 2
       val sig = sets
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy("doc_id")
-        .agg(expr("graft_minhash(shingle)").as("sig"))
+        .select(col("doc_id"), expr("graft_minhash_row(shingles)").as("sig"))
       val bands = sig
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, ${nBands - 1}), " +

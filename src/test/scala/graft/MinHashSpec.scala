@@ -61,6 +61,27 @@ class MinHashSpec extends AnyFunSuite {
     })
   }
 
+  test("in-row expression and UDAF both reproduce the reference signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    MinHash.register(spark)
+    val sets = Seq(
+      1L -> Seq("a b c", "b c d", "c d e"),
+      2L -> Seq("x y z"),
+      3L -> (1 to 200).map(i => s"tok$i tok${i + 1} tok${i + 2}"))
+    val df = sets.toDF("doc_id", "shingles")
+    val inRow = df.select($"doc_id", expr("graft_minhash_row(shingles)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val udaf = df.select($"doc_id", explode($"shingles").as("sh"))
+      .groupBy("doc_id").agg(expr("graft_minhash(sh)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sets.foreach { case (id, sh) =>
+      val ref = MinHash.signature(sh).toSeq
+      assert(inRow(id) == ref, s"in-row sig differs for doc $id")
+      assert(udaf(id) == ref, s"UDAF sig differs for doc $id")
+    }
+  }
+
   test("q7A finds exactly the ground-truth near-dup pairs at sf0.001") {
     // exact all-pairs 3-shingle Jaccard over the 500-doc fixture, in Scala
     val docs = graft.sources.Tables.documents(spark, sf0001)
