@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen warm-up, which is how q17 got billed 28 s for a 2 s plan); a
   * warm-up query runs untimed first; failures are recorded and reported
   * instead of silently producing a fast bench line.
+  *
+  * Round-2 regression post-mortem: BENCH_r02 showed the q6x–q7x band
+  * uniformly 2–4× slower than r01 (q66 4.21 s, q67 4.70 s). Triaged round 3
+  * via SPARK_GRAFT_ONLY fresh-JVM isolation (q66 1.09 s, q67 1.15 s) and a
+  * clean full run (q66 0.44 s, q67 0.52 s, whole registry 45 s vs r02's
+  * ~96 s): the plans are unchanged and fine — the r02 numbers were
+  * transient JVM/GC/host state during that one run, not plan defects.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
