@@ -24,6 +24,20 @@ object Filters {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.eventsUs(s, d)
 
+  /** Derived tag-SET view — the reference's real `Set[String]` tag index
+    * (SURVEY §1.2): the fixtures collapse tags to the scalar `event_type`,
+    * so this view re-derives a genuine `ArrayType(StringType)` set per
+    * event (its type tag, the universal `all` tag, and a `big` tag for
+    * high-value events) over which `&`/`|` tag expressions run as
+    * `array_contains`/`arrays_overlap`. Scale: the array is built in-row
+    * inside the scan's codegen stage — no shuffle, no inflation; the
+    * residual array predicate evaluates post-scan per-row just like the
+    * reference's tag-index probe. */
+  private def tagged(s: SparkSession, d: String): DataFrame =
+    ev(s, d).withColumn("tags",
+      array_compact(array(col("event_type"), lit("all"),
+        when(col("value") > 100, lit("big")))))
+
   val queries: Map[String, Q] = Map(
     // FROM 'purchase'
     "q10_filter_tag" -> ((s, d) =>
@@ -71,7 +85,26 @@ object Filters {
       ev(s, d)
         .select(coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(-1)).as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
-        .orderBy("k"))
+        .orderBy("k")),
+
+    // FROM 'signup' | 'error' over the real tag SET: set-overlap, not a
+    // scalar equality — the reference's tag-disjunction surface.
+    "q18_tags_overlap" -> ((s, d) =>
+      tagged(s, d)
+        .filter(arrays_overlap(col("tags"), array(lit("signup"), lit("error"))))
+        .select(col("event_id"), col("user_id"),
+          array_join(col("tags"), ",").as("tag_list"))
+        .orderBy("event_id")),
+
+    // FROM 'purchase' & 'big': tag conjunction = set membership of every
+    // required tag.
+    "q19_tags_contains_all" -> ((s, d) =>
+      tagged(s, d)
+        .filter(array_contains(col("tags"), "purchase") &&
+          array_contains(col("tags"), "big"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          array_join(col("tags"), ",").as("tag_list"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,6 +135,24 @@ object Filters {
     "q17_filter_null_fallback" ->
       """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k,
         |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q18_tags_overlap" ->
+      """WITH tagged AS (
+        |  SELECT *, CASE WHEN value > 100 THEN [event_type, 'all', 'big']
+        |                 ELSE [event_type, 'all'] END AS tags
+        |  FROM events)
+        |SELECT event_id, user_id, array_to_string(tags, ',') AS tag_list
+        |FROM tagged
+        |WHERE list_contains(tags, 'signup') OR list_contains(tags, 'error')
+        |ORDER BY event_id""".stripMargin,
+    "q19_tags_contains_all" ->
+      """WITH tagged AS (
+        |  SELECT *, CASE WHEN value > 100 THEN [event_type, 'all', 'big']
+        |                 ELSE [event_type, 'all'] END AS tags
+        |  FROM events)
+        |SELECT event_id, user_id, value, array_to_string(tags, ',') AS tag_list
+        |FROM tagged
+        |WHERE list_contains(tags, 'purchase') AND list_contains(tags, 'big')
+        |ORDER BY event_id""".stripMargin
   )
 }
