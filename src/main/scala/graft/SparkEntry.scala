@@ -21,16 +21,18 @@ object SparkEntry {
     * [[graft.streaming]]).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScansEtl.queries ++ Filters.queries ++ Projections.queries ++
-      Joins.queries ++ Aggregations.queries ++ Windows.queries ++
-      SortsSets.queries ++ Subqueries.queries ++ LlmOps.queries
+    ScansEtl.queries ++ Filters.queries ++ OffsetBounds.queries ++
+      Projections.queries ++ Joins.queries ++ Aggregations.queries ++
+      Windows.queries ++ SortsSets.queries ++ Subqueries.queries ++
+      LlmOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx/hash-seeded sketches) → driver records a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ScansEtl.oracle ++ Filters.oracle ++ Projections.oracle ++
-      Joins.oracle ++ Aggregations.oracle ++ Windows.oracle ++
-      SortsSets.oracle ++ Subqueries.oracle ++ LlmOps.oracle
+    ScansEtl.oracle ++ Filters.oracle ++ OffsetBounds.oracle ++
+      Projections.oracle ++ Joins.oracle ++ Aggregations.oracle ++
+      Windows.oracle ++ SortsSets.oracle ++ Subqueries.oracle ++
+      LlmOps.oracle
 }
