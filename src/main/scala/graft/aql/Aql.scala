@@ -1,0 +1,285 @@
+package graft.aql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Filters
+
+/** Minimal AQL front-end (SURVEY §0.1): the reference's query language is
+  * AQL — `FROM <tag-expr> [FILTER e] [SELECT e,…] [AGGREGATE a,…]` — and
+  * this parses that subset and lowers it onto the same DataFrame plans the
+  * q1x/q2x/q40 builders produce. The parser is a plain recursive-descent
+  * over a regex tokenizer (no parser deps); the output is a declarative
+  * `DataFrame`, so Catalyst still does all pushdown/pruning — the
+  * front-end adds zero execution machinery.
+  *
+  * Lowered semantics:
+  *  - `FROM 'a' & ('b' | 'c')` → `array_contains`/boolean algebra over the
+  *    derived tag-SET view ([[Filters.tagged]]); `allEvents` → the `all` tag.
+  *  - `_.field` → envelope column when `field` is one of the envelope
+  *    names; otherwise a JSON payload path `props.$.field` (schema-on-read,
+  *    string-typed until context forces a numeric cast).
+  *  - `e1 ?? e2` → `coalesce` (AQL's alternative/null-fallback operator);
+  *    a JSON path coalesced with an integer literal is cast to int first,
+  *    mirroring q17's convention.
+  *  - `FILTER` → `.filter`; `SELECT` → `.select` (columns named by path
+  *    leaf); `AGGREGATE` → global `.agg` with `SUM/MIN/MAX/AVG/COUNT`.
+  *  - Non-aggregate results come back in event-key order (`event_id` —
+  *    the lamport total order), matching the reference's merge order.
+  */
+object Aql {
+
+  // ---------- AST ----------
+  sealed trait TagExpr
+  case object AllEvents extends TagExpr
+  final case class Tag(name: String) extends TagExpr
+  final case class TagAnd(l: TagExpr, r: TagExpr) extends TagExpr
+  final case class TagOr(l: TagExpr, r: TagExpr) extends TagExpr
+
+  sealed trait Expr
+  final case class Path(parts: Seq[String]) extends Expr // _.a.b ; Path(Nil) = `_`
+  final case class NumLit(v: Double, isInt: Boolean) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Un(op: String, e: Expr) extends Expr
+  final case class Call(fn: String, args: Seq[Expr]) extends Expr
+
+  final case class Query(from: TagExpr, filter: Option[Expr],
+                         select: Seq[Expr], aggregate: Seq[Expr])
+
+  // ---------- tokenizer ----------
+  // unary minus is a parser concern (else `a - 1` lexes the `-1`), so
+  // numbers are unsigned here; keywords need the \b or they'd prefix-match
+  // identifiers.
+  private val tokenRe =
+    """\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|allEvents\b|'[^']*'|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|\?\?|&&|\|\||!=|>=|<=|==|[&|!=<>+\-*/().,])""".r
+
+  private def tokenize(s: String): List[String] = {
+    var rest = s.trim
+    val out = List.newBuilder[String]
+    while (rest.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) => out += m.group(1); rest = rest.substring(m.end).trim
+        case None => throw new IllegalArgumentException(s"AQL: cannot tokenize at: $rest")
+      }
+    }
+    out.result()
+  }
+
+  // ---------- parser (recursive descent over a token cursor) ----------
+  private final class Cursor(var ts: List[String]) {
+    def peek: Option[String] = ts.headOption
+    def pop(): String = ts match {
+      case h :: t => ts = t; h
+      case Nil => throw new IllegalArgumentException("AQL: unexpected end of input")
+    }
+    def eat(t: String): Unit =
+      if (peek.contains(t)) pop()
+      else throw new IllegalArgumentException(s"AQL: expected '$t', found ${peek.getOrElse("<end>")}")
+    def accept(t: String): Boolean = if (peek.contains(t)) { pop(); true } else false
+  }
+
+  def parse(aql: String): Query = {
+    val c = new Cursor(tokenize(aql))
+    c.eat("FROM")
+    val from = tagOr(c)
+    val filter = if (c.accept("FILTER")) Some(expr(c)) else None
+    val select = if (c.accept("SELECT")) exprList(c) else Nil
+    val aggregate = if (c.accept("AGGREGATE")) exprList(c) else Nil
+    if (c.peek.nonEmpty)
+      throw new IllegalArgumentException(s"AQL: trailing tokens: ${c.ts.mkString(" ")}")
+    Query(from, filter, select, aggregate)
+  }
+
+  private def tagOr(c: Cursor): TagExpr = {
+    var l = tagAnd(c)
+    while (c.accept("|") || c.accept("||")) l = TagOr(l, tagAnd(c))
+    l
+  }
+  private def tagAnd(c: Cursor): TagExpr = {
+    var l = tagAtom(c)
+    while (c.accept("&") || c.accept("&&")) l = TagAnd(l, tagAtom(c))
+    l
+  }
+  private def tagAtom(c: Cursor): TagExpr = c.pop() match {
+    case "allEvents" => AllEvents
+    case "(" => val t = tagOr(c); c.eat(")"); t
+    case q if q.startsWith("'") => Tag(q.substring(1, q.length - 1))
+    case other => throw new IllegalArgumentException(s"AQL: bad tag atom '$other'")
+  }
+
+  private def exprList(c: Cursor): Seq[Expr] = {
+    val b = Seq.newBuilder[Expr]
+    b += expr(c)
+    while (c.accept(",")) b += expr(c)
+    b.result()
+  }
+
+  // precedence: | < & < ! < comparison < ?? < +- < */ < unary/atom
+  private def expr(c: Cursor): Expr = orE(c)
+  private def orE(c: Cursor): Expr = {
+    var l = andE(c)
+    while (c.accept("|") || c.accept("||")) l = Bin("|", l, andE(c))
+    l
+  }
+  private def andE(c: Cursor): Expr = {
+    var l = notE(c)
+    while (c.accept("&") || c.accept("&&")) l = Bin("&", l, notE(c))
+    l
+  }
+  private def notE(c: Cursor): Expr =
+    if (c.accept("!")) Un("!", notE(c)) else cmpE(c)
+  private def cmpE(c: Cursor): Expr = {
+    val l = altE(c)
+    c.peek match {
+      case Some(op @ ("=" | "==" | "!=" | ">" | ">=" | "<" | "<=")) =>
+        c.pop(); Bin(if (op == "==") "=" else op, l, altE(c))
+      case _ => l
+    }
+  }
+  private def altE(c: Cursor): Expr = {
+    var l = addE(c)
+    while (c.accept("??")) l = Bin("??", l, addE(c))
+    l
+  }
+  private def addE(c: Cursor): Expr = {
+    var l = mulE(c)
+    while (c.peek.exists(t => t == "+" || t == "-")) l = Bin(c.pop(), l, mulE(c))
+    l
+  }
+  private def mulE(c: Cursor): Expr = {
+    var l = atomE(c)
+    while (c.peek.exists(t => t == "*" || t == "/")) l = Bin(c.pop(), l, atomE(c))
+    l
+  }
+  private def atomE(c: Cursor): Expr = c.pop() match {
+    case "(" => val e = expr(c); c.eat(")"); e
+    case "-" => atomE(c) match { // fold so `?? -1` still sees a literal
+      case NumLit(v, i) => NumLit(-v, i)
+      case e => Un("-", e)
+    }
+    case "_" =>
+      val parts = Seq.newBuilder[String]
+      while (c.accept(".")) parts += c.pop()
+      Path(parts.result())
+    case t if t.startsWith("'") => StrLit(t.substring(1, t.length - 1))
+    case t if t.matches("\\d+") => NumLit(t.toDouble, isInt = true)
+    case t if t.matches("\\d+\\.\\d+") => NumLit(t.toDouble, isInt = false)
+    case fn if c.peek.contains("(") && fn.matches("[A-Za-z][A-Za-z0-9_]*") =>
+      c.eat("(")
+      val args = if (c.accept(")")) Nil else { val a = exprList(c); c.eat(")"); a }
+      Call(fn.toUpperCase, args)
+    case t if t.matches("[A-Za-z][A-Za-z0-9_]*") =>
+      // bare identifier = envelope column shorthand (AQL writes _.x; accept x)
+      Path(Seq(t))
+    case other => throw new IllegalArgumentException(s"AQL: bad expression atom '$other'")
+  }
+
+  // ---------- lowering ----------
+  private val envelope =
+    Set("event_id", "ts", "ts_us", "user_id", "event_type", "value", "props", "tags")
+
+  private def isJsonPath(e: Expr): Boolean = e match {
+    case Path(parts) => parts.nonEmpty && !envelope.contains(parts.head)
+    case _ => false
+  }
+  private def isNumeric(e: Expr): Boolean = e match {
+    case NumLit(_, _) => true
+    case Bin(op, l, r) if "+-*/".contains(op) => isNumeric(l) || isNumeric(r)
+    case Un("-", x) => isNumeric(x)
+    case _ => false
+  }
+
+  private def lowerTag(t: TagExpr): Column = t match {
+    case AllEvents => array_contains(col("tags"), "all")
+    case Tag(n) => array_contains(col("tags"), n)
+    case TagAnd(l, r) => lowerTag(l) && lowerTag(r)
+    case TagOr(l, r) => lowerTag(l) || lowerTag(r)
+  }
+
+  /** Lowers an expression; JSON payload paths are string-typed and get a
+    * numeric cast only where the surrounding expression forces one
+    * (comparison/arithmetic against a numeric, or `?? <int>`).
+    */
+  private def lower(e: Expr): Column = e match {
+    case Path(Nil) => lit(1) // bare `_` only appears inside COUNT(_)
+    case Path(parts) if envelope.contains(parts.head) => col(parts.mkString("."))
+    case Path(parts) => get_json_object(col("props"), "$." + parts.mkString("."))
+    case NumLit(v, true) => lit(v.toLong)
+    case NumLit(v, false) => lit(v)
+    case StrLit(s) => lit(s)
+    case Un("!", x) => !lower(x)
+    case Un("-", x) => -lower(x)
+    case Bin("??", l, r) =>
+      val lc = (l, r) match {
+        case (p, NumLit(_, true)) if isJsonPath(p) => lower(p).cast("int")
+        case (p, NumLit(_, false)) if isJsonPath(p) => lower(p).cast("double")
+        case _ => lower(l)
+      }
+      coalesce(lc, lower(r))
+    case Bin(op, l, r) =>
+      def side(x: Expr, other: Expr): Column =
+        if (isJsonPath(x) && (isNumeric(other) || "+-*/".contains(op)))
+          lower(x).cast("double")
+        else lower(x)
+      val (lc, rc) = (side(l, r), side(r, l))
+      op match {
+        case "&" => lc && rc
+        case "|" => lc || rc
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+      }
+    case Call(fn, args) => lowerAgg(fn, args)
+    case Un(op, _) => throw new IllegalArgumentException(s"AQL: bad unary '$op'")
+  }
+
+  private def lowerAgg(fn: String, args: Seq[Expr]): Column = {
+    val name = fn.toLowerCase + (args match {
+      case Seq(Path(parts)) if parts.nonEmpty => "_" + parts.last
+      case _ => ""
+    })
+    val c = fn match {
+      case "COUNT" => count(args.headOption.map(lower).getOrElse(lit(1)))
+      case "SUM" => sum(lower(args.head))
+      case "MIN" => min(lower(args.head))
+      case "MAX" => max(lower(args.head))
+      case "AVG" => avg(lower(args.head))
+      case other => throw new IllegalArgumentException(s"AQL: unknown aggregate '$other'")
+    }
+    c.as(name)
+  }
+
+  private def selectName(e: Expr, i: Int): String = e match {
+    case Path(parts) if parts.nonEmpty => parts.last
+    case Bin("??", Path(parts), _) if parts.nonEmpty => parts.last
+    case _ => s"expr$i"
+  }
+
+  /** Parses and runs an AQL query over the events table at `sfDir`. */
+  def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
+    val q = parse(aql)
+    var df = Filters.tagged(spark, sfDir).filter(lowerTag(q.from))
+    q.filter.foreach(f => df = df.filter(lower(f)))
+    if (q.aggregate.nonEmpty) {
+      val aggs = q.aggregate.map {
+        case c: Call => lowerAgg(c.fn, c.args)
+        case other => throw new IllegalArgumentException(s"AQL: AGGREGATE expects calls, got $other")
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    } else {
+      // event-key order first, then project: the projection is
+      // order-preserving, so results stream out in lamport order.
+      df = df.orderBy("event_id")
+      if (q.select.nonEmpty)
+        df.select(q.select.zipWithIndex.map { case (e, i) => lower(e).as(selectName(e, i)) }: _*)
+      else df.drop("tags")
+    }
+  }
+}

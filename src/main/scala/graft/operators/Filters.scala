@@ -33,7 +33,7 @@ object Filters {
     * inside the scan's codegen stage — no shuffle, no inflation; the
     * residual array predicate evaluates post-scan per-row just like the
     * reference's tag-index probe. */
-  private def tagged(s: SparkSession, d: String): DataFrame =
+  def tagged(s: SparkSession, d: String): DataFrame =
     ev(s, d).withColumn("tags",
       array_compact(array(col("event_type"), lit("all"),
         when(col("value") > 100, lit("big")))))
