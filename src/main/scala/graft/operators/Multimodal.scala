@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * decode/resize/frame-sample bytes batch-wise, initializing the codec
   * once per partition instead of once per row.
   *
-  * No image/audio codecs ship in this container, so [[decodeStub]] is a
-  * clearly-marked deterministic STUB (byte statistics) — but the schema
+  * Two decode bodies behind the same plumbing: [[decodeImage]] is a REAL
+  * codec (JDK `javax.imageio` — the one decoder the container does ship),
+  * and [[decodeStub]] is a clearly-marked deterministic STUB (byte
+  * statistics) standing in for audio/video codecs that don't. The schema
   * (opaque `binary` media + typed features), the per-partition batch
-  * shape, and the distributed execution are the real pipeline: swap the
-  * stub body for a codec call and nothing else changes.
+  * shape, and the distributed execution are the real pipeline either way:
+  * swap the body and nothing else changes.
   *
   * Engine surface validated by MultimodalSpec; not a registry entry
   * (`mapPartitions` is deliberately outside the oracle-checkable SQL
@@ -51,6 +53,48 @@ object Multimodal {
         // real codecs initialize HERE, once per partition, then stream
         it.map(decodeStub)
       }
+  }
+
+  /** Image features from a REAL decode (dimensions + mean luminance). */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           mean_luma: Double, ok: Boolean)
+
+  /** Real codec path — JDK `javax.imageio` (PNG/JPEG/GIF/BMP ship in
+    * every JRE, no extra deps): proves the per-partition plumbing carries
+    * a genuine decoder, not only the stub. Undecodable bytes yield
+    * `ok = false` instead of failing the partition — at 100 TB a corrupt
+    * asset must cost one row, not a task retry storm.
+    */
+  def decodeImage(a: Asset): ImageFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageFeatures(a.doc_id, -1, -1, 0.0, ok = false)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(a.doc_id, w, h, sum.toDouble / (3.0 * w * h), ok = true)
+    }
+  }
+
+  /** Image-decode stage over (doc_id, media) — same per-partition batch
+    * shape as [[extract]], real codec body.
+    */
+  def extractImages(assets: DataFrame): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("media")).as[Asset]
+      .mapPartitions(_.map(decodeImage))
   }
 
   /** Fixture adapter: documents' text bytes as stand-in media. */
