@@ -375,21 +375,37 @@ object LlmOps {
     // train→infer→evaluate pipeline shape, and the oracle checks it
     // end-to-end. Ties: profile by (count desc, bigram), prediction by
     // (score desc, lang) — deterministic on both engines.
+    //
+    // The profile statistic is DOCUMENT frequency (per-doc-distinct
+    // bigrams), not raw term frequency: both the learn and the score
+    // branch then explode the same in-row `array_distinct` shape — a
+    // fraction of the raw bigram volume (round 2 exploded every
+    // occurrence for the learn branch, which made q7F the biggest bench
+    // entry) — and df is the better-behaved statistic under doc-length
+    // skew anyway. Per-doc distinct stays IN-ROW (array_distinct); a
+    // global DISTINCT would shuffle every (doc, bigram) occurrence.
+    //
+    // Bigram extraction is LINEAR: zip_with over the char array and its
+    // shift-by-one (nulls from the padded tail filtered out). The obvious
+    // `transform(sequence(1, n-1), i -> substring(text, i, 2))` is
+    // O(n²) per document — UTF8String substring re-scans from the start
+    // for every i (measured 2.1× slower on the sf0.1 corpus, and the gap
+    // widens with doc length).
     "q7F_lang_id" -> ((s, d) => {
-      val grams = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+      val grams =
+        """array_distinct(filter(
+          |  zip_with(split(text, ''), slice(split(text, ''), 2, length(text)),
+          |           (a, b) -> concat(a, b)),
+          |  s -> s IS NOT NULL AND length(s) = 2))""".stripMargin
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr(grams)).as("bg"))
       val profW = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("bg"))
-      val prof = Tables.documents(s, d)
-        .select(col("lang"), explode(expr(grams)).as("bg"))
+      val prof = docBg
         .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(profW))
         .filter(col("rn") <= 20)
         .select(col("lang").as("cand"), col("bg"))
-      // per-doc distinct happens IN-ROW (array_distinct) — a global
-      // DISTINCT here would shuffle every (doc, bigram) occurrence
-      val docBg = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(expr(s"array_distinct($grams)")).as("bg"))
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))
       docBg.join(broadcast(prof), "bg")
@@ -513,19 +529,16 @@ object LlmOps {
         |  count(DISTINCT sha256(text)) AS nd_media
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q7F_lang_id" ->
-      """WITH prof AS (
+      """WITH docbg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(1, len(text)), i -> text[i:i+1]))) AS bg
+        |  FROM documents),
+        |prof AS (
         |  SELECT lang AS cand, bg FROM (
         |    SELECT lang, bg,
         |      row_number() OVER (PARTITION BY lang
         |        ORDER BY count(*) DESC, bg) AS rn
-        |    FROM (SELECT lang,
-        |            unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
-        |          FROM documents)
-        |    GROUP BY lang, bg) WHERE rn <= 20),
-        |docbg AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_distinct(list_transform(range(1, len(text)), i -> text[i:i+1]))) AS bg
-        |  FROM documents),
+        |    FROM docbg GROUP BY lang, bg) WHERE rn <= 20),
         |scores AS (
         |  SELECT d.doc_id, d.lang, p.cand, count(*) AS score
         |  FROM docbg d JOIN prof p USING (bg) GROUP BY 1, 2, 3),
