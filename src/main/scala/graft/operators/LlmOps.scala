@@ -447,6 +447,71 @@ object LlmOps {
         .filter(col("rn") <= 5)
         .select("q_id", "n_id", "sim", "rn")
         .orderBy("q_id", "rn")
+    }),
+
+    // IVF ANN (§2.10 q7G) — the coarse-quantizer similarity scale path,
+    // complementing q7C: SimHash buckets are data-INdependent, IVF cells
+    // adapt to the data distribution. K deterministic seed centroids
+    // (smallest xxhash64(vec_id)), one distributed Lloyd refinement
+    // (posexplode by dimension → per-(cell, dim) mean → rebuilt centroid
+    // arrays), every vector assigned to its nearest cell via max_by over
+    // a broadcast K-row table (map-side partial combine; the only big-
+    // side shuffles are the two vec_id-keyed assignment joins), queries
+    // probe their nprobe=2 nearest cells, candidates meet by EQUI-join
+    // on cell id, and only cell-mates get the exact cosine rerank —
+    // never a cross join over the corpus. Centroid-construction-specific
+    // output → rows-only check; exactness of reported sims + recall@5
+    // vs the exact 5-NN are asserted in AnnSpec.
+    "q7G_ann_ivf" -> ((s, d) => {
+      val v = vectors(s, d)
+      val k = 16
+      val nprobe = 2
+      // seeds: metadata-scale (K rows) after the limit; the window runs
+      // on K rows only.
+      val seedPick = Window.orderBy(col("h"), col("vec_id"))
+      val seeds = v.select(col("vec_id"), col("e"))
+        .withColumn("h", expr("xxhash64(vec_id)"))
+        .orderBy("h", "vec_id").limit(k)
+        .select(row_number().over(seedPick).as("cid"), col("e").as("ce"))
+        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
+      // nearest-cell id per vector: dividing by the vector's own norm is
+      // constant per vec_id, so argmax only needs dot/sqrt(cell norm)
+      def assign(cents: DataFrame): DataFrame =
+        v.crossJoin(broadcast(cents))
+          .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
+      // one Lloyd step over the seed assignment
+      val refined = assign(seeds)
+        .join(v.select("vec_id", "e"), "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("ce"))
+        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
+      val index = assign(refined)
+        .join(v, "vec_id")
+        .select(col("cid"), col("vec_id").as("n_id"),
+          col("e").as("ne"), col("nsq").as("nn"))
+      val pw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val probes = v.filter(col("vec_id") < 10)
+        .crossJoin(broadcast(refined))
+        .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nsq").as("qn"), col("cid"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      // each candidate lives in exactly one cell, so a (q, n) pair can
+      // meet at most once — no distinct needed (unlike q7C's bands)
+      probes.join(index, "cid")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine("qe", "ne", "qn", "nn").as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_id", "n_id", "sim", "rn")
+        .orderBy("q_id", "rn")
     })
   )
 

@@ -41,16 +41,39 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("q7C recall@5 vs exact 5-NN is well above chance") {
-    val out = SparkEntry.queries("q7C_ann_simhash")(spark, sf0001).collect()
+  private def avgRecall(key: String): Double = {
+    val out = SparkEntry.queries(key)(spark, sf0001).collect()
     val byQ = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
     val recalls = (0L until 10L).map { q =>
       val ann = byQ.getOrElse(q, Set.empty)
       exactTop5(q).count(ann.contains) / 5.0
     }
-    val avg = recalls.sum / recalls.length
+    recalls.sum / recalls.length
+  }
+
+  test("q7C recall@5 vs exact 5-NN is well above chance") {
     // chance level at sf0.001: 5 of 499 ≈ 1%; 4-bit × 4-band LSH should
     // land a large multiple of that. Deterministic, so no flake risk.
-    assert(avg >= 0.3, s"avg recall@5 = $avg (${recalls.mkString(",")})")
+    val avg = avgRecall("q7C_ann_simhash")
+    assert(avg >= 0.3, s"avg recall@5 = $avg")
+  }
+
+  test("q7G IVF reported similarities are exact and per-query ranks are dense") {
+    val out = SparkEntry.queries("q7G_ann_ivf")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        val want = cosine(vecs(q), vecs(r.getLong(1)))
+        assert(r.getDouble(2) == want, s"q=$q n=${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("q7G IVF recall@5 vs exact 5-NN is well above chance") {
+    // probing nprobe=2 of 16 cells scans ~12% of the corpus blindly;
+    // data-adaptive cells should beat that handily. Deterministic.
+    val avg = avgRecall("q7G_ann_ivf")
+    assert(avg >= 0.3, s"avg recall@5 = $avg")
   }
 }
