@@ -13,7 +13,12 @@ case class EvRow(user_id: Long, value: Double)
   */
 case class Balance(user_id: Long, n_events: Long, balance: Double)
 
-/** S2–S6, S9 — the streaming transforms (SURVEY.md §2.11).
+/** One monotonic-subscription delivery (S10): an `event` in per-stream
+  * key order, or a `timeTravel` reset naming the key to rewind to.
+  */
+case class Delivery(user_id: Long, kind: String, event_id: Long)
+
+/** S2–S6, S9–S10 — the streaming transforms (SURVEY.md §2.11).
   *
   * Every transform is a plain `DataFrame => DataFrame` applied identically
   * to a `readStream` source or a batch read: Structured Streaming's
@@ -70,6 +75,33 @@ object StreamOps {
     * flatMapGroupsWithState, emitting the updated state each micro-batch.
     * State is one (count, sum) pair per user — O(users), not O(events).
     */
+  /** S10 — `subscribe_monotonic` (SURVEY §3.1 EP-2): delivers each
+    * stream's events in event-key (lamport) order; when a micro-batch
+    * brings a key at or below the highest key already DELIVERED — a past
+    * event arriving late via gossip — it emits one `timeTravel` marker
+    * carrying the smallest such key, which is where the reference ends
+    * the subscription and the client rewinds to. In-batch disorder is
+    * absorbed by the per-batch sort (the merge over pre-sorted per-node
+    * runs); only cross-batch regressions time-travel. State is one long
+    * per stream — O(streams), like every op here.
+    */
+  def monotonic(events: DataFrame): Dataset[Delivery] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val maxSeen = state.getOption.getOrElse(Long.MinValue)
+          val keys = rows.map(_._2).toArray.sorted
+          val late = keys.filter(_ <= maxSeen)
+          val fresh = keys.filter(_ > maxSeen)
+          if (keys.nonEmpty) state.update(math.max(maxSeen, keys.last))
+          val tt = late.headOption.map(k => Delivery(uid, "timeTravel", k)).iterator
+          tt ++ fresh.iterator.map(k => Delivery(uid, "event", k))
+      }
+  }
+
   def runningBalance(events: DataFrame): Dataset[Balance] = {
     val spark = events.sparkSession
     import spark.implicits._

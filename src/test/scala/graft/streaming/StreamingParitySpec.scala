@@ -142,6 +142,35 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(ids.toSet == want)
   }
 
+  test("S10: monotonic subscription orders in-batch, time-travels on cross-batch late keys") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = tmpDir("graft-s10")
+    def drop(rows: Seq[(Long, Long)]): Unit = {
+      rows.map { case (u, k) => (k, k * 1000L, u, "e", 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5) // distinct mtimes → deterministic micro-batch order
+    }
+    // batch 1: stream 1 gets keys 5,1,2 (disordered IN batch — no reset),
+    // stream 2 gets 10. batch 2: stream 1 gets key 3 — BELOW delivered 5
+    // → timeTravel(3); stream 2 gets 11 — plain delivery.
+    drop(Seq((1L, 5L), (1L, 1L), (1L, 2L), (2L, 10L)))
+    drop(Seq((1L, 3L), (2L, 11L)))
+
+    val got = runStream("s10",
+      StreamOps.monotonic(EventStream.read(spark, dir)).toDF, "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val s1 = got.filter(_._1 == 1L).toSeq
+    val s2 = got.filter(_._1 == 2L).toSeq
+    // batch-1 disorder was absorbed by the in-batch sort: events 1,2,5 in
+    // key order, no timeTravel yet; batch 2's key 3 < delivered 5 → reset
+    assert(s1 == Seq((1L, "event", 1L), (1L, "event", 2L), (1L, "event", 5L),
+      (1L, "timeTravel", 3L)), s"stream 1 deliveries: $s1")
+    assert(s2 == Seq((2L, "event", 10L), (2L, "event", 11L)), s"stream 2: $s2")
+  }
+
   test("S9: stateful running balance — final state == batch aggregate") {
     val got = runStream("s9",
       StreamOps.runningBalance(EventStream.read(spark, stagedDir)).toDF, "update")
