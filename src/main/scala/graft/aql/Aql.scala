@@ -262,6 +262,20 @@ object Aql {
     case _ => s"expr$i"
   }
 
+  /** Lowers an AQL query's FROM + FILTER stages to one boolean `Column`
+    * over a tagged event DataFrame — batch or STREAMING alike (this is
+    * the subscription path: the events-to-db pipeline applies it to the
+    * live stream before the sink). SELECT/AGGREGATE are rejected rather
+    * than silently dropped.
+    */
+  def predicate(aql: String): Column = {
+    val q = parse(aql)
+    require(q.select.isEmpty && q.aggregate.isEmpty,
+      "AQL predicate: only FROM and FILTER are allowed on the sink path " +
+        "(the landed row is the flattened envelope)")
+    q.filter.map(f => lowerTag(q.from) && lower(f)).getOrElse(lowerTag(q.from))
+  }
+
   /** Parses and runs an AQL query over the events table at `sfDir`. */
   def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
     val q = parse(aql)

@@ -33,8 +33,14 @@ object Filters {
     * inside the scan's codegen stage — no shuffle, no inflation; the
     * residual array predicate evaluates post-scan per-row just like the
     * reference's tag-index probe. */
-  def tagged(s: SparkSession, d: String): DataFrame =
-    ev(s, d).withColumn("tags",
+  def tagged(s: SparkSession, d: String): DataFrame = withTags(ev(s, d))
+
+  /** The tag-derivation alone, applicable to any envelope DataFrame —
+    * batch or STREAMING (the AQL subscription pipeline tags the live
+    * stream with exactly this expression).
+    */
+  def withTags(events: DataFrame): DataFrame =
+    events.withColumn("tags",
       array_compact(array(col("event_type"), lit("all"),
         when(col("value") > 100, lit("big")))))
 

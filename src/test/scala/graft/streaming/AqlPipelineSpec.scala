@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase._
+import graft.aql.Aql
+import graft.operators.Filters
+
+/** The complete reference workflow end-to-end: an AQL subscription over
+  * the staged event stream, landed in Derby through the idempotent MERGE
+  * sink. The landed table must equal the same AQL selection computed in
+  * one batch pass — and a replay of the whole stream must leave it
+  * unchanged (at-least-once → effectively-exactly-once).
+  */
+class AqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    System.setProperty("derby.system.home", tmpDir("graft-aqlpipe-home"))
+    super.beforeAll()
+  }
+
+  private val AQL = "FROM 'purchase' | 'signup' FILTER _.value > 50"
+
+  test("AQL subscription lands exactly the batch-AQL selection in Derby") {
+    val url = s"jdbc:derby:${tmpDir("graft-aqlpipe")}/db;create=true"
+    val staging = tmpDir("graft-aqlpipe-stage")
+    EventStream.stage(spark, sf0001, staging, chunks = 3)
+
+    val q = AqlPipeline.attach(spark, staging, AQL, url,
+      tmpDir("graft-aqlpipe-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = {
+      val c = DerbySink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT event_id, value FROM ${DerbySink.TABLE}")
+        val b = Map.newBuilder[Long, Double]
+        while (rs.next()) b += rs.getLong(1) -> rs.getDouble(2)
+        b.result()
+      } finally c.close()
+    }
+
+    val want = Filters.withTags(EventStream.readBatch(spark, staging))
+      .filter(Aql.predicate(AQL))
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    assert(want.nonEmpty)
+    assert(landed == want, s"landed ${landed.size} rows, batch AQL says ${want.size}")
+
+    // full replay (fresh checkpoint, same data) must not change the table
+    val q2 = AqlPipeline.attach(spark, staging, AQL, url,
+      tmpDir("graft-aqlpipe-ckpt2")).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val c = DerbySink.connect(url)
+    val n = try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${DerbySink.TABLE}")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+    assert(n == want.size, "replay duplicated rows")
+  }
+
+  test("SELECT/AGGREGATE are rejected on the sink path") {
+    intercept[IllegalArgumentException](Aql.predicate("FROM 'a' SELECT _.value"))
+    intercept[IllegalArgumentException](Aql.predicate("FROM 'a' AGGREGATE SUM(_.value)"))
+  }
+}
