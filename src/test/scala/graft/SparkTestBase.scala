@@ -12,6 +12,8 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // catalog tables (BucketingSpec) must not land in the repo workdir
+      .config("spark.sql.warehouse.dir", tmpDir("graft-warehouse"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
