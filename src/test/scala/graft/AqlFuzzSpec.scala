@@ -1,0 +1,142 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.aql.Aql
+import graft.aql.Aql._
+
+/** Property fuzz for the AQL front-end: render a random well-typed AST to
+  * text, parse it back, and require the identical AST (the renderer
+  * fully parenthesizes, so this pins the parser's precedence and
+  * tokenization); lower a sample against the real schema and require
+  * analysis to succeed; and require that mangled inputs fail with the
+  * parser's own IllegalArgumentException, never anything else.
+  * Deterministic: fixed seed (pinned-seed convention, round 2).
+  */
+class AqlFuzzSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  // ---------- generators (well-typed by construction) ----------
+  private val tagG: Gen[String] =
+    Gen.oneOf("purchase", "signup", "error", "click", "big", "all")
+
+  private def tagExprG(depth: Int): Gen[TagExpr] =
+    if (depth <= 0) Gen.oneOf(tagG.map(Tag), Gen.const(AllEvents))
+    else Gen.frequency(
+      3 -> tagG.map(Tag),
+      1 -> Gen.const(AllEvents),
+      2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagAnd(l, r)),
+      2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagOr(l, r)))
+
+  private val numPathG: Gen[Expr] = Gen.oneOf(
+    Path(Seq("value")), Path(Seq("user_id")), Path(Seq("event_id")))
+  private val jsonPathG: Gen[Expr] = Gen.oneOf(Path(Seq("k")), Path(Seq("x", "y")))
+  private val numLitG: Gen[Expr] = Gen.chooseNum(-500, 500).map(n => NumLit(n.toDouble, isInt = true))
+
+  private def numExprG(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.oneOf(numPathG, numLitG)
+    else Gen.frequency(
+      3 -> numPathG,
+      2 -> numLitG,
+      2 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/")
+        l <- numExprG(depth - 1); r <- numExprG(depth - 1)
+      } yield Bin(op, l, r)),
+      1 -> (for { p <- jsonPathG; f <- numLitG } yield Bin("??", p, f)))
+
+  private def boolExprG(depth: Int): Gen[Expr] =
+    if (depth <= 0)
+      for {
+        op <- Gen.oneOf("=", "!=", ">", ">=", "<", "<=")
+        l <- numExprG(1); r <- numExprG(1)
+      } yield Bin(op, l, r)
+    else Gen.frequency(
+      3 -> boolExprG(0),
+      1 -> (for { t <- tagG } yield Bin("=", Path(Seq("event_type")), StrLit(t))),
+      2 -> (for {
+        op <- Gen.oneOf("&", "|")
+        l <- boolExprG(depth - 1); r <- boolExprG(depth - 1)
+      } yield Bin(op, l, r)),
+      1 -> boolExprG(depth - 1).map(Un("!", _)))
+
+  private val aggG: Gen[Expr] = Gen.oneOf(
+    Gen.oneOf("SUM", "MIN", "MAX", "AVG").flatMap(f => numPathG.map(p => Call(f, Seq(p)))),
+    Gen.const(Call("COUNT", Seq(Path(Nil)))))
+
+  private val queryG: Gen[Query] = for {
+    from <- tagExprG(2)
+    filter <- Gen.option(boolExprG(2))
+    n <- Gen.chooseNum(0, 3)
+    sels <- Gen.listOfN(n, Gen.oneOf(numExprG(1), jsonPathG))
+    m <- Gen.chooseNum(0, 2)
+    aggs <- if (sels.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
+  } yield Query(from, filter, sels, aggs)
+
+  // ---------- renderer (fully parenthesized → unambiguous) ----------
+  private def renderTag(t: TagExpr): String = t match {
+    case AllEvents => "allEvents"
+    case Tag(n) => s"'$n'"
+    case TagAnd(l, r) => s"(${renderTag(l)} & ${renderTag(r)})"
+    case TagOr(l, r) => s"(${renderTag(l)} | ${renderTag(r)})"
+  }
+  private def render(e: Expr): String = e match {
+    case Path(Nil) => "_"
+    case Path(parts) => "_." + parts.mkString(".")
+    case NumLit(v, true) => v.toLong.toString
+    case NumLit(v, false) => v.toString
+    case StrLit(s) => s"'$s'"
+    case Un(op, x) => s"$op(${render(x)})"
+    case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
+    case Call(f, Nil) => s"$f()"
+    case Call(f, args) => s"$f(${args.map(render).mkString(", ")})"
+  }
+  private def render(q: Query): String = {
+    val b = new StringBuilder("FROM " + renderTag(q.from))
+    q.filter.foreach(f => b.append(" FILTER ").append(render(f)))
+    if (q.select.nonEmpty) b.append(" SELECT ").append(q.select.map(render).mkString(", "))
+    if (q.aggregate.nonEmpty) b.append(" AGGREGATE ").append(q.aggregate.map(render).mkString(", "))
+    b.toString
+  }
+
+  private def samples(n: Int): Seq[Query] = {
+    val params = Gen.Parameters.default
+    (0 until n).map { i =>
+      queryG.pureApply(params, org.scalacheck.rng.Seed(20260812L + i))
+    }
+  }
+
+  test("render → parse round-trips the AST (200 random queries)") {
+    samples(200).foreach { q =>
+      val text = render(q)
+      val back = Aql.parse(text)
+      assert(back == q, s"round-trip mismatch for: $text")
+    }
+  }
+
+  test("random well-typed queries lower and analyze against the real schema") {
+    samples(40).foreach { q =>
+      val df = Aql.run(spark, sf0001, render(q))
+      // analysis (schema resolution, type checks) must succeed; no execution
+      assert(df.queryExecution.analyzed != null)
+      assert(df.schema.fields.nonEmpty)
+    }
+  }
+
+  test("mangled inputs fail with the parser's own error, never something else") {
+    val rnd = new scala.util.Random(20260812L)
+    samples(60).foreach { q =>
+      val text = render(q)
+      val cut = 1 + rnd.nextInt(text.length - 1)
+      val mangled = rnd.nextInt(3) match {
+        case 0 => text.substring(0, cut) // truncate
+        case 1 => text.substring(0, cut) + ")" + text.substring(cut) // stray paren
+        case 2 => text.substring(0, cut) + " ~ " + text.substring(cut) // alien token
+      }
+      try Aql.parse(mangled)
+      catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable => fail(s"non-parser error ${e.getClass} for: $mangled")
+      }
+    }
+  }
+}
