@@ -449,6 +449,38 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // embedding-cosine near-dup DEDUP (§2.10 q7H) — the survivors
+    // operator completing the dedup family: q77 finds the near-dup PAIRS
+    // by declared-exact brute force; this returns the KEPT corpus at
+    // scale. SimHash bands (same 16-bit construction as q7C) bucket the
+    // candidates, only bucket-mates get the exact cosine check, and the
+    // standard one-pass rule removes every vector with a DETECTED
+    // near-dup (cosine ≥ 0.38) of smaller vec_id — deterministic,
+    // parallel, no iterative union-find; transitive over-removal is the
+    // declared trade, exactly as in production LSH dedup. Bucket
+    // membership is hash-construction-specific → rows-only check;
+    // soundness (every removal justified by an exact pair) and recall vs
+    // the exact removal set are asserted in AnnSpec.
+    "q7H_dedup_embed" -> ((s, d) => {
+      val v = vectors(s, d)
+      val nBands = 4
+      val banded = v.select(col("vec_id"), col("e"), col("nsq"),
+        posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nsq").as("na"), col("band"), col("bval"))
+      val b = banded.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nsq").as("nb"), col("band"), col("bval"))
+      val removed = a.join(b, Seq("band", "bval"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine("ea", "eb", "na", "nb") >= 0.38)
+        .select(col("id_b").as("vec_id"))
+        .distinct()
+      v.join(removed, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN (§2.10 q7G) — the coarse-quantizer similarity scale path,
     // complementing q7C: SimHash buckets are data-INdependent, IVF cells
     // adapt to the data distribution. K deterministic seed centroids

@@ -76,4 +76,29 @@ class AnnSpec extends AnyFunSuite {
     val avg = avgRecall("q7G_ann_ivf")
     assert(avg >= 0.3, s"avg recall@5 = $avg")
   }
+
+  test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
+    val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val all = vecs.keySet
+    val removed = all -- kept
+
+    // exact ground truth: ids with ANY exact near-dup (rounded cosine
+    // >= 0.38) of smaller id — the same one-pass keep-smallest rule
+    // without the LSH candidate limitation
+    val ids = all.toSeq.sorted
+    val exactRemoved = ids.filter { j =>
+      ids.exists(i => i < j && cosine(vecs(i), vecs(j)) >= 0.38)
+    }.toSet
+
+    // soundness: every LSH removal is justified by an exact near-dup pair
+    val unjustified = removed.filterNot(exactRemoved)
+    assert(unjustified.isEmpty,
+      s"removed without an exact smaller near-dup: ${unjustified.take(5)}")
+    // recall: banding may miss pairs, but must catch a material share
+    assert(exactRemoved.nonEmpty)
+    val recall = removed.size.toDouble / exactRemoved.size
+    assert(recall >= 0.5, s"dedup recall $recall (${removed.size}/${exactRemoved.size})")
+    assert(kept.nonEmpty && (kept contains ids.head))
+  }
 }

@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 84) // 79 oracle + q44 + q7A + q7C + q7E + q7G (SURVEY.md §7.5)
+    assert(qs.size == 85) // 79 oracle + q44 + q7A + q7C + q7E + q7G + q7H (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -33,7 +33,8 @@ class OperatorSpec extends AnyFunSuite {
     // the declared non-oracle entries (hash/seed-specific sketches)
     assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
       Set("q44_agg_approx_distinct", "q7A_dedup_minhash",
-        "q7C_ann_simhash", "q7E_doc_fingerprint", "q7G_ann_ivf"))
+        "q7C_ann_simhash", "q7E_doc_fingerprint", "q7G_ann_ivf",
+        "q7H_dedup_embed"))
   }
 
   test("entry: flagship query returns rows") {
