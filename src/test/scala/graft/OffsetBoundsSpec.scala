@@ -48,6 +48,37 @@ class OffsetBoundsSpec extends AnyFunSuite {
     assert(upTo.nonEmpty && after.nonEmpty)
   }
 
+  test("property: queryBounded == the Scala reference model on random OffsetMaps") {
+    // the fixture's per-stream offsets, computed once in plain Scala
+    val byStream: Map[Long, Seq[Long]] = Tables.eventsUs(spark, sf0001)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ev = Tables.eventsUs(spark, sf0001)
+    val rnd = new scala.util.Random(20260812L)
+    val streamIds = byStream.keys.toSeq.sorted
+
+    (1 to 8).foreach { _ =>
+      val picked = rnd.shuffle(streamIds).take(1 + rnd.nextInt(4))
+      val upper = picked.map { u =>
+        u -> rnd.nextInt(byStream(u).size + 5).toLong // may exceed the stream
+      }.toMap
+      val lower = picked.filter(_ => rnd.nextBoolean()).map { u =>
+        u -> (rnd.nextInt(byStream(u).size).toLong - 1)
+      }.toMap
+
+      val got = OffsetBounds.queryBounded(ev, lower, upper)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val want = upper.flatMap { case (u, hi) =>
+        val lo = lower.getOrElse(u, -1L)
+        byStream(u).zipWithIndex
+          .filter { case (_, off) => off > lo && off <= hi }
+          .map(_._1)
+      }.toSet
+      assert(got == want, s"lower=$lower upper=$upper")
+    }
+  }
+
   test("streams absent from the upper OffsetMap are excluded") {
     val got = OffsetBounds.queryBounded(
       Tables.eventsUs(spark, sf0001), Map.empty, Map(2L -> 10L))
