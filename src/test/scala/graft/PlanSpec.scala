@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale checklist (SCALING.md):
+  * these properties were verified by hand via graft.Explain each round —
+  * pin them so a refactor can't silently trade a pushed filter for a
+  * post-scan one or a broadcast for a shuffle. Assertions read the
+  * pre-execution physical plan (scan pushdown and join strategy are
+  * decided at planning time).
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q12: tag + value predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q12_filter_tag_and")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("GreaterThan(value,100.0)"), p)
+  }
+
+  test("q02: projection prunes the scan to the selected columns") {
+    val p = plan("q02_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 3 of lineitem's 11 columns + no others
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber")
+      && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("q31: the dimension join is a broadcast hash join") {
+    val p = plan("q31_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q61: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q61_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q7A: banding self-join is an equi-join, never a cartesian product") {
+    val p = plan("q7A_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
