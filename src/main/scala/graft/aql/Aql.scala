@@ -276,6 +276,31 @@ object Aql {
     q.filter.map(f => lowerTag(q.from) && lower(f)).getOrElse(lowerTag(q.from))
   }
 
+  /** FROM/FILTER/SELECT lowering for the SINK path over a tagged envelope
+    * frame — batch or STREAMING (no ordering: stream delivery order IS
+    * the order). The reference lands extracted payload fields as DB
+    * columns, so SELECT is the event→row mapping here; `event_id` (the
+    * MERGE key) is always carried, prepended unless selected explicitly.
+    * Without SELECT the full envelope passes through. AGGREGATE is
+    * rejected — a sink row is per-event.
+    */
+  def sinkProjection(events: DataFrame, aql: String): DataFrame = {
+    val q = parse(aql)
+    require(q.aggregate.isEmpty, "AQL sink path: AGGREGATE is not supported")
+    var df = events.filter(lowerTag(q.from))
+    q.filter.foreach(f => df = df.filter(lower(f)))
+    if (q.select.isEmpty) df.drop("tags")
+    else {
+      val named = q.select.zipWithIndex.map { case (e, i) => selectName(e, i) -> lower(e) }
+      require(named.map(_._1).distinct.size == named.size,
+        s"AQL sink path: duplicate column names in SELECT: ${named.map(_._1)}")
+      val withKey =
+        if (named.exists(_._1 == "event_id")) named
+        else ("event_id" -> col("event_id")) +: named
+      df.select(withKey.map { case (n, c) => c.as(n) }: _*)
+    }
+  }
+
   /** Parses and runs an AQL query over the events table at `sfDir`. */
   def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
     val q = parse(aql)

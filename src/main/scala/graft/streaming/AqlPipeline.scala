@@ -24,12 +24,21 @@ object AqlPipeline {
 
   /** Attaches `aql`'s FROM/FILTER selection of the staged stream to the
     * Derby sink. Start the returned writer, then `processAllAvailable()`.
+    * Without SELECT the envelope lands in the standard `events_sink`
+    * table; with SELECT the landed table (`table`) is derived from the
+    * projection's own schema — payload fields become typed DB columns,
+    * the reference's event→row mapping.
     */
   def attach(spark: SparkSession, stagingDir: String, aql: String,
-             url: String, checkpointDir: String): DataStreamWriter[Row] = {
-    val selected = Filters.withTags(EventStream.read(spark, stagingDir))
-      .filter(Aql.predicate(aql))
-      .drop("tags")
-    DerbySink.attach(selected, url, checkpointDir)
+             url: String, checkpointDir: String,
+             table: String = "aql_sink"): DataStreamWriter[Row] = {
+    val src = Filters.withTags(EventStream.read(spark, stagingDir))
+    if (Aql.parse(aql).select.isEmpty) {
+      val selected = src.filter(Aql.predicate(aql)).drop("tags")
+      DerbySink.attach(selected, url, checkpointDir)
+    } else {
+      DerbySink.attachAs(Aql.sinkProjection(src, aql), url, table,
+        "event_id", checkpointDir)
+    }
   }
 }

@@ -1,10 +1,11 @@
 package graft.streaming
 
-import java.sql.{Connection, DriverManager, SQLException}
+import java.sql.{Connection, DriverManager, SQLException, Types}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
 /** S7/S8 — the "to-db" half (SURVEY.md §2.1, §2.11): a `foreachBatch`
@@ -108,5 +109,111 @@ object DerbySink {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, url) }
+  }
+
+  // ------------- schema-derived sink (arbitrary SELECT projections) ------
+
+  /** The reference lands EXTRACTED payload fields as DB columns, not just
+    * the envelope — so the sink must accept an arbitrary projection. The
+    * generic path derives the DDL and the keyed MERGE from the
+    * DataFrame's own schema.
+    */
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case StringType => "VARCHAR(1024)"
+    case TimestampType => "TIMESTAMP"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sink column type $other")
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case StringType => Types.VARCHAR
+    case TimestampType => Types.TIMESTAMP
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sink column type $other")
+  }
+
+  /** CREATE TABLE matching `schema`, PRIMARY KEY on `key` (X0Y32 = exists). */
+  def ensureTableFor(url: String, table: String, schema: StructType, key: String): Unit = {
+    require(schema.fieldNames.contains(key), s"sink schema must carry key '$key'")
+    val cols = schema.fields.map { f =>
+      val pk = if (f.name == key) " PRIMARY KEY" else ""
+      s"${f.name} ${sqlType(f.dataType)}$pk"
+    }.mkString(", ")
+    val c = connect(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table ($cols)")
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    } finally c.close()
+  }
+
+  /** Schema-derived idempotent MERGE of one micro-batch into `table`,
+    * keyed on `key`. Same shape as [[upsertBatch]] — per-partition
+    * batched JDBC, in-batch dedup by key first.
+    */
+  def upsertBatchAs(batch: DataFrame, url: String, table: String, key: String): Unit = {
+    val schema = batch.schema
+    val names = schema.fieldNames.toSeq
+    val kIdx = names.indexOf(key)
+    require(kIdx >= 0, s"sink batch must carry key '$key'")
+    val others = names.filterNot(_ == key)
+    val updates =
+      if (others.isEmpty) "" // key-only table: nothing to update on match
+      else "WHEN MATCHED THEN UPDATE SET " + others.map(n => s"$n = ?").mkString(", ") + "\n"
+    val mergeSql =
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1
+         |ON t.$key = ?
+         |$updates
+         |WHEN NOT MATCHED THEN INSERT (${names.mkString(", ")})
+         |  VALUES (${names.map(_ => "?").mkString(", ")})""".stripMargin
+    val types = schema.fields.map(f => jdbcType(f.dataType))
+    val rows = batch.dropDuplicates(key)
+    rows.foreachPartition { it: Iterator[Row] =>
+      if (it.hasNext) {
+        val c = connect(url)
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(mergeSql)
+          try {
+            def set(pos: Int, r: Row, i: Int): Unit =
+              if (r.isNullAt(i)) ps.setNull(pos, types(i))
+              else ps.setObject(pos, r.get(i), types(i))
+            var n = 0
+            it.foreach { r =>
+              var pos = 1
+              set(pos, r, kIdx); pos += 1
+              others.foreach { o => set(pos, r, names.indexOf(o)); pos += 1 }
+              names.indices.foreach { i => set(pos, r, i); pos += 1 }
+              ps.addBatch()
+              n += 1
+              if (n % 500 == 0) ps.executeBatch()
+            }
+            ps.executeBatch()
+            c.commit()
+          } finally ps.close()
+        } finally c.close()
+      }
+    }
+  }
+
+  /** Attaches an arbitrary projected stream to a schema-derived table. */
+  def attachAs(out: DataFrame, url: String, table: String, key: String,
+               checkpointDir: String): DataStreamWriter[Row] = {
+    ensureTableFor(url, table, out.schema, key)
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatchAs(batch, url, table, key) }
   }
 }

@@ -64,7 +64,46 @@ class AqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == want.size, "replay duplicated rows")
   }
 
-  test("SELECT/AGGREGATE are rejected on the sink path") {
+  test("SELECT projections land as schema-derived typed columns") {
+    val url = s"jdbc:derby:${tmpDir("graft-aqlsel")}/db;create=true"
+    val staging = tmpDir("graft-aqlsel-stage")
+    EventStream.stage(spark, sf0001, staging, chunks = 2)
+    // the reference's event→row mapping: payload field k (with the null
+    // fallback) and a computed value land as DB columns
+    val aql = "FROM 'purchase' SELECT _.user_id, _.value * 2, _.k ?? -1"
+
+    val q = AqlPipeline.attach(spark, staging, aql, url,
+      tmpDir("graft-aqlsel-ckpt"), table = "purchase_rows").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = {
+      val c = DerbySink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT event_id, user_id, expr1, k FROM purchase_rows")
+        val b = Map.newBuilder[Long, (Long, Double, Long)]
+        while (rs.next())
+          b += rs.getLong(1) -> ((rs.getLong(2), rs.getDouble(3), rs.getLong(4)))
+        b.result()
+      } finally c.close()
+    }
+
+    val want = Aql.sinkProjection(
+      Filters.withTags(EventStream.readBatch(spark, staging)), aql)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(want.nonEmpty)
+    assert(landed == want,
+      s"landed ${landed.size} projected rows, batch says ${want.size}")
+  }
+
+  test("AGGREGATE is rejected on the sink path; predicate() also rejects SELECT") {
+    val tagged = Filters.withTags(EventStream.readBatch(spark, {
+      val d = tmpDir("graft-aqlrej"); EventStream.stage(spark, sf0001, d, 1); d
+    }))
+    intercept[IllegalArgumentException](
+      Aql.sinkProjection(tagged, "FROM 'a' AGGREGATE SUM(_.value)"))
     intercept[IllegalArgumentException](Aql.predicate("FROM 'a' SELECT _.value"))
     intercept[IllegalArgumentException](Aql.predicate("FROM 'a' AGGREGATE SUM(_.value)"))
   }
