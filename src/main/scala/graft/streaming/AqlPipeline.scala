@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.aql.Aql
@@ -40,5 +41,41 @@ object AqlPipeline {
       DerbySink.attachAs(Aql.sinkProjection(src, aql), url, table,
         "event_id", checkpointDir)
     }
+  }
+
+  /** Per-tag table ROUTING (SURVEY §2.1 q04's streaming half): the
+    * reference can land each tag's events in its own destination table.
+    * Each micro-batch is split by `event_type` — a handful of routes,
+    * enumerated from the batch itself — and each slice MERGEs into
+    * `<prefix><type>` with the same idempotent keyed write. Routes are
+    * created on first sight, so a new tag needs no DDL migration. The
+    * split costs one narrow distinct over the micro-batch (bounded by
+    * the tag vocabulary), then per-route filters over the cached batch.
+    */
+  def attachRouted(spark: SparkSession, stagingDir: String, url: String,
+                   checkpointDir: String,
+                   prefix: String = "route_"): DataStreamWriter[Row] = {
+    // EventStream.read already carries the µs convention columns
+    val flat = EventStream.read(spark, stagingDir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    flat.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          // the driver sees only the distinct tag list (metadata-scale,
+          // bounded by the tag vocabulary) — never event rows
+          val routes = batch.select("event_type").distinct()
+            .collect().map(_.getString(0)).sorted
+          routes.foreach { t =>
+            DerbySink.ensureTableFor(url, prefix + t,
+              batch.schema, "event_id")
+            DerbySink.upsertBatchAs(
+              batch.filter(col("event_type") === t), url, prefix + t, "event_id")
+          }
+        } finally batch.unpersist()
+      }
   }
 }

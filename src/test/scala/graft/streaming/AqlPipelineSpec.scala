@@ -98,6 +98,41 @@ class AqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"landed ${landed.size} projected rows, batch says ${want.size}")
   }
 
+  test("routed sink lands each tag's events in its own table, idempotently") {
+    val url = s"jdbc:derby:${tmpDir("graft-aqlroute")}/db;create=true"
+    val staging = tmpDir("graft-aqlroute-stage")
+    EventStream.stage(spark, sf0001, staging, chunks = 2)
+
+    val q = AqlPipeline.attachRouted(spark, staging, url,
+      tmpDir("graft-aqlroute-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val byType = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.size >= 2)
+
+    val c = DerbySink.connect(url)
+    try byType.foreach { case (t, n) =>
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*), COUNT(DISTINCT event_type) FROM route_$t")
+      rs.next()
+      assert(rs.getLong(1) == n, s"route_$t row count")
+      assert(rs.getLong(2) == 1, s"route_$t holds foreign types")
+    } finally c.close()
+
+    // replay: fresh checkpoint, same data → tables unchanged (MERGE)
+    val q2 = AqlPipeline.attachRouted(spark, staging, url,
+      tmpDir("graft-aqlroute-ckpt2")).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val c2 = DerbySink.connect(url)
+    try byType.foreach { case (t, n) =>
+      val rs = c2.createStatement().executeQuery(s"SELECT COUNT(*) FROM route_$t")
+      rs.next()
+      assert(rs.getLong(1) == n, s"route_$t duplicated on replay")
+    } finally c2.close()
+  }
+
   test("AGGREGATE is rejected on the sink path; predicate() also rejects SELECT") {
     val tagged = Filters.withTags(EventStream.readBatch(spark, {
       val d = tmpDir("graft-aqlrej"); EventStream.stage(spark, sf0001, d, 1); d
