@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** EP-3's literal resume mechanism (SURVEY §3.1): the reference keeps
+  * its OffsetMap IN the target database — each landed batch advances the
+  * per-stream progress row, and a restarted tool reads that map back as
+  * its subscription lowerBound. Here the same contract: the `OFFSETS`
+  * table holds each stream's highest landed `event_id` (the lamport key
+  * is the per-stream progress marker), every micro-batch is filtered
+  * against the CURRENT map before touching the rows table, and the map
+  * is advanced after the rows MERGE. A restart with a FRESH Spark
+  * checkpoint re-delivers everything, and the DB state alone suppresses
+  * it — exactly-once comes from the database, the Spark checkpoint only
+  * avoids re-reading files. The `STATS` table records rows actually
+  * written per batch, making the suppression observable.
+  *
+  * The OffsetMap is metadata-scale (one row per stream): reading it to
+  * the driver and broadcasting it back mirrors the reference exactly.
+  */
+object DbResume {
+
+  val SINK = "resume_sink"
+  val OFFSETS = "graft_offsets"
+  val STATS = "graft_batch_stats"
+
+  private def ensureAux(url: String): Unit = {
+    val c = DerbySink.connect(url)
+    try {
+      val st = c.createStatement()
+      def create(sql: String): Unit =
+        try st.executeUpdate(sql)
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      try {
+        create(s"CREATE TABLE $OFFSETS (stream_id BIGINT PRIMARY KEY, last_off BIGINT)")
+        create(s"CREATE TABLE $STATS (batch_key VARCHAR(64) PRIMARY KEY, n_written BIGINT)")
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** The OffsetMap as stored in the DB. */
+  def readOffsets(url: String): Map[Long, Long] = {
+    val c = DerbySink.connect(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT stream_id, last_off FROM $OFFSETS")
+      val b = Map.newBuilder[Long, Long]
+      while (rs.next()) b += rs.getLong(1) -> rs.getLong(2)
+      b.result()
+    } finally c.close()
+  }
+
+  private def advanceOffsets(url: String, maxes: Seq[(Long, Long)]): Unit = {
+    if (maxes.isEmpty) return
+    val c = DerbySink.connect(url)
+    try {
+      c.setAutoCommit(false)
+      val ps = c.prepareStatement(
+        s"""MERGE INTO $OFFSETS t USING SYSIBM.SYSDUMMY1
+           |ON t.stream_id = ?
+           |WHEN MATCHED THEN UPDATE SET last_off = ?
+           |WHEN NOT MATCHED THEN INSERT (stream_id, last_off) VALUES (?, ?)""".stripMargin)
+      try {
+        maxes.foreach { case (sid, off) =>
+          ps.setLong(1, sid); ps.setLong(2, off)
+          ps.setLong(3, sid); ps.setLong(4, off)
+          ps.addBatch()
+        }
+        ps.executeBatch()
+        c.commit()
+      } finally ps.close()
+    } finally c.close()
+  }
+
+  private def recordStat(url: String, key: String, n: Long): Unit = {
+    val c = DerbySink.connect(url)
+    try {
+      val ps = c.prepareStatement(
+        s"""MERGE INTO $STATS t USING SYSIBM.SYSDUMMY1
+           |ON t.batch_key = ?
+           |WHEN MATCHED THEN UPDATE SET n_written = ?
+           |WHEN NOT MATCHED THEN INSERT (batch_key, n_written) VALUES (?, ?)""".stripMargin)
+      try {
+        ps.setString(1, key); ps.setLong(2, n)
+        ps.setString(3, key); ps.setLong(4, n)
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally c.close()
+  }
+
+  /** Total rows the sink actually wrote (sum over batches). */
+  def rowsWritten(url: String): Long = {
+    val c = DerbySink.connect(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COALESCE(SUM(n_written), 0) FROM $STATS")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  /** Attaches the staged stream with DB-resident OffsetMap resume.
+    * `runId` namespaces the stats rows so separate runs are tellable
+    * apart; it has no effect on delivery semantics.
+    */
+  def attach(spark: SparkSession, stagingDir: String, url: String,
+             checkpointDir: String, runId: String): DataStreamWriter[Row] = {
+    ensureAux(url)
+    val flat = EventStream.read(spark, stagingDir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    DerbySink.ensureTableFor(url, SINK, flat.schema, "event_id")
+    flat.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        batch.persist()
+        try {
+          // lowerBound = the OffsetMap as currently committed in the DB
+          val lower = readOffsets(url).toSeq.toDF("user_id", "last_off")
+          val fresh = batch.join(broadcast(lower), Seq("user_id"), "left")
+            .filter(col("event_id") > coalesce(col("last_off"), lit(Long.MinValue)))
+            .drop("last_off")
+            .persist()
+          try {
+            val n = fresh.count()
+            if (n > 0) {
+              DerbySink.upsertBatchAs(fresh, url, SINK, "event_id")
+              // advance the map only AFTER the rows landed: a crash
+              // between the two re-delivers (at-least-once) and the keyed
+              // MERGE absorbs it
+              val maxes = fresh.groupBy("user_id").agg(max("event_id"))
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+              advanceOffsets(url, maxes)
+            }
+            recordStat(url, s"$runId-$batchId", n)
+          } finally fresh.unpersist()
+        } finally batch.unpersist()
+      }
+  }
+}
