@@ -178,6 +178,20 @@ object LlmOps {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
 
+    // BPE-ish pre-tokenization (the "token counting" surface beyond
+    // q72's whitespace split): the GPT-2-style pre-tokenizer regex —
+    // contractions | space-prefixed letter runs | digit runs |
+    // punctuation runs | space runs — with literal-space classes so the
+    // Java and RE2 dialects agree. Top-20 pre-tokens by count.
+    "q7I_tokenize_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"),
+          lit(0))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
     // top-20 bigrams: zip tokens with their own tail (zip_with pads the
     // short side with null → trailing null bigram filtered out)
     "q73_text_ngrams" -> ((s, d) =>
@@ -563,6 +577,12 @@ object LlmOps {
     "q72_text_tokens" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q7I_tokenize_bpe" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS token
+        |  FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q73_text_ngrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
