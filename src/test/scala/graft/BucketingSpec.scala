@@ -56,6 +56,13 @@ class BucketingSpec extends AnyFunSuite {
       val want = plain.select("event_id", "user_id", "value", "n_events")
         .collect().map(_.toSeq).toSet
       assert(got == want)
+
+      // bucketing serves aggregation too: groupBy on the bucket key needs
+      // no exchange either (partial+final collapse onto the bucketed scan)
+      val agg = spark.table("ev_bkt").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(!shuffles(agg),
+        "groupBy on the bucket key still shuffles:\n" + agg.queryExecution.executedPlan)
     }
   }
 }

@@ -32,6 +32,12 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("q13: the ns-long time-range bounds reach the scan for row-group skipping") {
+    val p = plan("q13_filter_time_range")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"), p)
+  }
+
   test("q31: the dimension join is a broadcast hash join") {
     val p = plan("q31_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
