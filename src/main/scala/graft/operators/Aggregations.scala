@@ -131,7 +131,19 @@ object Aggregations {
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(round(percentile(col("value"), lit(0.5)), 4).as("median_v"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // dynamic→wide pivot: per-user event counts spread into one column
+    // per tag. The tag vocabulary is passed EXPLICITLY — the form that
+    // skips pivot's extra distinct-scan job, which is how it must be run
+    // at 100 TB (and keeps the output schema static for the oracle).
+    "q4C_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -192,6 +204,14 @@ object Aggregations {
         |FROM lineitem""".stripMargin,
     "q4B_agg_median" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q4C_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
