@@ -143,7 +143,20 @@ object Aggregations {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // wide→long unpivot (q4C's inverse): three lineitem measures melted
+    // to (measure, value) rows, then summarized per measure. stack() is
+    // pure row-local projection — no shuffle before the aggregate.
+    "q4D_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(expr(
+          """stack(3, 'quantity', l_quantity,
+            |         'extendedprice', l_extendedprice,
+            |         'discount', l_discount) AS (measure, val)""".stripMargin))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 4).as("sum_val"))
+        .orderBy("measure"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,6 +225,12 @@ object Aggregations {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS "view"
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q4D_unpivot" ->
+      """SELECT measure, count(*) AS n, round(sum(val), 4) AS sum_val FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin
   )
 }
