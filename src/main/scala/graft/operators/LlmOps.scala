@@ -345,7 +345,14 @@ object LlmOps {
       MinHash.register(s)
       val sets = shingled(s, d)
       val nBands = MinHash.K / 2
+      // docs with EMPTY shingle sets (fewer than 3 words) must be
+      // excluded BEFORE banding: the in-row signature of an empty set is
+      // all-Long.MaxValue, identical for every such doc, so they would
+      // all collide in every band — one hot bucket, quadratic self-join.
+      // (The old explode→UDAF shape excluded them implicitly: an empty
+      // array explodes to zero rows.)
       val sig = sets
+        .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), expr("graft_minhash_row(shingles)").as("sig"))
       val bands = sig
         .select(col("doc_id"), explode(expr(

@@ -66,9 +66,12 @@ object Multimodal {
     * asset must cost one row, not a task retry storm.
     */
   def decodeImage(a: Asset): ImageFeatures = {
+    // NonFatal, not just IOException: JDK ImageIO readers throw
+    // RuntimeExceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+    // malformed-but-magic-valid bytes, and those must also cost one row
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) ImageFeatures(a.doc_id, -1, -1, 0.0, ok = false)
     else {
       val (w, h) = (img.getWidth, img.getHeight)

@@ -68,12 +68,22 @@ object AqlPipeline {
           // the driver sees only the distinct tag list (metadata-scale,
           // bounded by the tag vocabulary) — never event rows
           val routes = batch.select("event_type").distinct()
-            .collect().map(_.getString(0)).sorted
+            .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+            .sortBy(t => Option(t).getOrElse(""))
           routes.foreach { t =>
-            DerbySink.ensureTableFor(url, prefix + t,
-              batch.schema, "event_id")
-            DerbySink.upsertBatchAs(
-              batch.filter(col("event_type") === t), url, prefix + t, "event_id")
+            // table names are DATA-derived → sanitize to a safe Derby
+            // identifier (null/empty/symbols → '_'); the row itself still
+            // carries the raw event_type, so collisions lose no data
+            val safe = Option(t).getOrElse("null")
+              .replaceAll("[^A-Za-z0-9_]", "_") match {
+              case "" => "_"
+              case x => x
+            }
+            val pred =
+              if (t == null) col("event_type").isNull
+              else col("event_type") === t
+            DerbySink.ensureTableFor(url, prefix + safe, batch.schema, "event_id")
+            DerbySink.upsertBatchAs(batch.filter(pred), url, prefix + safe, "event_id")
           }
         } finally batch.unpersist()
       }

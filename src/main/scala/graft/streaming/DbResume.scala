@@ -9,13 +9,20 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * per-stream progress row, and a restarted tool reads that map back as
   * its subscription lowerBound. Here the same contract: the `OFFSETS`
   * table holds each stream's highest landed `event_id` (the lamport key
-  * is the per-stream progress marker), every micro-batch is filtered
-  * against the CURRENT map before touching the rows table, and the map
-  * is advanced after the rows MERGE. A restart with a FRESH Spark
-  * checkpoint re-delivers everything, and the DB state alone suppresses
-  * it — exactly-once comes from the database, the Spark checkpoint only
-  * avoids re-reading files. The `STATS` table records rows actually
-  * written per batch, making the suppression observable.
+  * is the per-stream progress marker), advanced after each batch's rows
+  * MERGE, and readable by any restarted consumer.
+  *
+  * Delivery semantics: EVERY row goes through the idempotent keyed MERGE
+  * — correctness never depends on the watermark, so a genuinely new
+  * late event (an event_id below its stream's landed maximum, the
+  * cross-batch gossip case S10's timeTravel models) is still INSERTed,
+  * never silently dropped. The OffsetMap classifies rows instead: rows
+  * above their stream's watermark are FRESH (counted in `STATS` and the
+  * watermark advances); rows at-or-below are replay-or-late (MERGE
+  * absorbs replays as no-ops, inserts true late arrivals). A restart
+  * with a FRESH Spark checkpoint re-delivers everything and the stats
+  * show zero fresh rows — the DB state alone proves the resume point;
+  * the Spark checkpoint only avoids re-reading files.
   *
   * The OffsetMap is metadata-scale (one row per stream): reading it to
   * the driver and broadcasting it back mirrors the reference exactly.
@@ -35,7 +42,7 @@ object DbResume {
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       try {
         create(s"CREATE TABLE $OFFSETS (stream_id BIGINT PRIMARY KEY, last_off BIGINT)")
-        create(s"CREATE TABLE $STATS (batch_key VARCHAR(64) PRIMARY KEY, n_written BIGINT)")
+        create(s"CREATE TABLE $STATS (batch_key VARCHAR(255) PRIMARY KEY, n_written BIGINT)")
       } finally st.close()
     } finally c.close()
   }
@@ -90,7 +97,9 @@ object DbResume {
     } finally c.close()
   }
 
-  /** Total rows the sink actually wrote (sum over batches). */
+  /** Total FRESH rows landed (rows above their stream's watermark at the
+    * time their batch ran — replays and late arrivals excluded).
+    */
   def rowsWritten(url: String): Long = {
     val c = DerbySink.connect(url)
     try {
@@ -102,7 +111,8 @@ object DbResume {
 
   /** Attaches the staged stream with DB-resident OffsetMap resume.
     * `runId` namespaces the stats rows so separate runs are tellable
-    * apart; it has no effect on delivery semantics.
+    * apart; it has no effect on delivery semantics (truncated into the
+    * stats key's VARCHAR bound).
     */
   def attach(spark: SparkSession, stagingDir: String, url: String,
              checkpointDir: String, runId: String): DataStreamWriter[Row] = {
@@ -111,6 +121,7 @@ object DbResume {
       .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"))
     DerbySink.ensureTableFor(url, SINK, flat.schema, "event_id")
+    val statPrefix = runId.take(200)
     flat.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -119,7 +130,9 @@ object DbResume {
         import s.implicits._
         batch.persist()
         try {
-          // lowerBound = the OffsetMap as currently committed in the DB
+          // ALL rows MERGE (idempotent — replays no-op, late arrivals
+          // insert); the OffsetMap only classifies fresh vs not
+          DerbySink.upsertBatchAs(batch, url, SINK, "event_id")
           val lower = readOffsets(url).toSeq.toDF("user_id", "last_off")
           val fresh = batch.join(broadcast(lower), Seq("user_id"), "left")
             .filter(col("event_id") > coalesce(col("last_off"), lit(Long.MinValue)))
@@ -128,7 +141,6 @@ object DbResume {
           try {
             val n = fresh.count()
             if (n > 0) {
-              DerbySink.upsertBatchAs(fresh, url, SINK, "event_id")
               // advance the map only AFTER the rows landed: a crash
               // between the two re-delivers (at-least-once) and the keyed
               // MERGE absorbs it
@@ -136,7 +148,7 @@ object DbResume {
                 .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
               advanceOffsets(url, maxes)
             }
-            recordStat(url, s"$runId-$batchId", n)
+            recordStat(url, s"$statPrefix-$batchId", n)
           } finally fresh.unpersist()
         } finally batch.unpersist()
       }

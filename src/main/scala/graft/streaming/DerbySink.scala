@@ -178,6 +178,7 @@ object DerbySink {
          |WHEN NOT MATCHED THEN INSERT (${names.mkString(", ")})
          |  VALUES (${names.map(_ => "?").mkString(", ")})""".stripMargin
     val types = schema.fields.map(f => jdbcType(f.dataType))
+    val otherIdx = others.map(names.indexOf).toArray // once, not per row
     val rows = batch.dropDuplicates(key)
     rows.foreachPartition { it: Iterator[Row] =>
       if (it.hasNext) {
@@ -193,7 +194,7 @@ object DerbySink {
             it.foreach { r =>
               var pos = 1
               set(pos, r, kIdx); pos += 1
-              others.foreach { o => set(pos, r, names.indexOf(o)); pos += 1 }
+              otherIdx.foreach { i => set(pos, r, i); pos += 1 }
               names.indices.foreach { i => set(pos, r, i); pos += 1 }
               ps.addBatch()
               n += 1

@@ -7,10 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase._
 
 /** EP-3 resume-from-the-database: after a full run, the DB's OffsetMap
-  * must equal each stream's max landed event_id, and a complete replay
-  * with a FRESH Spark checkpoint must write ZERO rows — the suppression
-  * comes from the DB-resident OffsetMap alone, observable in the stats
-  * table, not from Spark's own checkpoint.
+  * must equal each stream's max landed event_id; a complete replay with
+  * a FRESH Spark checkpoint must land ZERO fresh rows (the resume point
+  * is provable from the database alone, not Spark's checkpoint) while
+  * the sink stays complete and duplicate-free; and a genuinely NEW late
+  * event below its stream's watermark must still be INSERTed — the
+  * watermark classifies, the keyed MERGE decides.
   */
 class DbResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -43,7 +45,7 @@ class DbResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       tmpDir("graft-dbresume-ckpt2"), runId = "run2").start()
     try q2.processAllAvailable() finally q2.stop()
     assert(DbResume.rowsWritten(url) == total,
-      "replay wrote rows despite the DB OffsetMap lowerBound")
+      "replay counted fresh rows despite the DB OffsetMap lowerBound")
 
     // and the landed table is complete and duplicate-free
     val c = DerbySink.connect(url)
@@ -53,5 +55,26 @@ class DbResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.next()
       assert(rs.getLong(1) == total && rs.getLong(2) == total)
     } finally c.close()
+
+    // a genuinely NEW late event (id below its stream's watermark — the
+    // cross-batch gossip case) must still land: classification must
+    // never become suppression of unseen data
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((-42L, 0L, 0L, "late", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(staging)
+    val q3 = DbResume.attach(spark, staging, url,
+      tmpDir("graft-dbresume-ckpt3"), runId = "run3").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val c2 = DerbySink.connect(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${DbResume.SINK} WHERE event_id = -42")
+      rs.next()
+      assert(rs.getLong(1) == 1L, "late new event was dropped by the watermark")
+    } finally c2.close()
+    assert(DbResume.rowsWritten(url) == total,
+      "a below-watermark event must not count as fresh")
   }
 }
