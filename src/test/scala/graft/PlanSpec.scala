@@ -53,4 +53,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q76: exact-sim kernel is a block-grid equi-join — no nested-loop pass, " +
+    "no single-partition exchange feeding it") {
+    val p = plan("q76_sim_cosine_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // global top-k over the survivors stays a TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q78: the knn probe broadcasts the tiny query side, never the corpus") {
+    val p = plan("q78_knn_label")
+    // the non-equi probe is a BNLJ by design — bounded because the BUILD
+    // side is the 10-row query set; the corpus only streams
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
