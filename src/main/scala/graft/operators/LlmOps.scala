@@ -582,42 +582,15 @@ object LlmOps {
     // arrays), every vector assigned to its nearest cell via max_by over
     // a broadcast K-row table (map-side partial combine; the only big-
     // side shuffles are the two vec_id-keyed assignment joins), queries
-    // probe their nprobe=2 nearest cells, candidates meet by EQUI-join
+    // probe their nprobe=3 nearest cells, candidates meet by EQUI-join
     // on cell id, and only cell-mates get the exact cosine rerank —
     // never a cross join over the corpus. Centroid-construction-specific
     // output → rows-only check; exactness of reported sims + recall@5
     // vs the exact 5-NN are asserted in AnnSpec.
     "q7G_ann_ivf" -> ((s, d) => {
       val v = vectors(s, d)
-      val k = 16
-      val nprobe = 2
-      // seeds: metadata-scale (K rows) after the limit; the window runs
-      // on K rows only.
-      val seedPick = Window.orderBy(col("h"), col("vec_id"))
-      val seeds = v.select(col("vec_id"), col("e"))
-        .withColumn("h", expr("xxhash64(vec_id)"))
-        .orderBy("h", "vec_id").limit(k)
-        .select(row_number().over(seedPick).as("cid"), col("e").as("ce"))
-        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
-      // nearest-cell id per vector: dividing by the vector's own norm is
-      // constant per vec_id, so argmax only needs dot/sqrt(cell norm)
-      def assign(cents: DataFrame): DataFrame =
-        v.crossJoin(broadcast(cents))
-          .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
-      // one Lloyd step over the seed assignment
-      val refined = assign(seeds)
-        .join(v.select("vec_id", "e"), "vec_id")
-        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("ce"))
-        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
-      val index = assign(refined)
-        .join(v, "vec_id")
-        .select(col("cid"), col("vec_id").as("n_id"),
-          col("e").as("ne"), col("nsq").as("nn"))
+      val (refined, index) = ivfIndex(s, d)
+      val nprobe = IvfNProbe
       val pw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
       val probes = v.filter(col("vec_id") < 10)
         .crossJoin(broadcast(refined))
@@ -639,6 +612,51 @@ object LlmOps {
         .orderBy("q_id", "rn")
     })
   )
+
+  /** IVF coarse quantizer shared by q7G and AnnSpec's occupancy property:
+    * K deterministic hash-min seeds, `IvfLloydSteps` distributed Lloyd
+    * refinements (posexplode by dimension → per-(cell, dim) mean →
+    * rebuilt centroid arrays — each step is one bounded agg over the
+    * corpus, never driver-side), vectors assigned to their nearest cell
+    * via max_by over the broadcast K-row centroid table. Returns
+    * (centroids(cid, ce, cnsq), index(cid, n_id, ne, nn)).
+    */
+  private val IvfK = 16
+  private val IvfLloydSteps = 2
+  private val IvfNProbe = 3
+
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val v = vectors(s, d)
+    // seeds: metadata-scale (K rows) after the limit; the window runs
+    // on K rows only.
+    val seedPick = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = v.select(col("vec_id"), col("e"))
+      .withColumn("h", expr("xxhash64(vec_id)"))
+      .orderBy("h", "vec_id").limit(IvfK)
+      .select(row_number().over(seedPick).as("cid"), col("e").as("ce"))
+      .withColumn("cnsq", expr("graft_dot(ce, ce)"))
+    // nearest-cell id per vector: dividing by the vector's own norm is
+    // constant per vec_id, so argmax only needs dot/sqrt(cell norm)
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
+    def refine(assigned: DataFrame): DataFrame =
+      assigned
+        .join(v.select("vec_id", "e"), "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("ce"))
+        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
+    val refined = (1 to IvfLloydSteps).foldLeft(seeds)((c, _) => refine(assign(c)))
+    val index = assign(refined)
+      .join(v, "vec_id")
+      .select(col("cid"), col("vec_id").as("n_id"),
+        col("e").as("ne"), col("nsq").as("nn"))
+    (refined, index)
+  }
 
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->

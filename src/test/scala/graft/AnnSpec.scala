@@ -51,11 +51,12 @@ class AnnSpec extends AnyFunSuite {
     recalls.sum / recalls.length
   }
 
-  test("q7C recall@5 vs exact 5-NN is well above chance") {
-    // chance level at sf0.001: 5 of 499 ≈ 1%; 4-bit × 4-band LSH should
-    // land a large multiple of that. Deterministic, so no flake risk.
+  test("q7C recall@5 vs exact 5-NN holds its measured floor") {
+    // measured 0.46 on this fixture (round 4); chance level is 5 of
+    // 499 ≈ 1%. Deterministic (fixed planes + data), so the floor is a
+    // regression pin, not a flake margin: a halving fails loudly.
     val avg = avgRecall("q7C_ann_simhash")
-    assert(avg >= 0.3, s"avg recall@5 = $avg")
+    assert(avg >= 0.40, s"avg recall@5 = $avg (measured 0.46 at pin time)")
   }
 
   test("q7G IVF reported similarities are exact and per-query ranks are dense") {
@@ -70,11 +71,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("q7G IVF recall@5 vs exact 5-NN is well above chance") {
-    // probing nprobe=2 of 16 cells scans ~12% of the corpus blindly;
-    // data-adaptive cells should beat that handily. Deterministic.
+  test("q7G IVF recall@5 vs exact 5-NN holds its measured floor") {
+    // measured 0.52 on this fixture (round 4: 2 Lloyd steps, nprobe=3 of
+    // 16 cells ≈ 19% of the corpus scanned blindly). Deterministic
+    // regression pin: a halving fails loudly.
     val avg = avgRecall("q7G_ann_ivf")
-    assert(avg >= 0.3, s"avg recall@5 = $avg")
+    assert(avg >= 0.45, s"avg recall@5 = $avg (measured 0.52 at pin time)")
+  }
+
+  test("q7G IVF quantizer leaves no empty cells and no mega-cell") {
+    // Lloyd steps can empty a cell (its members all reassign); an empty
+    // cell silently shrinks K and a mega-cell degrades probe cost toward
+    // a linear scan. Both are index-quality regressions, pinned here via
+    // the shared index builder.
+    val idx = graft.operators.LlmOps.ivfIndex(spark, sf0001)._2
+      .groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(idx.keySet == (1 to 16).toSet,
+      s"empty cells: ${(1 to 16).toSet -- idx.keySet}")
+    val n = idx.values.sum.toDouble
+    assert(idx.values.max <= n / 2,
+      s"mega-cell holds ${idx.values.max} of $n vectors")
   }
 
   test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
@@ -95,10 +112,11 @@ class AnnSpec extends AnyFunSuite {
     val unjustified = removed.filterNot(exactRemoved)
     assert(unjustified.isEmpty,
       s"removed without an exact smaller near-dup: ${unjustified.take(5)}")
-    // recall: banding may miss pairs, but must catch a material share
+    // recall: banding may miss pairs, but must catch a material share —
+    // measured 0.53 on this fixture (round 4); deterministic pin
     assert(exactRemoved.nonEmpty)
     val recall = removed.size.toDouble / exactRemoved.size
-    assert(recall >= 0.5, s"dedup recall $recall (${removed.size}/${exactRemoved.size})")
+    assert(recall >= 0.5, s"dedup recall $recall (${removed.size}/${exactRemoved.size}; measured 0.53 at pin time)")
     assert(kept.nonEmpty && (kept contains ids.head))
   }
 }
