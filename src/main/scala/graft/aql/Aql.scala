@@ -23,6 +23,16 @@ import graft.operators.Filters
   *    mirroring q17's convention.
   *  - `FILTER` → `.filter`; `SELECT` → `.select` (columns named by path
   *    leaf); `AGGREGATE` → global `.agg` with `SUM/MIN/MAX/AVG/COUNT`.
+  *  - `CASE p => e … ENDCASE` → chained `when()` (no match → NULL; write
+  *    `CASE TRUE => e` for a default arm).
+  *  - `` `a {e} b` `` backtick templates → `concat` of literal parts and
+  *    string-cast holes (q25's convention).
+  *  - `LIMIT n` → `.limit(n)` over the lamport-ordered stream (plans as
+  *    TakeOrderedAndProject, the q00 shape).
+  *  - `subQuery(…)` in FILTER → the q67–q69 decorrelated joins:
+  *    `x IN subQuery(… SELECT y)` → left-semi join; `x <op> subQuery(…
+  *    AGGREGATE a)` → broadcast 1-row scalar; with `^.k = _.k`
+  *    correlation conjuncts → aggregate + equi-join on the keys.
   *  - Non-aggregate results come back in event-key order (`event_id` —
   *    the lamport total order), matching the reference's merge order.
   */
@@ -37,21 +47,30 @@ object Aql {
 
   sealed trait Expr
   final case class Path(parts: Seq[String]) extends Expr // _.a.b ; Path(Nil) = `_`
+  final case class OuterPath(parts: Seq[String]) extends Expr // ^.a — enclosing query's row (subQuery correlation)
   final case class NumLit(v: Double, isInt: Boolean) extends Expr
   final case class StrLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Un(op: String, e: Expr) extends Expr
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
+  /** CASE p1 => e1 CASE p2 => e2 … ENDCASE; no match → NULL. */
+  final case class Case(arms: Seq[(Expr, Expr)]) extends Expr
+  /** `lit0{e1}lit1{e2}…` backtick template; parts.size == holes.size + 1. */
+  final case class Interp(parts: Seq[String], holes: Seq[Expr]) extends Expr
+  final case class SubQuery(q: Query) extends Expr
 
   final case class Query(from: TagExpr, filter: Option[Expr],
-                         select: Seq[Expr], aggregate: Seq[Expr])
+                         select: Seq[Expr], aggregate: Seq[Expr],
+                         limit: Option[Int] = None)
 
   // ---------- tokenizer ----------
   // unary minus is a parser concern (else `a - 1` lexes the `-1`), so
   // numbers are unsigned here; keywords need the \b or they'd prefix-match
   // identifiers.
   private val tokenRe =
-    """\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|allEvents\b|'[^']*'|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|\?\?|&&|\|\||!=|>=|<=|==|[&|!=<>+\-*/().,])""".r
+    ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|LIMIT\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b""" +
+      """|'[^']*'|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|=>|\?\?|&&|\|\||!=|>=|<=|==|[&|!=<>+\-*/().,^])""").r
 
   private def tokenize(s: String): List[String] = {
     var rest = s.trim
@@ -80,14 +99,27 @@ object Aql {
 
   def parse(aql: String): Query = {
     val c = new Cursor(tokenize(aql))
+    val q = parseBody(c)
+    if (c.peek.nonEmpty)
+      throw new IllegalArgumentException(s"AQL: trailing tokens: ${c.ts.mkString(" ")}")
+    q
+  }
+
+  /** One FROM…LIMIT body; leaves unconsumed tokens for the caller (so a
+    * `subQuery( … )` body can stop at its closing paren).
+    */
+  private def parseBody(c: Cursor): Query = {
     c.eat("FROM")
     val from = tagOr(c)
     val filter = if (c.accept("FILTER")) Some(expr(c)) else None
     val select = if (c.accept("SELECT")) exprList(c) else Nil
     val aggregate = if (c.accept("AGGREGATE")) exprList(c) else Nil
-    if (c.peek.nonEmpty)
-      throw new IllegalArgumentException(s"AQL: trailing tokens: ${c.ts.mkString(" ")}")
-    Query(from, filter, select, aggregate)
+    val limit = if (c.accept("LIMIT")) {
+      val t = c.pop()
+      if (!t.matches("\\d+")) throw new IllegalArgumentException(s"AQL: LIMIT expects an integer, found '$t'")
+      Some(t.toInt)
+    } else None
+    Query(from, filter, select, aggregate, limit)
   }
 
   private def tagOr(c: Cursor): TagExpr = {
@@ -133,6 +165,8 @@ object Aql {
     c.peek match {
       case Some(op @ ("=" | "==" | "!=" | ">" | ">=" | "<" | "<=")) =>
         c.pop(); Bin(if (op == "==") "=" else op, l, altE(c))
+      case Some("IN") =>
+        c.pop(); Bin("IN", l, altE(c))
       case _ => l
     }
   }
@@ -161,7 +195,32 @@ object Aql {
       val parts = Seq.newBuilder[String]
       while (c.accept(".")) parts += c.pop()
       Path(parts.result())
+    case "^" => // enclosing query's row, only meaningful inside subQuery(…)
+      val parts = Seq.newBuilder[String]
+      while (c.accept(".")) parts += c.pop()
+      val p = parts.result()
+      if (p.isEmpty) throw new IllegalArgumentException("AQL: '^' needs a field (^.col)")
+      OuterPath(p)
+    case "TRUE" => BoolLit(true)
+    case "FALSE" => BoolLit(false)
+    case "CASE" =>
+      val arms = Seq.newBuilder[(Expr, Expr)]
+      var more = true
+      while (more) {
+        val cond = expr(c)
+        c.eat("=>")
+        arms += cond -> expr(c)
+        more = c.accept("CASE")
+      }
+      c.eat("ENDCASE")
+      Case(arms.result())
+    case "subQuery" if c.peek.contains("(") =>
+      c.eat("(")
+      val q = parseBody(c)
+      c.eat(")")
+      SubQuery(q)
     case t if t.startsWith("'") => StrLit(t.substring(1, t.length - 1))
+    case t if t.startsWith("`") => parseInterp(t.substring(1, t.length - 1))
     case t if t.matches("\\d+") => NumLit(t.toDouble, isInt = true)
     case t if t.matches("\\d+\\.\\d+") => NumLit(t.toDouble, isInt = false)
     case fn if c.peek.contains("(") && fn.matches("[A-Za-z][A-Za-z0-9_]*") =>
@@ -172,6 +231,30 @@ object Aql {
       // bare identifier = envelope column shorthand (AQL writes _.x; accept x)
       Path(Seq(t))
     case other => throw new IllegalArgumentException(s"AQL: bad expression atom '$other'")
+  }
+
+  /** Splits a backtick template body into literal parts and `{expr}` holes;
+    * each hole is parsed with the full expression grammar.
+    */
+  private def parseInterp(body: String): Interp = {
+    val holeRe = """\{([^{}]*)\}""".r
+    val parts = Seq.newBuilder[String]
+    val holes = Seq.newBuilder[Expr]
+    var last = 0
+    for (m <- holeRe.findAllMatchIn(body)) {
+      parts += body.substring(last, m.start)
+      val hc = new Cursor(tokenize(m.group(1)))
+      holes += expr(hc)
+      if (hc.peek.nonEmpty)
+        throw new IllegalArgumentException(
+          s"AQL: trailing tokens in interpolation hole: ${hc.ts.mkString(" ")}")
+      last = m.end
+    }
+    parts += body.substring(last)
+    val ps = parts.result()
+    if (ps.exists(p => p.contains('{') || p.contains('}')))
+      throw new IllegalArgumentException(s"AQL: unbalanced brace in template: $body")
+    Interp(ps, holes.result())
   }
 
   // ---------- lowering ----------
@@ -207,6 +290,20 @@ object Aql {
     case NumLit(v, true) => lit(v.toLong)
     case NumLit(v, false) => lit(v)
     case StrLit(s) => lit(s)
+    case BoolLit(b) => lit(b)
+    case Case(arms) =>
+      // chained when(); no otherwise → NULL for an unmatched row (write
+      // `CASE TRUE => e` as the final arm for a default)
+      arms.tail.foldLeft(when(lower(arms.head._1), lower(arms.head._2))) {
+        case (w, (p, v)) => w.when(lower(p), lower(v))
+      }
+    case Interp(parts, holes) =>
+      // template → concat of literal parts and string-cast holes; a NULL
+      // hole nulls the whole string (concat semantics), like q25's concat
+      val pieces = parts.map(lit(_): Column).zipAll(
+        holes.map(lower(_).cast("string")), lit(""), lit(""))
+        .flatMap { case (p, h) => Seq(p, h) }
+      concat(pieces: _*)
     case Un("!", x) => !lower(x)
     case Un("-", x) => -lower(x)
     case Bin("??", l, r) =>
@@ -237,7 +334,23 @@ object Aql {
         case "/" => lc / rc
       }
     case Call(fn, args) => lowerAgg(fn, args)
+    case OuterPath(_) =>
+      throw new IllegalArgumentException(
+        "AQL: '^.field' (outer reference) is only meaningful inside subQuery(…)")
+    case SubQuery(_) =>
+      throw new IllegalArgumentException(
+        "AQL: subQuery is only supported in FILTER, as `x IN subQuery(…)` " +
+          "or compared against a single-AGGREGATE subQuery")
     case Un(op, _) => throw new IllegalArgumentException(s"AQL: bad unary '$op'")
+  }
+
+  private def lowerAggRaw(fn: String, args: Seq[Expr]): Column = fn match {
+    case "COUNT" => count(args.headOption.map(lower).getOrElse(lit(1)))
+    case "SUM" => sum(lower(args.head))
+    case "MIN" => min(lower(args.head))
+    case "MAX" => max(lower(args.head))
+    case "AVG" => avg(lower(args.head))
+    case other => throw new IllegalArgumentException(s"AQL: unknown aggregate '$other'")
   }
 
   private def lowerAgg(fn: String, args: Seq[Expr]): Column = {
@@ -245,15 +358,7 @@ object Aql {
       case Seq(Path(parts)) if parts.nonEmpty => "_" + parts.last
       case _ => ""
     })
-    val c = fn match {
-      case "COUNT" => count(args.headOption.map(lower).getOrElse(lit(1)))
-      case "SUM" => sum(lower(args.head))
-      case "MIN" => min(lower(args.head))
-      case "MAX" => max(lower(args.head))
-      case "AVG" => avg(lower(args.head))
-      case other => throw new IllegalArgumentException(s"AQL: unknown aggregate '$other'")
-    }
-    c.as(name)
+    lowerAggRaw(fn, args).as(name)
   }
 
   private def selectName(e: Expr, i: Int): String = e match {
@@ -270,9 +375,9 @@ object Aql {
     */
   def predicate(aql: String): Column = {
     val q = parse(aql)
-    require(q.select.isEmpty && q.aggregate.isEmpty,
+    require(q.select.isEmpty && q.aggregate.isEmpty && q.limit.isEmpty,
       "AQL predicate: only FROM and FILTER are allowed on the sink path " +
-        "(the landed row is the flattened envelope)")
+        "(the landed row is the flattened envelope; a stream has no LIMIT)")
     q.filter.map(f => lowerTag(q.from) && lower(f)).getOrElse(lowerTag(q.from))
   }
 
@@ -287,6 +392,7 @@ object Aql {
   def sinkProjection(events: DataFrame, aql: String): DataFrame = {
     val q = parse(aql)
     require(q.aggregate.isEmpty, "AQL sink path: AGGREGATE is not supported")
+    require(q.limit.isEmpty, "AQL sink path: a stream has no LIMIT")
     var df = events.filter(lowerTag(q.from))
     q.filter.foreach(f => df = df.filter(lower(f)))
     if (q.select.isEmpty) df.drop("tags")
@@ -301,12 +407,109 @@ object Aql {
     }
   }
 
+  // ---------- subQuery lowering ----------
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case Bin("&", l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def hasSub(e: Expr): Boolean = e match {
+    case SubQuery(_) => true
+    case Bin(_, l, r) => hasSub(l) || hasSub(r)
+    case Un(_, x) => hasSub(x)
+    case Call(_, as) => as.exists(hasSub)
+    case Case(arms) => arms.exists(a => hasSub(a._1) || hasSub(a._2))
+    case Interp(_, hs) => hs.exists(hasSub)
+    case _ => false
+  }
+
+  private val cmpOps = Set("=", "!=", ">", ">=", "<", "<=")
+
+  private def cmp(op: String)(l: Column, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case "<" => l < r
+    case "<=" => l <= r
+  }
+
+  /** Lowers one FILTER conjunct containing a subQuery onto the q67–q69
+    * decorrelated shapes (SURVEY §2.9): `x IN subQuery(… SELECT y)` →
+    * left-semi join; `x <op> subQuery(… AGGREGATE a)` → broadcast of the
+    * 1-row aggregate (scalar) or aggregate + equi-join on the `^.k = _.k`
+    * correlation keys (correlated). Only these shapes are accepted — the
+    * reference's subQuery was a beta feature and these are its cited uses.
+    */
+  private def applySubFilter(spark: SparkSession, sfDir: String,
+                             df: DataFrame, conj: Expr): DataFrame = conj match {
+    case Bin("IN", lhs, SubQuery(sq)) =>
+      require(sq.aggregate.isEmpty && sq.select.size == 1,
+        "AQL: IN subQuery needs exactly one SELECT column and no AGGREGATE")
+      var inner = Filters.tagged(spark, sfDir).filter(lowerTag(sq.from))
+      sq.filter.foreach(f => inner = inner.filter(lower(f)))
+      // LIMIT inside an IN subQuery keeps run()'s semantics: lamport
+      // (event_id) order bounds WHICH events contribute
+      sq.limit.foreach(n => inner = inner.orderBy("event_id").limit(n))
+      val sub = inner.select(lower(sq.select.head).as("__in"))
+      df.join(sub, lower(lhs) === col("__in"), "left_semi")
+
+    case Bin(op, lhs, SubQuery(sq)) if cmpOps(op) =>
+      require(sq.aggregate.size == 1 && sq.select.isEmpty && sq.limit.isEmpty,
+        "AQL: a compared subQuery must have exactly one AGGREGATE (and no SELECT/LIMIT)")
+      val aggRaw = sq.aggregate.head match {
+        case cl: Call => lowerAggRaw(cl.fn, cl.args)
+        case other => throw new IllegalArgumentException(s"AQL: AGGREGATE expects calls, got $other")
+      }
+      // correlation conjuncts (^.outer = _.inner) vs residual inner filter
+      val (corr, residual) = sq.filter.map(conjuncts).getOrElse(Nil).partition {
+        case Bin("=", OuterPath(_), _) | Bin("=", _, OuterPath(_)) => true
+        case _ => false
+      }
+      var inner = Filters.tagged(spark, sfDir).filter(lowerTag(sq.from))
+      residual.foreach(r => inner = inner.filter(lower(r)))
+      val lhsCol = if (isJsonPath(lhs)) lower(lhs).cast("double") else lower(lhs)
+      if (corr.isEmpty) {
+        // scalar: the 1-row aggregate broadcasts; a NULL scalar drops all
+        // rows through the filter, matching SQL comparison-with-NULL
+        df.crossJoin(broadcast(inner.agg(aggRaw.as("__sq"))))
+          .filter(cmp(op)(lhsCol, col("__sq")))
+          .drop("__sq")
+      } else {
+        val keys = corr.map {
+          case Bin("=", OuterPath(o), i) => (o, i)
+          case Bin("=", i, OuterPath(o)) => (o, i)
+          case other => throw new IllegalArgumentException(s"AQL: bad correlation $other")
+        }
+        val grouped = inner
+          .groupBy(keys.zipWithIndex.map { case ((_, ie), i) => lower(ie).as(s"__k$i") }: _*)
+          .agg(aggRaw.as("__sq"))
+        val cond = keys.zipWithIndex
+          .map { case ((o, _), i) => col(o.mkString(".")) === col(s"__k$i") }
+          .reduce(_ && _)
+        df.join(grouped, cond) // inner join: outer rows without a group drop, as in SQL
+          .filter(cmp(op)(lhsCol, col("__sq")))
+          .drop("__sq" +: keys.indices.map(i => s"__k$i"): _*)
+      }
+
+    case other => throw new IllegalArgumentException(
+      "AQL: unsupported subQuery shape (use `x IN subQuery(… SELECT y)` or " +
+        s"`x <op> subQuery(… AGGREGATE a)`): $other")
+  }
+
   /** Parses and runs an AQL query over the events table at `sfDir`. */
   def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
     val q = parse(aql)
     var df = Filters.tagged(spark, sfDir).filter(lowerTag(q.from))
-    q.filter.foreach(f => df = df.filter(lower(f)))
-    if (q.aggregate.nonEmpty) {
+    q.filter.foreach { f =>
+      // top-level conjuncts apply as successive filters so a subQuery
+      // conjunct can lower to its own join without disturbing the rest
+      conjuncts(f).foreach { cj =>
+        df = if (hasSub(cj)) applySubFilter(spark, sfDir, df, cj)
+             else df.filter(lower(cj))
+      }
+    }
+    val out = if (q.aggregate.nonEmpty) {
       val aggs = q.aggregate.map {
         case c: Call => lowerAgg(c.fn, c.args)
         case other => throw new IllegalArgumentException(s"AQL: AGGREGATE expects calls, got $other")
@@ -320,5 +523,8 @@ object Aql {
         df.select(q.select.zipWithIndex.map { case (e, i) => lower(e).as(selectName(e, i)) }: _*)
       else df.drop("tags")
     }
+    // LIMIT bounds the lamport-ordered stream (orderBy+limit plans as
+    // TakeOrderedAndProject — the q00 shape, no global sort)
+    q.limit.fold(out)(out.limit)
   }
 }

@@ -63,14 +63,57 @@ class AqlFuzzSpec extends AnyFunSuite {
     Gen.oneOf("SUM", "MIN", "MAX", "AVG").flatMap(f => numPathG.map(p => Call(f, Seq(p)))),
     Gen.const(Call("COUNT", Seq(Path(Nil)))))
 
+  // CASE arms share one value type (mixed string/numeric arms would be an
+  // analysis error, and the generator stays well-typed by construction)
+  private val templatePartG: Gen[String] = Gen.oneOf("alpha ", " beta", "x: ", "")
+  private val caseG: Gen[Expr] =
+    Gen.oneOf(true, false).flatMap { numeric =>
+      val vg: Gen[Expr] =
+        if (numeric) numExprG(1)
+        else Gen.oneOf("lo", "mid", "hi").map(StrLit(_))
+      Gen.chooseNum(1, 3).flatMap { n =>
+        Gen.listOfN(n, boolExprG(1).flatMap(p => vg.map(v => (p, v))))
+          .flatMap { arms =>
+            Gen.oneOf(true, false).map { dflt =>
+              Case(if (dflt) arms :+ ((BoolLit(true): Expr, arms.head._2)) else arms)
+            }
+          }
+      }
+    }
+  private val interpG: Gen[Expr] = for {
+    p0 <- templatePartG; p1 <- templatePartG; p2 <- templatePartG
+    h0 <- Gen.oneOf(numPathG, jsonPathG)
+    h1 <- numExprG(0)
+  } yield Interp(Seq(p0, p1, p2), Seq(h0, h1))
+
+  // subQuery filters: the two supported shapes (scalar-compare and IN)
+  private val subFilterG: Gen[Expr] = Gen.oneOf(
+    for {
+      op <- Gen.oneOf(">", "<", ">=", "<=")
+      lhs <- numPathG
+      fn <- Gen.oneOf("AVG", "MIN", "MAX", "SUM")
+      from <- tagExprG(1)
+    } yield Bin(op, lhs,
+      SubQuery(Query(from, None, Nil, Seq(Call(fn, Seq(Path(Seq("value")))))))),
+    for {
+      from <- tagExprG(1)
+      f <- Gen.option(boolExprG(0))
+    } yield Bin("IN", Path(Seq("user_id")),
+      SubQuery(Query(from, f, Seq(Path(Seq("user_id"))), Nil))))
+
   private val queryG: Gen[Query] = for {
     from <- tagExprG(2)
-    filter <- Gen.option(boolExprG(2))
+    filter <- Gen.option(Gen.frequency(
+      4 -> boolExprG(2),
+      1 -> subFilterG,
+      1 -> (for { b <- boolExprG(1); s <- subFilterG } yield Bin("&", b, s))))
     n <- Gen.chooseNum(0, 3)
-    sels <- Gen.listOfN(n, Gen.oneOf(numExprG(1), jsonPathG))
+    sels <- Gen.listOfN(n, Gen.frequency(
+      3 -> numExprG(1), 2 -> jsonPathG, 1 -> caseG, 1 -> interpG))
     m <- Gen.chooseNum(0, 2)
     aggs <- if (sels.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
-  } yield Query(from, filter, sels, aggs)
+    lim <- Gen.option(Gen.chooseNum(1, 500))
+  } yield Query(from, filter, sels, aggs, lim)
 
   // ---------- renderer (fully parenthesized → unambiguous) ----------
   private def renderTag(t: TagExpr): String = t match {
@@ -82,19 +125,29 @@ class AqlFuzzSpec extends AnyFunSuite {
   private def render(e: Expr): String = e match {
     case Path(Nil) => "_"
     case Path(parts) => "_." + parts.mkString(".")
+    case OuterPath(parts) => "^." + parts.mkString(".")
     case NumLit(v, true) => v.toLong.toString
     case NumLit(v, false) => v.toString
     case StrLit(s) => s"'$s'"
+    case BoolLit(b) => if (b) "TRUE" else "FALSE"
     case Un(op, x) => s"$op(${render(x)})"
     case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
     case Call(f, Nil) => s"$f()"
     case Call(f, args) => s"$f(${args.map(render).mkString(", ")})"
+    case Case(arms) =>
+      arms.map { case (p, v) => s"CASE ${render(p)} => ${render(v)}" }
+        .mkString(" ") + " ENDCASE"
+    case Interp(parts, holes) =>
+      parts.zipAll(holes.map(h => "{" + render(h) + "}"), "", "")
+        .map { case (p, h) => p + h }.mkString("`", "", "`")
+    case SubQuery(q) => s"subQuery(${render(q)})"
   }
   private def render(q: Query): String = {
     val b = new StringBuilder("FROM " + renderTag(q.from))
     q.filter.foreach(f => b.append(" FILTER ").append(render(f)))
     if (q.select.nonEmpty) b.append(" SELECT ").append(q.select.map(render).mkString(", "))
     if (q.aggregate.nonEmpty) b.append(" AGGREGATE ").append(q.aggregate.map(render).mkString(", "))
+    q.limit.foreach(n => b.append(" LIMIT ").append(n))
     b.toString
   }
 

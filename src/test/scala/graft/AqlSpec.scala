@@ -86,5 +86,80 @@ class AqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Aql.parse("SELECT _.x"))
     intercept[IllegalArgumentException](Aql.parse("FROM 'a' SELECT _.x extra"))
     intercept[IllegalArgumentException](Aql.parse("FROM 'a' FILTER _.value >"))
+    intercept[IllegalArgumentException](Aql.parse("FROM 'a' SELECT CASE _.value > 1 => 1")) // no ENDCASE
+    intercept[IllegalArgumentException](Aql.parse("FROM 'a' LIMIT ten"))
+    intercept[IllegalArgumentException](Aql.parse("FROM 'a' SELECT `un{closed`"))
+  }
+
+  test("CASE … ENDCASE == q21's tier expression (when/otherwise chain)") {
+    val got = aql(
+      "FROM allEvents SELECT CASE _.value < 50 => 'small' CASE _.value < 150 => 'mid' CASE TRUE => 'large' ENDCASE, _.value")
+    val want = graft.sources.Tables.events(spark, sf0001)
+      .orderBy("event_id")
+      .select(
+        when(col("value") < 50, "small").when(col("value") < 150, "mid")
+          .otherwise("large"),
+        col("value"))
+    assert(rows(got) == rows(want) && got.count() > 0)
+  }
+
+  test("CASE without a default arm yields NULL for unmatched rows") {
+    val got = aql("FROM allEvents SELECT CASE _.value < 50 => 'small' ENDCASE, _.value")
+      .collect()
+    assert(got.exists(_.isNullAt(0)) && got.exists(!_.isNullAt(0)))
+    got.foreach(r => assert(r.isNullAt(0) == (r.getDouble(1) >= 50)))
+  }
+
+  test("backtick interpolation == q25's concat convention") {
+    val got = aql("FROM 'purchase' SELECT `user {_.user_id}: {_.event_type} at {_.value}`")
+    val want = graft.operators.Filters.tagged(spark, sf0001)
+      .filter(array_contains(col("tags"), "purchase"))
+      .orderBy("event_id")
+      .select(concat(lit("user "), col("user_id").cast("string"), lit(": "),
+        col("event_type"), lit(" at "), col("value").cast("string")))
+    assert(rows(got) == rows(want) && got.count() > 0)
+  }
+
+  test("LIMIT bounds the lamport-ordered stream == q00_scan_limit") {
+    val got = aql(
+      "FROM allEvents SELECT _.event_id, _.ts_us, _.user_id, _.event_type, _.value, _.props LIMIT 100")
+    assert(rows(got) == rows(q("q00_scan_limit")))
+  }
+
+  test("scalar subQuery: rows above the global average (q67 shape)") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val gavg = ev.agg(avg("value")).collect()(0).getDouble(0)
+    val got = aql(
+      "FROM allEvents FILTER _.value > subQuery(FROM allEvents AGGREGATE AVG(_.value)) SELECT _.event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = ev.filter(col("value") > gavg).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < ev.count())
+  }
+
+  test("IN subQuery: left-semi join (q68 shape)") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val errUsers = ev.filter(col("event_type") === "error" && col("value") > 180)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val got = aql(
+      "FROM allEvents FILTER _.user_id IN subQuery(FROM 'error' FILTER _.value > 180 SELECT _.user_id) SELECT _.event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = ev.filter(col("user_id").isInCollection(errUsers))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < ev.count())
+  }
+
+  test("correlated subQuery (^.user_id) == q69_subq_correlated") {
+    val got = aql(
+      "FROM allEvents FILTER _.value > subQuery(FROM allEvents FILTER _.user_id = ^.user_id AGGREGATE AVG(_.value)) " +
+        "SELECT _.event_id, _.user_id, _.value")
+    assert(rows(got) == rows(q("q69_subq_correlated")))
+  }
+
+  test("subQuery outside FILTER and stray outer refs are rejected") {
+    intercept[IllegalArgumentException](
+      aql("FROM 'a' SELECT subQuery(FROM 'b' SELECT _.user_id)").collect())
+    intercept[IllegalArgumentException](
+      aql("FROM 'a' FILTER _.value > ^.value SELECT _.event_id").collect())
   }
 }
