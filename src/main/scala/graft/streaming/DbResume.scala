@@ -26,6 +26,18 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * The OffsetMap is metadata-scale (one row per stream): reading it to
   * the driver and broadcasting it back mirrors the reference exactly.
+  *
+  * DEVIATION from EP-3: the reference advances its OffsetMap in the SAME
+  * database transaction as the landed rows. Spark executors each hold
+  * their own JDBC connection, so a single cross-connection transaction
+  * is not expressible here; instead rows MERGE per-partition first and
+  * the OffsetMap advances afterwards in a separate driver-side
+  * transaction. The ordering (rows, then stats, then offsets) plus the
+  * idempotent keyed MERGE preserves effectively-exactly-once: a crash
+  * between any two steps re-delivers the batch, replayed rows no-op,
+  * the stat MERGE keeps the larger count, and the offsets advance is
+  * last so a fresh count is never computed against a watermark the rows
+  * haven't reached.
   */
 object DbResume {
 
@@ -33,7 +45,7 @@ object DbResume {
   val OFFSETS = "graft_offsets"
   val STATS = "graft_batch_stats"
 
-  private def ensureAux(url: String): Unit = {
+  private[streaming] def ensureAux(url: String): Unit = {
     val c = DerbySink.connect(url)
     try {
       val st = c.createStatement()
@@ -81,17 +93,21 @@ object DbResume {
     } finally c.close()
   }
 
-  private def recordStat(url: String, key: String, n: Long): Unit = {
+  /** Replay-safe: a batch re-delivered after a crash recomputes a fresh
+    * count that can only be lower (offsets may have advanced meanwhile),
+    * so MATCHED keeps the larger of the stored and offered counts.
+    */
+  private[streaming] def recordStat(url: String, key: String, n: Long): Unit = {
     val c = DerbySink.connect(url)
     try {
       val ps = c.prepareStatement(
         s"""MERGE INTO $STATS t USING SYSIBM.SYSDUMMY1
            |ON t.batch_key = ?
-           |WHEN MATCHED THEN UPDATE SET n_written = ?
+           |WHEN MATCHED AND t.n_written < ? THEN UPDATE SET n_written = ?
            |WHEN NOT MATCHED THEN INSERT (batch_key, n_written) VALUES (?, ?)""".stripMargin)
       try {
-        ps.setString(1, key); ps.setLong(2, n)
-        ps.setString(3, key); ps.setLong(4, n)
+        ps.setString(1, key); ps.setLong(2, n); ps.setLong(3, n)
+        ps.setString(4, key); ps.setLong(5, n)
         ps.executeUpdate()
       } finally ps.close()
     } finally c.close()
@@ -126,31 +142,43 @@ object DbResume {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        batch.persist()
-        try {
-          // ALL rows MERGE (idempotent — replays no-op, late arrivals
-          // insert); the OffsetMap only classifies fresh vs not
-          DerbySink.upsertBatchAs(batch, url, SINK, "event_id")
-          val lower = readOffsets(url).toSeq.toDF("user_id", "last_off")
-          val fresh = batch.join(broadcast(lower), Seq("user_id"), "left")
-            .filter(col("event_id") > coalesce(col("last_off"), lit(Long.MinValue)))
-            .drop("last_off")
-            .persist()
-          try {
-            val n = fresh.count()
-            if (n > 0) {
-              // advance the map only AFTER the rows landed: a crash
-              // between the two re-delivers (at-least-once) and the keyed
-              // MERGE absorbs it
-              val maxes = fresh.groupBy("user_id").agg(max("event_id"))
-                .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-              advanceOffsets(url, maxes)
-            }
-            recordStat(url, s"$statPrefix-$batchId", n)
-          } finally fresh.unpersist()
-        } finally batch.unpersist()
+        landBatch(batch, url, s"$statPrefix-$batchId")
       }
+  }
+
+  /** One batch's landing protocol: rows MERGE, then the fresh-count stat,
+    * then the OffsetMap advance — see the class scaladoc for why this
+    * order makes every crash point recoverable.
+    */
+  private[streaming] def landBatch(batch: DataFrame, url: String,
+                                   statKey: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.persist()
+    try {
+      // ALL rows MERGE (idempotent — replays no-op, late arrivals
+      // insert); the OffsetMap only classifies fresh vs not
+      DerbySink.upsertBatchAs(batch, url, SINK, "event_id")
+      val lower = readOffsets(url).toSeq.toDF("user_id", "last_off")
+      val fresh = batch.join(broadcast(lower), Seq("user_id"), "left")
+        .filter(col("event_id") > coalesce(col("last_off"), lit(Long.MinValue)))
+        .drop("last_off")
+        .persist()
+      try {
+        val n = fresh.count()
+        // stat BEFORE the offsets advance: a crash before this line
+        // leaves the watermark un-advanced, so the replay recomputes the
+        // SAME fresh count; a crash after it has the count safe already
+        recordStat(url, statKey, n)
+        if (n > 0) {
+          // advance the map only AFTER the rows landed: a crash
+          // between the two re-delivers (at-least-once) and the keyed
+          // MERGE absorbs it
+          val maxes = fresh.groupBy("user_id").agg(max("event_id"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+          advanceOffsets(url, maxes)
+        }
+      } finally fresh.unpersist()
+    } finally batch.unpersist()
   }
 }

@@ -77,4 +77,38 @@ class DbResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DbResume.rowsWritten(url) == total,
       "a below-watermark event must not count as fresh")
   }
+
+  test("a batch replayed after a crash between rows-MERGE and recordStat still reports the true fresh count") {
+    val url = s"jdbc:derby:${tmpDir("graft-dbresume-crash")}/db;create=true"
+    val events = EventStream.withEventTime(graft.sources.Tables.events(spark, sf0001))
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val total = events.count()
+    val mid = events.agg(expr("percentile_approx(event_id, 0.5)")).head().getLong(0)
+    val batch1 = events.filter(col("event_id") <= mid)
+    val batch2 = events.filter(col("event_id") > mid)
+    val n2 = batch2.count()
+
+    DbResume.ensureAux(url)
+    DerbySink.ensureTableFor(url, DbResume.SINK, batch1.schema, "event_id")
+    DbResume.landBatch(batch1, url, "crash-0")
+    assert(DbResume.rowsWritten(url) == total - n2)
+
+    // crash between rows-MERGE and recordStat: batch2's rows land but
+    // neither the stat nor the OffsetMap advance happened
+    DerbySink.upsertBatchAs(batch2, url, DbResume.SINK, "event_id")
+    assert(DbResume.rowsWritten(url) == total - n2, "crashed batch must not have counted yet")
+
+    // the re-delivered batch recomputes its fresh count against the
+    // un-advanced watermark — the true n2, not zero
+    DbResume.landBatch(batch2, url, "crash-1")
+    assert(DbResume.rowsWritten(url) == total,
+      "replayed batch after a pre-stat crash must recover its true fresh count")
+
+    // a second full replay (crash after everything landed) recomputes
+    // fresh = 0; the max-keeping stat MERGE must not regress the count
+    DbResume.landBatch(batch2, url, "crash-1")
+    assert(DbResume.rowsWritten(url) == total,
+      "post-advance replay overwrote the recorded count with zero")
+  }
 }
