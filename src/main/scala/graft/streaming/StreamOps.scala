@@ -32,6 +32,20 @@ case class Delivery(user_id: Long, kind: String, event_id: Long)
   */
 object StreamOps {
 
+  /** 100 TB state posture: the default HDFS-backed state store keeps
+    * every key's state deserialized on the executor heap, which is fine
+    * while keyed state is O(streams) but becomes the memory wall once a
+    * deployment tracks hundreds of millions of keys. RocksDB keeps state
+    * on executor-local disk with incremental snapshot checkpointing, so
+    * state size is bounded by disk, not heap. Session-wide; queries read
+    * the provider at start. StreamingParitySpec re-runs S9/S10 under
+    * this provider to pin that the stateful ops don't depend on
+    * HDFS-backed semantics.
+    */
+  def useRocksDBStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** S2 — tumbling 1 h counts per event_type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

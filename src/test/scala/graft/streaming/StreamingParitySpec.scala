@@ -142,10 +142,13 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(ids.toSet == want)
   }
 
-  test("S10: monotonic subscription orders in-batch, time-travels on cross-batch late keys") {
+  /** S10's scenario + assertions, parameterized so it can run under more
+    * than one state-store provider.
+    */
+  private def checkMonotonic(name: String): Unit = {
     val sparkS = spark
     import sparkS.implicits._
-    val dir = tmpDir("graft-s10")
+    val dir = tmpDir(s"graft-$name")
     def drop(rows: Seq[(Long, Long)]): Unit = {
       rows.map { case (u, k) => (k, k * 1000L, u, "e", 0.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -158,7 +161,7 @@ class StreamingParitySpec extends AnyFunSuite {
     drop(Seq((1L, 5L), (1L, 1L), (1L, 2L), (2L, 10L)))
     drop(Seq((1L, 3L), (2L, 11L)))
 
-    val got = runStream("s10",
+    val got = runStream(name,
       StreamOps.monotonic(EventStream.read(spark, dir)).toDF, "append")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
 
@@ -171,8 +174,9 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(s2 == Seq((2L, "event", 10L), (2L, "event", 11L)), s"stream 2: $s2")
   }
 
-  test("S9: stateful running balance — final state == batch aggregate") {
-    val got = runStream("s9",
+  /** S9's parity assertions, parameterized like [[checkMonotonic]]. */
+  private def checkRunningBalance(name: String): Unit = {
+    val got = runStream(name,
       StreamOps.runningBalance(EventStream.read(spark, stagedDir)).toDF, "update")
     // the row with the largest n_events per user is the final state
     val finalRows = got.collect()
@@ -186,5 +190,21 @@ class StreamingParitySpec extends AnyFunSuite {
       assert(row.getLong(1) == n, s"user $u event count")
       assert(math.abs(row.getDouble(2) - s) <= 1e-6, s"user $u balance")
     }
+  }
+
+  test("S10: monotonic subscription orders in-batch, time-travels on cross-batch late keys") {
+    checkMonotonic("s10")
+  }
+
+  test("S9: stateful running balance — final state == batch aggregate") {
+    checkRunningBalance("s9")
+  }
+
+  test("S9+S10 under the RocksDB state store (the 100 TB keyed-state posture)") {
+    StreamOps.useRocksDBStateStore(spark)
+    try {
+      checkRunningBalance("s9rocks")
+      checkMonotonic("s10rocks")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
