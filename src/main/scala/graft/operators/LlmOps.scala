@@ -576,29 +576,28 @@ object LlmOps {
 
     // IVF ANN (§2.10 q7G) — the coarse-quantizer similarity scale path,
     // complementing q7C: SimHash buckets are data-INdependent, IVF cells
-    // adapt to the data distribution. K deterministic seed centroids
-    // (smallest xxhash64(vec_id)), one distributed Lloyd refinement
-    // (posexplode by dimension → per-(cell, dim) mean → rebuilt centroid
-    // arrays), every vector assigned to its nearest cell via max_by over
-    // a broadcast K-row table (map-side partial combine; the only big-
-    // side shuffles are the two vec_id-keyed assignment joins), queries
-    // probe their nprobe=3 nearest cells, candidates meet by EQUI-join
-    // on cell id, and only cell-mates get the exact cosine rerank —
-    // never a cross join over the corpus. Centroid-construction-specific
-    // output → rows-only check; exactness of reported sims + recall@5
-    // vs the exact 5-NN are asserted in AnnSpec.
+    // adapt to the data distribution. The quantizer ([[ivfModel]]) trains
+    // MLlib-KMeans-style: centroids live on the driver as model metadata,
+    // so cell assignment is a per-row in-row argmax against a literal
+    // centroid array — no crossJoin, no assignment shuffle anywhere.
+    // Queries probe their nprobe=3 nearest cells (picked in-row the same
+    // way), candidates meet by EQUI-join on cell id, and only cell-mates
+    // get the exact cosine rerank — never a cross join over the corpus.
+    // Centroid-construction-specific output → rows-only check; exactness
+    // of reported sims + recall@5 vs the exact 5-NN are asserted in
+    // AnnSpec.
     "q7G_ann_ivf" -> ((s, d) => {
       val v = vectors(s, d)
-      val (refined, index) = ivfIndex(s, d)
-      val nprobe = IvfNProbe
-      val pw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val (cents, index) = ivfModel(s, d)
+      // probes: per-query top-nprobe cells picked IN-ROW from the scored
+      // literal centroid array (reverse(array_sort) on (cs, -cid) structs
+      // = cs desc, cid asc) — no crossJoin, no window exchange
       val probes = v.filter(col("vec_id") < 10)
-        .crossJoin(broadcast(refined))
-        .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
-        .withColumn("pr", row_number().over(pw))
-        .filter(col("pr") <= nprobe)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
-          col("nsq").as("qn"), col("cid"))
+          col("nsq").as("qn"),
+          explode(slice(reverse(array_sort(ivfScored(cents, col("e")))),
+            1, IvfNProbe)).as("pc"))
+        .select(col("q_id"), col("qe"), col("qn"), (-col("pc.ncid")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       // each candidate lives in exactly one cell, so a (q, n) pair can
       // meet at most once — no distinct needed (unlike q7C's bands)
@@ -613,49 +612,73 @@ object LlmOps {
     })
   )
 
-  /** IVF coarse quantizer shared by q7G and AnnSpec's occupancy property:
-    * K deterministic hash-min seeds, `IvfLloydSteps` distributed Lloyd
-    * refinements (posexplode by dimension → per-(cell, dim) mean →
-    * rebuilt centroid arrays — each step is one bounded agg over the
-    * corpus, never driver-side), vectors assigned to their nearest cell
-    * via max_by over the broadcast K-row centroid table. Returns
-    * (centroids(cid, ce, cnsq), index(cid, n_id, ne, nn)).
-    */
   private val IvfK = 16
   private val IvfLloydSteps = 2
   private val IvfNProbe = 3
 
-  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** One IVF centroid. `cnsq` = ‖ce‖² so assignment only needs a dot. */
+  case class IvfCent(cid: Int, ce: Seq[Double], cnsq: Double)
+
+  /** Per-cell (similarity, -cid) scores of vector column `e` against the
+    * LITERAL centroid array: `array_max`/`array_sort` over these structs
+    * order by cs first, then by -cid — i.e. best cell, smallest cid on
+    * ties. In-row, so assignment and probing shuffle nothing.
+    */
+  private def ivfScored(cents: Seq[IvfCent], e: Column): Column =
+    transform(typedLit(cents), c =>
+      // the cast names the lambda-struct fields (aliases don't survive
+      // inside HOF lambdas — they come out col1/col2)
+      struct(call_function("graft_dot", e, c.getField("ce"))
+        / sqrt(c.getField("cnsq")), -c.getField("cid"))
+        .cast("struct<cs:double,ncid:int>"))
+
+  private def ivfCid(cents: Seq[IvfCent], e: Column): Column =
+    -array_max(ivfScored(cents, e)).getField("ncid")
+
+  /** IVF coarse quantizer shared by q7G and AnnSpec's occupancy property:
+    * K deterministic hash-min seeds, then `IvfLloydSteps` Lloyd
+    * refinements. Centroids are MODEL metadata (K·dim doubles), so each
+    * step collects them to the driver and re-embeds them as a literal —
+    * the same shape as MLlib's KMeans, which collects + broadcasts its
+    * centers every iteration. That makes assignment a pure per-row argmax
+    * (no crossJoin, no exchange) and each Lloyd step exactly one corpus
+    * scan feeding one partial-aggregated (cid, dim) mean — the only
+    * shuffle, K·dim groups. Empty cells drop out of the model (AnnSpec
+    * pins fixture occupancy). Returns the centroid list and the
+    * assignment index(cid, n_id, ne, nn).
+    */
+  def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
-    // seeds: metadata-scale (K rows) after the limit; the window runs
-    // on K rows only.
-    val seedPick = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = v.select(col("vec_id"), col("e"))
+    // seeds: the K smallest xxhash64(vec_id) vectors — deterministic,
+    // data-independent spread; metadata-scale collect (K rows)
+    var cents: Seq[IvfCent] = v.select(col("vec_id"), col("e"))
       .withColumn("h", expr("xxhash64(vec_id)"))
       .orderBy("h", "vec_id").limit(IvfK)
-      .select(row_number().over(seedPick).as("cid"), col("e").as("ce"))
-      .withColumn("cnsq", expr("graft_dot(ce, ce)"))
-    // nearest-cell id per vector: dividing by the vector's own norm is
-    // constant per vec_id, so argmax only needs dot/sqrt(cell norm)
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("cs", expr("graft_dot(e, ce)") / sqrt(col("cnsq")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
-    def refine(assigned: DataFrame): DataFrame =
-      assigned
-        .join(v.select("vec_id", "e"), "vec_id")
-        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+      .collect().toSeq.zipWithIndex.map { case (r, i) =>
+        val e = r.getSeq[Double](1)
+        IvfCent(i + 1, e, e.map(x => x * x).sum)
+      }
+    for (_ <- 1 to IvfLloydSteps) {
+      // per-(cell, dim) mean: one scan, map-side partial agg, K·dim groups
+      val means = v.select(ivfCid(cents, col("e")).as("cid"),
+          posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("ce"))
-        .withColumn("cnsq", expr("graft_dot(ce, ce)"))
-    val refined = (1 to IvfLloydSteps).foldLeft(seeds)((c, _) => refine(assign(c)))
-    val index = assign(refined)
-      .join(v, "vec_id")
-      .select(col("cid"), col("vec_id").as("n_id"),
-        col("e").as("ne"), col("nsq").as("nn"))
-    (refined, index)
+        .collect().toSeq
+      cents = means.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        val ce = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        IvfCent(cid, ce, ce.map(x => x * x).sum)
+      }.sortBy(_.cid)
+    }
+    val index = v.select(ivfCid(cents, col("e")).as("cid"),
+      col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
+    (cents, index)
+  }
+
+  /** Back-compat shape for callers that want the centroids as a table. */
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (cents, index) = ivfModel(s, d)
+    import s.implicits._
+    (cents.toDF("cid", "ce", "cnsq"), index)
   }
 
   val oracle: Map[String, String] = Map(
