@@ -609,6 +609,64 @@ object LlmOps {
         .filter(col("rn") <= 5)
         .select("q_id", "n_id", "sim", "rn")
         .orderBy("q_id", "rn")
+    }),
+
+    // deterministic train/val/test split (§2.10 q7J) — every training
+    // pipeline's first op after dedup. The bucket comes from an
+    // engine-portable LCG on doc_id (NOT xxhash64: the oracle engine must
+    // reproduce the split bit-exactly, and no two engines share a hash),
+    // taking the HIGH bits (low LCG bits cycle). A pure per-row
+    // projection: no shuffle, no state, any executor count — the split
+    // of a row never depends on any other row.
+    "q7J_split_hash" -> ((s, d) => {
+      val bucket =
+        expr("(pmod(pmod(doc_id, 2147483648) * 1103515245 + 12345, 2147483648) * 100) div 2147483648")
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val")).otherwise(lit("test")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
+    }),
+
+    // fixed-budget sequence packing (§2.10 q7K): docs pack into
+    // 2048-token chunks within their (lang, source) shard in doc_id
+    // order; a doc's chunk = tokens-before-it div budget. Pack-WITHIN-
+    // shard is the 100 TB shape: shards pack independently in parallel
+    // (the running-sum window never spans shards), exactly how training
+    // pipelines pack per input file.
+    "q7K_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("chunk", expr("(cum - tokens) div 2048"))
+        .groupBy("lang", "source", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("chunk_tokens"))
+        .orderBy("lang", "source", "chunk")
+    }),
+
+    // weighted corpus mixing (§2.10 q7L): interleave languages at fixed
+    // ratios (en 4 : de 2 : fr 2 : es 1 : zh 1) — the domain-mixing op
+    // that decides training-data order. Doc k (0-based) of a weight-w
+    // corpus gets virtual time k/w, spelled ((rn-1)*840) div wt so it
+    // stays in exact integer arithmetic (840 = any common multiple of
+    // the weights); the global head is TakeOrderedAndProject, never a
+    // full sort.
+    "q7L_mix_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("wt",
+          when(col("lang") === "en", 4L)
+            .when(col("lang").isin("de", "fr"), 2L).otherwise(1L))
+        .withColumn("mix_key", expr("((rn - 1) * 840) div wt"))
+        .select("mix_key", "lang", "doc_id")
+        .orderBy("mix_key", "lang", "doc_id")
+        .limit(100)
     })
   )
 
@@ -799,6 +857,39 @@ object LlmOps {
         |SELECT doc_id, n_tokens, stop_cnt, distinct_cnt,
         |  CAST(((n_tokens - stop_cnt + distinct_cnt) * 5000) // n_tokens
         |    AS BIGINT) AS score_bp
-        |FROM t ORDER BY score_bp DESC, doc_id LIMIT 25""".stripMargin
+        |FROM t ORDER BY score_bp DESC, doc_id LIMIT 25""".stripMargin,
+    // doc_id is non-negative, so DuckDB's % matches Spark's pmod and both
+    // engines' integer division floors identically
+    "q7J_split_hash" ->
+      """SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    ((doc_id % 2147483648 * 1103515245 + 12345) % 2147483648 * 100)
+        |      // 2147483648 AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q7K_pack_sequences" ->
+      """SELECT lang, source, (cum - tokens) // 2048 AS chunk,
+        |  count(*) AS n_docs, sum(tokens) AS chunk_tokens
+        |FROM (
+        |  SELECT lang, source, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT lang, source, doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |        FROM documents))
+        |GROUP BY 1, 2, 3 ORDER BY lang, source, chunk""".stripMargin,
+    "q7L_mix_weighted" ->
+      """SELECT ((rn - 1) * 840) // wt AS mix_key, lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |    CAST(CASE WHEN lang = 'en' THEN 4
+        |              WHEN lang IN ('de', 'fr') THEN 2 ELSE 1 END
+        |      AS BIGINT) AS wt
+        |  FROM documents)
+        |ORDER BY mix_key, lang, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 88) // 82 oracle + q44 + q7A + q7C + q7E + q7G + q7H (SURVEY.md §7.5)
+    assert(qs.size == 91) // 85 oracle + q44 + q7A + q7C + q7E + q7G + q7H (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -220,5 +220,47 @@ class OperatorSpec extends AnyFunSuite {
         // n_sessions * avg_len == n_events (avg rounded to 4 decimals)
         assert(math.abs(n * avgLen - total) < n * 1e-3)
     }
+  }
+
+  // §2.10 training-pipeline ops: structural invariants beyond the oracle
+  test("q7J_split_hash partitions the corpus and lands near 80/10/10") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val total = docs.count()
+    val bySplit = SparkEntry.queries("q7J_split_hash")(spark, sf0001)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total, "splits must partition the corpus")
+    // LCG-uniform buckets: train ≈ 80% with generous slack for n=100
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
+  test("q7K_pack_sequences: chunks partition each shard and respect the budget") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = SparkEntry.queries("q7K_pack_sequences")(spark, sf0001).collect()
+    assert(got.map(_.getLong(3)).sum == docs.count(), "docs must partition into chunks")
+    // a doc STARTS in the chunk holding the tokens before it, so a chunk
+    // overflows only by its last doc: tokens(chunk) < 2048 + max doc tokens
+    val maxDoc = docs.selectExpr("max(size(split(text, ' ')))").head().getInt(0)
+    got.foreach { r =>
+      assert(r.getLong(4) < 2048L + maxDoc,
+        s"chunk ${r.getString(0)}/${r.getString(1)}/${r.getLong(2)} too large")
+    }
+    // chunk ids per shard are contiguous from 0
+    got.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (shard, rows) =>
+      val ids = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, s"gap in chunks of $shard")
+    }
+  }
+
+  test("q7L_mix_weighted delivers languages near their weights in every prefix") {
+    val got = SparkEntry.queries("q7L_mix_weighted")(spark, sf0001).collect()
+    assert(got.length == 100)
+    // virtual-time keys are non-decreasing in delivery order
+    val keys = got.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "mix must deliver in virtual-time order")
+    // in the first 50, en (weight 4/10) must dominate but not monopolize
+    val en50 = got.take(50).count(_.getString(1) == "en")
+    assert(en50 >= 15 && en50 <= 35, s"en in first 50: $en50")
   }
 }
