@@ -71,4 +71,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q7G: IVF assignment is in-row — no cartesian, no nested loop, " +
+    "candidates meet on a cell-id equi-join") {
+    val p = plan("q7G_ann_ivf")
+    // centroids are a driver-resident literal: the old crossJoin/window
+    // assignment shape must never come back
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashjoin") || p.contains("HashJoin"), p)
+  }
 }
