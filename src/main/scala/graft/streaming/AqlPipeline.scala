@@ -32,8 +32,30 @@ object AqlPipeline {
     */
   def attach(spark: SparkSession, stagingDir: String, aql: String,
              url: String, checkpointDir: String,
-             table: String = "aql_sink"): DataStreamWriter[Row] = {
-    val src = Filters.withTags(EventStream.read(spark, stagingDir))
+             table: String = "aql_sink"): DataStreamWriter[Row] =
+    attachSource(EventStream.read(spark, stagingDir), aql, url,
+      checkpointDir, table)
+
+  /** [[attach]] over the JSON wire format ([[graft.sources.EventJson]]) —
+    * the reference's literal deployment: subscribe to JSON envelopes,
+    * select with AQL, land rows in the DB. Malformed lines are excluded
+    * before the sink (no key to MERGE on) and stay countable upstream
+    * via `EventJson.rejects`; they never fail the subscription.
+    */
+  def attachJson(spark: SparkSession, jsonDir: String, aql: String,
+                 url: String, checkpointDir: String,
+                 table: String = "aql_sink"): DataStreamWriter[Row] = {
+    import graft.sources.EventJson
+    attachSource(
+      EventStream.withEventTime(
+        EventJson.wellFormed(EventJson.readStream(spark, jsonDir))),
+      aql, url, checkpointDir, table)
+  }
+
+  private def attachSource(events: DataFrame, aql: String, url: String,
+                           checkpointDir: String,
+                           table: String): DataStreamWriter[Row] = {
+    val src = Filters.withTags(events)
     if (Aql.parse(aql).select.isEmpty) {
       val selected = src.filter(Aql.predicate(aql)).drop("tags")
       DerbySink.attach(selected, url, checkpointDir)

@@ -133,6 +133,41 @@ class AqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c2.close()
   }
 
+  test("the JSON wire format feeds the same AQL subscription, corrupt lines and all") {
+    val url = s"jdbc:derby:${tmpDir("graft-aqljson")}/db;create=true"
+    val dir = tmpDir("graft-aqljson-stage")
+    graft.sources.Tables.events(spark, sf0001)
+      .coalesce(2).write.mode("append").json(dir)
+    // a producer bug in the stream must not fail or pollute the landing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.json"),
+      "{\"event_id\": 999999, \"broken\n".getBytes("UTF-8"))
+
+    val q = AqlPipeline.attachJson(spark, dir, AQL, url,
+      tmpDir("graft-aqljson-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = {
+      val c = DerbySink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT event_id, value FROM ${DerbySink.TABLE}")
+        val b = Map.newBuilder[Long, Double]
+        while (rs.next()) b += rs.getLong(1) -> rs.getDouble(2)
+        b.result()
+      } finally c.close()
+    }
+    val want = Filters.withTags(
+      EventStream.withEventTime(graft.sources.Tables.events(spark, sf0001)))
+      .filter(Aql.predicate(AQL))
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(want.nonEmpty)
+    assert(landed == want,
+      s"JSON-fed landing ${landed.size} rows, batch AQL says ${want.size}")
+    assert(!landed.contains(999999L), "the corrupt line leaked into the sink")
+  }
+
   test("AGGREGATE is rejected on the sink path; predicate() also rejects SELECT") {
     val tagged = Filters.withTags(EventStream.readBatch(spark, {
       val d = tmpDir("graft-aqlrej"); EventStream.stage(spark, sf0001, d, 1); d
