@@ -332,6 +332,9 @@ object Aql {
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" => lc / rc
+        case "IN" => throw new IllegalArgumentException(
+          "AQL: IN is only supported as `x IN subQuery(…)` in FILTER")
+        case other => throw new IllegalArgumentException(s"AQL: bad operator '$other'")
       }
     case Call(fn, args) => lowerAgg(fn, args)
     case OuterPath(_) =>
@@ -484,12 +487,27 @@ object Aql {
         val grouped = inner
           .groupBy(keys.zipWithIndex.map { case ((_, ie), i) => lower(ie).as(s"__k$i") }: _*)
           .agg(aggRaw.as("__sq"))
+        // outer correlation keys go through the same Path lowering as any
+        // field reference (JSON payload paths included), not a bare col()
         val cond = keys.zipWithIndex
-          .map { case ((o, _), i) => col(o.mkString(".")) === col(s"__k$i") }
+          .map { case ((o, _), i) => lower(Path(o)) === col(s"__k$i") }
           .reduce(_ && _)
-        df.join(grouped, cond) // inner join: outer rows without a group drop, as in SQL
-          .filter(cmp(op)(lhsCol, col("__sq")))
-          .drop("__sq" +: keys.indices.map(i => s"__k$i"): _*)
+        val isCount = sq.aggregate.head match {
+          case Call(fn, _) => fn == "COUNT"
+          case _ => false
+        }
+        if (isCount)
+          // the classic correlated-COUNT case: an outer row with NO inner
+          // group counts 0 (not NULL, not dropped) → left join + coalesce
+          df.join(grouped, cond, "left")
+            .filter(cmp(op)(lhsCol, coalesce(col("__sq"), lit(0L))))
+            .drop("__sq" +: keys.indices.map(i => s"__k$i"): _*)
+        else
+          // SUM/MIN/MAX/AVG over no rows is NULL; NULL comparisons drop
+          // the row in SQL, which the inner join reproduces
+          df.join(grouped, cond)
+            .filter(cmp(op)(lhsCol, col("__sq")))
+            .drop("__sq" +: keys.indices.map(i => s"__k$i"): _*)
       }
 
     case other => throw new IllegalArgumentException(

@@ -83,11 +83,14 @@ object LlmOps {
         pmod(col("id"), lit(nb)).cast("int").as("bj"))
       .filter(col("bi") <= col("bj"))
     val blk = v.withColumn("blk", pmod(hash(col("vec_id")), lit(nb)))
+    // cell id in LONG: bi * nb + bj wraps Int once nb > 46340 (~11.6M
+    // vectors), and a wrapped id silently merges two grid cells
+    val cellId = col("bi").cast("long") * nb + col("bj")
     val a = blk.join(broadcast(grid), col("blk") === col("bi"))
-      .select((col("bi") * nb + col("bj")).as("cell"), col("blk").as("blk_a"),
+      .select(cellId.as("cell"), col("blk").as("blk_a"),
         col("vec_id").as("id_a"), col("e").as("ea"), col("nsq").as("na"))
     val b = blk.join(broadcast(grid), col("blk") === col("bj"))
-      .select((col("bi") * nb + col("bj")).as("cell"), col("blk").as("blk_b"),
+      .select(cellId.as("cell"), col("blk").as("blk_b"),
         col("vec_id").as("id_b"), col("e").as("eb"), col("nsq").as("nb"))
     a.join(b, "cell")
       // cross-block cells hold each unordered pair once (sides are the two
@@ -133,6 +136,9 @@ object LlmOps {
     simCache.keys.filter(_._1 == key).foreach { k =>
       simCache.remove(k).foreach(_.unpersist(blocking = true))
     }
+    // the IVF model cache too: Bench releases between passes so pass 2
+    // still pays (and therefore measures) quantizer training
+    ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
   }
 
   /** documents as distinct word-3-shingle sets (the unit of near-dup
@@ -721,8 +727,22 @@ object LlmOps {
     * pins fixture occupancy). Returns the centroid list and the
     * assignment index(cid, n_id, ne, nn).
     */
+  /** Trained models per (session, sfDir) — the training is deterministic,
+    * so retraining on every plan BUILD (registry sweeps, plan pins, both
+    * bench passes) would re-run the same 3 driver-blocking jobs; the
+    * cached value is K·dim doubles.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[IvfCent]]
+
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
+    val cached = ivfCache.get((System.identityHashCode(s), d))
+    if (cached.isDefined) {
+      val cents = cached.get
+      return (cents, v.select(ivfCid(cents, col("e")).as("cid"),
+        col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn")))
+    }
     // seeds: the K smallest xxhash64(vec_id) vectors — deterministic,
     // data-independent spread; metadata-scale collect (K rows)
     var cents: Seq[IvfCent] = v.select(col("vec_id"), col("e"))
@@ -743,16 +763,10 @@ object LlmOps {
         IvfCent(cid, ce, ce.map(x => x * x).sum)
       }.sortBy(_.cid)
     }
+    ivfCache.put((System.identityHashCode(s), d), cents)
     val index = v.select(ivfCid(cents, col("e")).as("cid"),
       col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
     (cents, index)
-  }
-
-  /** Back-compat shape for callers that want the centroids as a table. */
-  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (cents, index) = ivfModel(s, d)
-    import s.implicits._
-    (cents.toDF("cid", "ce", "cnsq"), index)
   }
 
   val oracle: Map[String, String] = Map(

@@ -46,10 +46,13 @@ object AqlPipeline {
                  url: String, checkpointDir: String,
                  table: String = "aql_sink"): DataStreamWriter[Row] = {
     import graft.sources.EventJson
-    attachSource(
-      EventStream.withEventTime(
-        EventJson.wellFormed(EventJson.readStream(spark, jsonDir))),
-      aql, url, checkpointDir, table)
+    // parseable-but-keyless envelopes (valid JSON, no event_id) are as
+    // unlandable as corrupt lines: a NULL MERGE key either kills the
+    // query on a PK violation or re-inserts on every replay. Exclude
+    // them here; they stay countable upstream like any bad-producer row.
+    val keyed = EventJson.wellFormed(EventJson.readStream(spark, jsonDir))
+      .filter(col("event_id").isNotNull)
+    attachSource(EventStream.withEventTime(keyed), aql, url, checkpointDir, table)
   }
 
   private def attachSource(events: DataFrame, aql: String, url: String,

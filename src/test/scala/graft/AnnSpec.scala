@@ -84,7 +84,7 @@ class AnnSpec extends AnyFunSuite {
     // cell silently shrinks K and a mega-cell degrades probe cost toward
     // a linear scan. Both are index-quality regressions, pinned here via
     // the shared index builder.
-    val idx = graft.operators.LlmOps.ivfIndex(spark, sf0001)._2
+    val idx = graft.operators.LlmOps.ivfModel(spark, sf0001)._2
       .groupBy("cid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(idx.keySet == (1 to 16).toSet,

@@ -162,4 +162,27 @@ class AqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       aql("FROM 'a' FILTER _.value > ^.value SELECT _.event_id").collect())
   }
+
+  test("correlated COUNT counts 0 for outer rows with no inner group") {
+    // users with FEWER than 2 high-value errors — including users with
+    // NONE, who must compare against 0, not silently drop (the classic
+    // correlated-COUNT decorrelation bug)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val errCnt = ev.filter(col("event_type") === "error" && col("value") > 190)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ev.select("user_id").distinct().collect().map(_.getLong(0))
+      .filter(u => errCnt.getOrElse(u, 0L) < 2).toSet
+    assert(want.exists(u => !errCnt.contains(u)),
+      "fixture must include zero-group users for this test to bite")
+    val got = aql(
+      "FROM allEvents FILTER 2 > subQuery(FROM 'error' FILTER _.user_id = ^.user_id & _.value > 190 AGGREGATE COUNT(_)) " +
+        "SELECT _.user_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("IN outside a subQuery comparison is a clean rejection, not a MatchError") {
+    intercept[IllegalArgumentException](
+      aql("FROM 'a' FILTER _.user_id IN 5 SELECT _.event_id").collect())
+  }
 }
