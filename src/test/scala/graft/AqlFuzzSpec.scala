@@ -185,10 +185,17 @@ class AqlFuzzSpec extends AnyFunSuite {
         case 1 => text.substring(0, cut) + ")" + text.substring(cut) // stray paren
         case 2 => text.substring(0, cut) + " ~ " + text.substring(cut) // alien token
       }
-      try Aql.parse(mangled)
-      catch {
-        case _: IllegalArgumentException => () // the contract
-        case e: Throwable => fail(s"non-parser error ${e.getClass} for: $mangled")
+      // a mangled input that still PARSES must then lower cleanly too:
+      // success, the front-end's IAE (unsupported shape), or Spark's
+      // AnalysisException (type/schema error) — never a MatchError/NPE
+      // from a hole in the lowering itself
+      try {
+        Aql.parse(mangled)
+        Aql.run(spark, sf0001, mangled).queryExecution.analyzed
+      } catch {
+        case _: IllegalArgumentException => () // the front-end contract
+        case _: org.apache.spark.sql.AnalysisException => () // schema/type
+        case e: Throwable => fail(s"non-contract error ${e.getClass} for: $mangled")
       }
     }
   }
