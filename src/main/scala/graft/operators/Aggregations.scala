@@ -133,6 +133,19 @@ object Aggregations {
         .agg(round(percentile(col("value"), lit(0.5)), 4).as("median_v"))
         .orderBy("event_type")),
 
+    // approximate median — q4B's 100 TB sibling, the same pairing as
+    // q43/q44 for distinct counts: exact percentile buffers every value
+    // per group; approx_percentile keeps a bounded mergeable sketch, so
+    // the shuffle carries sketch state instead of the column. Sketch
+    // internals are engine-specific → no oracle; OperatorSpec pins the
+    // approx-vs-exact error band at this accuracy.
+    "q4E_agg_approx_median" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(approx_percentile(col("value"), lit(0.5), lit(10000)), 4)
+          .as("approx_median_v"))
+        .orderBy("event_type")),
+
     // dynamic→wide pivot: per-user event counts spread into one column
     // per tag. The tag vocabulary is passed EXPLICITLY — the form that
     // skips pivot's extra distinct-scan job, which is how it must be run

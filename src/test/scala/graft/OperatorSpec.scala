@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 91) // 85 oracle + q44 + q7A + q7C + q7E + q7G + q7H (SURVEY.md §7.5)
+    assert(qs.size == 92) // 85 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -32,9 +32,9 @@ class OperatorSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach { k => assert(qs.contains(k), k) }
     // the declared non-oracle entries (hash/seed-specific sketches)
     assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q44_agg_approx_distinct", "q7A_dedup_minhash",
-        "q7C_ann_simhash", "q7E_doc_fingerprint", "q7G_ann_ivf",
-        "q7H_dedup_embed"))
+      Set("q44_agg_approx_distinct", "q4E_agg_approx_median",
+        "q7A_dedup_minhash", "q7C_ann_simhash", "q7E_doc_fingerprint",
+        "q7G_ann_ivf", "q7H_dedup_embed"))
   }
 
   test("entry: flagship query returns rows") {
@@ -219,6 +219,22 @@ class OperatorSpec extends AnyFunSuite {
         assert(n >= 1 && n <= total)
         // n_sessions * avg_len == n_events (avg rounded to 4 decimals)
         assert(math.abs(n * avgLen - total) < n * 1e-3)
+    }
+  }
+
+  // §2.4 — the approximate median must sit inside a tight band around
+  // q4B's exact median (at accuracy 10000 the sketch's rank error is
+  // ~1e-4, far finer than the fixture's value spacing)
+  test("q4E_agg_approx_median tracks the exact q4B median per group") {
+    val exact = SparkEntry.queries("q4B_agg_median")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("q4E_agg_approx_median")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, v) =>
+      val e = exact(k)
+      assert(math.abs(v - e) <= math.max(0.05 * math.abs(e), 1.0),
+        s"$k: approx $v vs exact $e")
     }
   }
 
