@@ -689,6 +689,24 @@ object LlmOps {
         .select("mix_key", "lang", "doc_id")
         .orderBy("mix_key", "lang", "doc_id")
         .limit(100)
+    }),
+
+    // deterministic stratified sample (§2.10 q7M): a fixed-size
+    // per-stratum sample in portable-LCG order (same generator as q7J,
+    // same cross-engine argument) — eval-set construction that any
+    // engine reproduces byte-for-byte. The rank-≤-k window filter is the
+    // q62 shape: Spark's WindowGroupLimit pushes the per-group limit
+    // below the exchange, so each map task forwards at most k rows per
+    // group it sees — never a full per-stratum sort of the corpus.
+    "q7M_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h",
+          expr("pmod(pmod(doc_id, 2147483648) * 1103515245 + 12345, 2147483648)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
     })
   )
 
@@ -920,6 +938,14 @@ object LlmOps {
         |              WHEN lang IN ('de', 'fr') THEN 2 ELSE 1 END
         |      AS BIGINT) AS wt
         |  FROM documents)
-        |ORDER BY mix_key, lang, doc_id LIMIT 100""".stripMargin
+        |ORDER BY mix_key, lang, doc_id LIMIT 100""".stripMargin,
+    "q7M_sample_stratified" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id % 2147483648 * 1103515245 + 12345) % 2147483648,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
   )
 }
