@@ -662,26 +662,15 @@ object LlmOps {
     // stays in exact integer arithmetic (840 = any common multiple of
     // the weights); the global head is TakeOrderedAndProject, never a
     // full sort. The per-corpus rank is NOT a per-lang window (5 langs =
-    // 5 tasks carrying the whole corpus at 100 TB) but q56's distributed
-    // rank: range-partition on (lang, doc_id), number locally in
-    // parallel, prefix-sum the per-(lang, partition) counts (metadata:
-    // langs × partitions rows), broadcast the offsets back — bit-identical
-    // to row_number() OVER (PARTITION BY lang ORDER BY doc_id).
+    // 5 tasks carrying the whole corpus at 100 TB) but the shared
+    // [[Ranks.rowNumber]] distributed rank — bit-identical to
+    // row_number() OVER (PARTITION BY lang ORDER BY doc_id).
     "q7L_mix_weighted" -> ((s, d) => {
-      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val ranged = Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"))
-        .repartitionByRange(parts, col("lang"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val localW = Window.partitionBy(col("pid"), col("lang")).orderBy(col("doc_id"))
-      val local = ranged.withColumn("lrn", row_number().over(localW).cast("long"))
-      val offW = Window.partitionBy(col("lang")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy("lang", "pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-        .select("lang", "pid", "off")
-      local.join(broadcast(offsets), Seq("lang", "pid"))
-        .withColumn("rn", col("off") + col("lrn"))
+      val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranked = Ranks.rowNumber(
+        Tables.documents(s, d).select(col("lang"), col("doc_id")),
+        Seq("lang"), col("doc_id"), Nil, buckets, "rn")
+      ranked
         .withColumn("wt",
           when(col("lang") === "en", 4L)
             .when(col("lang").isin("de", "fr"), 2L).otherwise(1L))

@@ -106,41 +106,27 @@ object Windows {
     }),
 
     // distribution: account-balance quartiles. A bare `ntile(4) OVER
-    // (ORDER BY ...)` would move the whole table into ONE task; instead:
-    // range-partition on the sort key, number rows per partition locally
-    // (parallel), prefix-sum the 32 per-partition counts (the only
-    // single-partition step — it runs over 32 metadata rows, not data),
-    // broadcast the offsets back, and derive the exact ntile bucket from
-    // the global row number in closed form. Bit-identical to ntile(4).
+    // (ORDER BY ...)` would move the whole table into ONE task; instead
+    // the global rank comes from [[Ranks.rowNumber]] (value-derived
+    // buckets → local numbering → metadata prefix-sum) and the exact
+    // ntile bucket is derived from it in closed form. Bit-identical to
+    // ntile(4). The total row count is one column-pruned count —
+    // metadata-scale, same as the similarity kernel's grid sizing.
     "q56_win_ntile" -> ((s, d) => {
-      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val ranged = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"))
-        .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-      val localW = Window.partitionBy(col("pid"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      val local = ranged.withColumn("lrn", row_number().over(localW).cast("long"))
-      val offW = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val totW = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-        .withColumn("total", sum(col("cnt")).over(totW))
-        .select("pid", "off", "total")
+      val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val total = base.count()
+      val ranked = Ranks.rowNumber(base, Nil, col("c_acctbal"),
+        Seq(col("c_custkey")), buckets, "rn")
       // ntile(k): first (N mod k) tiles hold ceil(N/k) rows, the rest
       // floor(N/k); invert that boundary function at the row's global rank.
       val k = 4
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rn", col("off") + col("lrn"))
-        .withColumn("bsz", expr(s"total div $k"))
-        .withColumn("rem", col("total") % k)
+      val bsz = total / k
+      val rem = total % k
+      ranked
         .withColumn("quartile",
-          when(col("rn") <= col("rem") * (col("bsz") + 1),
-            ceil(col("rn") / (col("bsz") + 1)))
-            .otherwise(col("rem") +
-              ceil((col("rn") - col("rem") * (col("bsz") + 1)) / col("bsz")))
+          when(col("rn") <= rem * (bsz + 1), ceil(col("rn") / (bsz + 1)))
+            .otherwise(lit(rem) + ceil((col("rn") - rem * (bsz + 1)) / bsz))
             .cast("int"))
         .select(col("c_custkey"), col("c_acctbal"), col("quartile"))
         .orderBy("c_custkey")
