@@ -696,6 +696,55 @@ object LlmOps {
         .filter(col("rn") <= 10)
         .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "rn")
+    }),
+
+    // EXACT n-gram Jaccard near-dup pairs (§2.10 q7N): word-3-shingle
+    // sets, Jaccard ≥ 3/5, via the prefix-filtering set-similarity join
+    // (the published AllPairs/PPJoin design) — exact like q77 but NEVER
+    // all-pairs: a doc only meets docs sharing one of its rarest
+    // shingles. (1) one corpus pass computes each shingle's document
+    // frequency — the canonical rare-first total order; (2) each doc
+    // keeps only its (sz - ceil(τ·sz) + 1)-prefix under that order
+    // (PPJoin Lemma 1: any pair at Jaccard ≥ τ shares a prefix token —
+    // candidate generation is provably complete, JaccardSpec re-proves
+    // it against a brute-force model); (3) candidates meet on a shingle
+    // EQUI-join (inverted index), pre-trimmed by the size filter
+    // 3·max(sa,sb) ≤ 5·min(sa,sb); (4) survivors verify in-row with
+    // array_intersect. Join keys are 3-shingles and ids, never document
+    // bodies; per-task input is bounded by prefix-token frequency, not
+    // by n. All arithmetic is integer (τ = 3/5; jac_bp = basis points by
+    // integer division) so both engines agree bit-for-bit (§7.4.3).
+    "q7N_dedup_jaccard" -> ((s, d) => {
+      val sh = shingled(s, d)
+        .filter(size(col("shingles")) >= 1)
+        .withColumn("sz", size(col("shingles")))
+      val tok = sh.select(col("doc_id"), col("sz"),
+        explode(col("shingles")).as("g"))
+      val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
+      val prefix = tok.join(dfreq, "g")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+        // a df=1 shingle lives in one doc's prefix only — it can never
+        // produce a pair, so drop it before the inverted-index join
+        .filter(col("df") > 1)
+        .select(col("g"), col("doc_id"), col("sz"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 3 <= col("b.sz") * 5 &&
+            col("b.sz") * 3 <= col("a.sz") * 5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 3)
+        .select(col("id_a"), col("id_b"),
+          expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
+        .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
     })
   )
 
@@ -935,6 +984,24 @@ object LlmOps {
         |      ORDER BY (doc_id % 2147483648 * 1103515245 + 12345) % 2147483648,
         |               doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    // the oracle is the brute-force spelling: every shared-shingle pair,
+    // exact intersection counts, same integer threshold + basis points
+    "q7N_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(3, len(t) + 1),
+        |           i -> t[i - 2] || ' ' || t[i - 1] || ' ' || t[i])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |tok AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+        |pair AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  (inter * 10000) // (sa + sb - inter) AS jac_bp
+        |FROM pair
+        |WHERE inter * 5 >= (sa + sb - inter) * 3
+        |ORDER BY jac_bp DESC, id_a, id_b""".stripMargin
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q7N prefix-filtered exact Jaccard join vs an independent brute-force
+  * model (SURVEY.md §5.3). The operator only compares docs that share a
+  * rare-prefix shingle; PPJoin's prefix lemma says that loses nothing at
+  * Jaccard ≥ τ — this spec re-proves the lemma empirically on the fixture
+  * by enumerating ALL pairs in plain Scala (split/sliding/intersect,
+  * sharing no code with the SQL under test) and demanding exact set
+  * equality of (id_a, id_b, jac_bp).
+  */
+class JaccardSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def model(sfDir: String): Seq[(Long, Long, Long)] = {
+    val sets = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    for {
+      i <- sets.indices
+      j <- (i + 1) until sets.length
+      (a, sa) = sets(i)
+      (b, sb) = sets(j)
+      inter = sa.intersect(sb).size
+      uni = sa.size + sb.size - inter
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter.toLong * 10000 / uni)
+  }
+
+  test("q7N equals the all-pairs brute-force model at sf0.001") {
+    val got = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = model(sf0001)
+    assert(want.nonEmpty, "fixture has no near-dup pairs — precondition broken")
+    assert(got.toSet == want.toSet,
+      s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+    // and the declared output order is (jac_bp desc, id_a, id_b)
+    assert(got == got.sortBy(t => (-t._3, t._1, t._2)))
+  }
+
+  test("q7N candidates meet on equi-joins — never a cartesian/nested-loop") {
+    val p = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
