@@ -950,7 +950,7 @@ object LlmOps {
       """SELECT lang,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |       ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT lang, n_chars,
         |    ((doc_id % 2147483648 * 1103515245 + 12345) % 2147483648 * 100)
@@ -958,8 +958,8 @@ object LlmOps {
         |  FROM documents)
         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q7K_pack_sequences" ->
-      """SELECT lang, source, (cum - tokens) // 2048 AS chunk,
-        |  count(*) AS n_docs, sum(tokens) AS chunk_tokens
+      """SELECT lang, source, CAST((cum - tokens) // 2048 AS BIGINT) AS chunk,
+        |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS chunk_tokens
         |FROM (
         |  SELECT lang, source, tokens,
         |    sum(tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
