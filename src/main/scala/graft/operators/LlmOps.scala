@@ -133,8 +133,9 @@ object LlmOps {
     */
   def release(s: SparkSession): Unit = {
     val key = System.identityHashCode(s)
-    simCache.keys.filter(_._1 == key).foreach { k =>
+    (simCache.keys ++ shingleCache.keys).filter(_._1 == key).foreach { k =>
       simCache.remove(k).foreach(_.unpersist(blocking = true))
+      shingleCache.remove(k).foreach(_.unpersist(blocking = true))
     }
     // the IVF model cache too: Bench releases between passes so pass 2
     // still pays (and therefore measures) quantizer training
@@ -147,17 +148,32 @@ object LlmOps {
     * zip_with pads the short side with null and concat propagates it, so
     * trailing partial shingles filter out.
     */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), expr(
-        """array_distinct(filter(
-          |  zip_with(
-          |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
-          |             (a, b) -> concat(a, ' ', b)),
-          |    slice(w, 3, greatest(size(w) - 2, 0)),
-          |    (ab, c) -> concat(ab, ' ', c)),
-          |  x -> x IS NOT NULL))""".stripMargin).as("shingles"))
+    shingleCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      // Persisted because every consumer references it 3×+ (q7A: sig +
+      // both verify sides; q7N: inverted index + both verify sides) —
+      // without the persist each reference re-shingles the whole corpus.
+      // Footprint ≈ the text column itself (one ~3-word string per input
+      // token), MEMORY_AND_DISK so it spills instead of evicting the
+      // executor at 100 TB; the alternative there is recompute-per-use,
+      // which is strictly more scans of the raw corpus. Released by
+      // [[release]] (Bench calls it between passes, so the build is
+      // still charged to the first consumer each pass).
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          """array_distinct(filter(
+            |  zip_with(
+            |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
+            |             (a, b) -> concat(a, ' ', b)),
+            |    slice(w, 3, greatest(size(w) - 2, 0)),
+            |    (ab, c) -> concat(ab, ' ', c)),
+            |  x -> x IS NOT NULL))""".stripMargin).as("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):
     * 16 planes of dim 64 with signs drawn from a seeded splitmix64-style
@@ -720,16 +736,33 @@ object LlmOps {
         .withColumn("sz", size(col("shingles")))
       val tok = sh.select(col("doc_id"), col("sz"),
         explode(col("shingles")).as("g"))
+      // The df annotation is a BROADCAST join: this corpus draws from a
+      // closed vocabulary, so distinct shingles are ≤ |vocab|³ — model
+      // metadata, not corpus volume — and without the hint Catalyst
+      // can't size the aggregate and shuffle-sorts 10× the rows to join
+      // it. On open-domain text the shingle dictionary grows with the
+      // corpus; there the hint comes off and this reverts to the plain
+      // shuffle equi-join (same plan minus the exchange elision).
       val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
       // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
-      val prefix = tok.join(dfreq, "g")
+      val prefix = tok.join(broadcast(dfreq), "g")
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
         // a df=1 shingle lives in one doc's prefix only — it can never
         // produce a pair, so drop it before the inverted-index join
         .filter(col("df") > 1)
         .select(col("g"), col("doc_id"), col("sz"))
+      // Candidate pairs via the prefix ⋈ prefix equi-join (the inverted
+      // index realized as a join). The r5 alternative — groupBy(g) +
+      // collect_list + in-row pair enumeration, to build each posting
+      // list once instead of planning prefix twice — MEASURED 3.5×
+      // slower end-to-end: nested higher-order functions are
+      // CodegenFallback (interpreted, closure-per-element), and AQE
+      // coalesces the small posting-list shuffle to one task, so the
+      // interpreted enumeration also lost all parallelism. The join's
+      // extra prefix subplan is the cheaper evil; both sides stream
+      // through codegen.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
             col("a.sz") * 3 <= col("b.sz") * 5 &&
