@@ -778,6 +778,69 @@ object LlmOps {
         .select(col("id_a"), col("id_b"),
           expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
         .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
+    }),
+
+    // repetition-based quality filter (§2.10 q7O): the published
+    // Gopher-style repetition rules — top-token fraction and duplicate-
+    // bigram fraction — as exact integer basis points, rolled up per
+    // lang with a keep verdict (top ≤ 1400 bp AND dup-2gram ≤ 650 bp;
+    // the p90s of this corpus, so the filter genuinely splits it).
+    // Top-token count comes from explode → two-level agg: the
+    // (doc, token) partial aggregation combines map-side, so the
+    // exchange carries one row per distinct (doc, token), never raw
+    // token volume — the scale path. Bigram stats are pure in-row array
+    // ops. All arithmetic integer (§7.4.3), both engines bit-agree.
+    "q7O_quality_repetition" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tokStats = tf.groupBy("doc_id").agg(
+        max(col("c")).as("topc"),
+        sum(col("c")).as("n_tokens"))
+      val biStats = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(
+          """filter(zip_with(split(text, ' '),
+            |              slice(split(text, ' '), 2, size(split(text, ' '))),
+            |              (a, b) -> concat(a, ' ', b)),
+            |       x -> x IS NOT NULL)""".stripMargin).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          size(col("bg")).as("nbg"),
+          size(array_distinct(col("bg"))).as("dbg"))
+      tokStats.join(biStats, "doc_id")
+        .withColumn("top_bp", expr("(topc * 10000L) div n_tokens"))
+        .withColumn("dup2_bp", expr(
+          "IF(nbg = 0, CAST(0 AS BIGINT), ((nbg - dbg) * 10000L) div nbg)"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_bp") <= 1400 && col("dup2_bp") <= 650, 1L)
+            .otherwise(0L)).as("n_kept"),
+          max(col("top_bp")).as("max_top_bp"),
+          max(col("dup2_bp")).as("max_dup2_bp"))
+        .orderBy("lang")
+    }),
+
+    // eval-set decontamination (§2.10 q7P): which training documents
+    // leak n-gram content of the held-out eval suite — the overlap
+    // check every published pretraining pipeline runs before training.
+    // Eval = doc_id < 50 (a fixed benchmark suite), train = the rest;
+    // overlap = shared word-3-shingles (the q7A/q7N shingle unit, same
+    // cached table). The eval side is BROADCAST: an eval suite is
+    // fixed-size by nature (it does not grow with the corpus), so the
+    // train side — the 100 TB side — streams map-only: explode, hash
+    // against the broadcast index, partial-agg the pair counts. No
+    // shuffle of corpus volume, no all-pairs anything.
+    "q7P_decontaminate" -> ((s, d) => {
+      val sh = shingled(s, d).filter(size(col("shingles")) >= 1)
+      val ev = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("g"))
+      val tr = sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("g"))
+      tr.join(broadcast(ev), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
+        .limit(25)
     })
   )
 
@@ -1035,6 +1098,42 @@ object LlmOps {
         |  (inter * 10000) // (sa + sb - inter) AS jac_bp
         |FROM pair
         |WHERE inter * 5 >= (sa + sb - inter) * 3
-        |ORDER BY jac_bp DESC, id_a, id_b""".stripMargin
+        |ORDER BY jac_bp DESC, id_a, id_b""".stripMargin,
+    "q7O_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT doc_id, w, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS n
+        |       FROM f GROUP BY 1),
+        |bs AS (SELECT doc_id, lang, len(bg) AS nbg,
+        |         len(list_distinct(bg)) AS dbg
+        |       FROM (SELECT doc_id, lang,
+        |               list_transform(range(2, len(toks) + 1),
+        |                              i -> toks[i - 1] || ' ' || toks[i]) AS bg
+        |             FROM t)),
+        |m AS (SELECT lang, (topc * 10000) // n AS top_bp,
+        |        CASE WHEN nbg = 0 THEN 0
+        |             ELSE ((nbg - dbg) * 10000) // nbg END AS dup2_bp
+        |      FROM ts JOIN bs USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN top_bp <= 1400 AND dup2_bp <= 650
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(top_bp) AS BIGINT) AS max_top_bp,
+        |  CAST(max(dup2_bp) AS BIGINT) AS max_dup2_bp
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q7P_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(3, len(t) + 1),
+        |           i -> t[i - 2] || ' ' || t[i - 1] || ' ' || t[i])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |e AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+        |      WHERE doc_id < 50),
+        |tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh
+        |       WHERE doc_id >= 50)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM tr JOIN e USING (g)
+        |GROUP BY 1, 2
+        |ORDER BY n_shared DESC, train_id, eval_id LIMIT 25""".stripMargin
   )
 }
