@@ -85,6 +85,36 @@ object StreamOps {
   def dedup(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts_t", lateness).dropDuplicates("event_id")
 
+  /** S11 — stream-stream interval join: every purchase joined to the
+    * same user's clicks at most 30 minutes earlier (the streaming twin of
+    * the batch q38 interval join). BOTH sides carry a watermark and the
+    * join predicate bounds purchase_ts relative to click_ts, which is
+    * what lets the engine EVICT state: a buffered click can be dropped
+    * once the purchase-side watermark passes click_ts + 30 min, so join
+    * state is O(events in the lateness+interval horizon), never O(all
+    * events seen). Without both pieces Spark must buffer every row
+    * forever — the unbounded-state trap this op exists to demonstrate
+    * avoiding. Inner joins emit matches eagerly (the watermark bounds
+    * state, it does not delay output), so append-mode parity with the
+    * batch twin is exact.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_t").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_t").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** S9 — custom stateful op: running per-user (event count, balance) via
     * flatMapGroupsWithState, emitting the updated state each micro-batch.
     * State is one (count, sum) pair per user — O(users), not O(events).

@@ -207,4 +207,16 @@ class StreamingParitySpec extends AnyFunSuite {
       checkMonotonic("s10rocks")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("S11: stream-stream click→purchase interval join — stream == batch") {
+    val got = runStream("s11",
+      StreamOps.clickToPurchase(
+        EventStream.read(spark, stagedDir), EventStream.read(spark, stagedDir)),
+      "append")
+    val want = StreamOps.clickToPurchase(
+      EventStream.readBatch(spark, stagedDir),
+      EventStream.readBatch(spark, stagedDir))
+    assert(got.count() > 0, "join produced no pairs — fixture too sparse?")
+    assert(rowsOf(got) == rowsOf(want))
+  }
 }
