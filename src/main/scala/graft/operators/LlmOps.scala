@@ -288,8 +288,17 @@ object LlmOps {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df = rows-per-term of tf (a (doc, term) appears in tf exactly
+      // once). Note Catalyst still plans this branch with its own
+      // scan+explode: it prunes tf's unused count into a distinct-style
+      // aggregate, which un-canonicalizes the two branches so no
+      // ReuseExchange fires (verified r5). That is the right trade — the
+      // alternative single-scan spelling, count() OVER (PARTITION BY
+      // term), puts every document containing a term into ONE window
+      // group, i.e. per-task input proportional to df itself — a
+      // stopword's group at 100 TB is the whole corpus. Two partial-agg
+      // scans beat one unbounded window.
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(countDistinct(col("doc_id")).as("n"))
       tf.join(df, "term").join(broadcast(n))
         .withColumn("score", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))

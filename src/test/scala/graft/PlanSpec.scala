@@ -81,4 +81,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("hashjoin") || p.contains("HashJoin"), p)
   }
+
+  test("q7N: df annotation is broadcast; candidates meet on an equi-join, " +
+    "never a cartesian") {
+    val p = plan("q7N_dedup_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q7P: the eval shingle index broadcasts — the train side never " +
+    "shuffles by shingle") {
+    val p = plan("q7P_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
