@@ -115,8 +115,25 @@ object LlmOps {
   private val simCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** All three persisted-DataFrame caches funnel through this instead of
+    * bare `getOrElseUpdate`: that call is NOT atomic on a TrieMap, so two
+    * concurrent first accesses would both run `build` and the losing copy
+    * would stay persisted with no handle — leaked executor memory until
+    * session end. The lock is per-cache; `build` is driver-side plan
+    * construction plus a lazy `.persist()` registration for sim/shingle
+    * (no job runs under the lock), while q7R's build does run its
+    * fixpoint jobs under it — concurrent callers of the SAME cache block
+    * until the first finishes, which is also the semantics you want (the
+    * second caller would otherwise redo the work).
+    */
+  private def cachedDf(cache: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
+                       s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.getOrElseUpdate((System.identityHashCode(s), d), build)
+    }
+
   private def simPairs(s: SparkSession, d: String): DataFrame =
-    simCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    cachedDf(simCache, s, d) {
       val w = Window.partitionBy(col("cell"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       pairs(s, d)
@@ -124,7 +141,7 @@ object LlmOps {
         .filter(col("rk") <= SimTopK || col("sim") >= SimThreshold)
         .select("id_a", "id_b", "sim")
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Unpersists and forgets every sim table owned by `s` (all sfDirs).
     * The harness's sessions are short-lived, but a long-lived server
@@ -154,7 +171,7 @@ object LlmOps {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    cachedDf(shingleCache, s, d) {
       // Persisted because every consumer references it 3×+ (q7A: sig +
       // both verify sides; q7N: inverted index + both verify sides) —
       // without the persist each reference re-shingles the whole corpus.
@@ -175,7 +192,7 @@ object LlmOps {
             |    (ab, c) -> concat(ab, ' ', c)),
             |  x -> x IS NOT NULL))""".stripMargin).as("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** q7N's pair table, unordered: all (id_a < id_b) with word-3-shingle
     * Jaccard ≥ 3/5, `jac_bp` in exact basis points. See the q7N registry
