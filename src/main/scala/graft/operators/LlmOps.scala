@@ -150,14 +150,20 @@ object LlmOps {
     */
   def release(s: SparkSession): Unit = {
     val key = System.identityHashCode(s)
-    (simCache.keys ++ shingleCache.keys ++ ccCache.keys)
-      .filter(_._1 == key).foreach { k =>
-        simCache.remove(k).foreach(_.unpersist(blocking = true))
-        shingleCache.remove(k).foreach(_.unpersist(blocking = true))
-        ccCache.remove(k).foreach(_.unpersist(blocking = true))
+    // each cache's remove+unpersist runs under the same lock cachedDf
+    // builds under, so a release racing a first access can't sweep a key
+    // before the build's persisted value lands in the map (which would
+    // leak that DataFrame until session end)
+    Seq(simCache, shingleCache, ccCache).foreach { c =>
+      c.synchronized {
+        c.keys.filter(_._1 == key).foreach { k =>
+          c.remove(k).foreach(_.unpersist(blocking = true))
+        }
       }
-    // the IVF model cache too: Bench releases between passes so pass 2
-    // still pays (and therefore measures) quantizer training
+    }
+    // the IVF model cache too (plain values, nothing to unpersist):
+    // Bench releases between passes so pass 2 still pays (and therefore
+    // measures) quantizer training
     ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
   }
 
@@ -907,57 +913,112 @@ object LlmOps {
     // near-dup CLUSTERS (§2.10 q7R): connected components over the
     // exact Jaccard pair graph ([[jaccardPairs]]) — the step that turns
     // pairwise matches into dedup groups (keep one representative per
-    // component). Distributed min-label propagation: every node starts
-    // as its own label; each round takes the min over neighbors' labels
-    // (one equi-join + partial-agged min per round); fixpoint = each
-    // node holds its component's minimum doc_id. Rounds = graph
-    // diameter; each round is shuffle-by-id of the LABEL table (one row
-    // per node in the pair graph — the near-dup subset, not the
-    // corpus), with the edge list persisted once. The convergence probe
-    // is an isEmpty on a changed-rows filter — metadata-scale. The
-    // fixpoint is unique, so the result is deterministic regardless of
-    // scheduling, and a recursive-CTE oracle checks it exactly.
+    // component). Alternating large-star/small-star contraction
+    // ([[connectedComponentsWithRounds]]): O(log n) rounds on ANY graph
+    // shape, one Spark job per round. The round-6 min-label propagation
+    // this replaces needed O(graph-diameter) rounds — O(n) on the
+    // chain-shaped graphs near-dup corpora actually produce — plus a
+    // SEPARATE driver isEmpty join per round just to detect convergence
+    // (31 s at sf0.1, 36 % of the whole bench). The fixpoint (every node
+    // edged to its component's minimum doc_id) is unique and
+    // deterministic, and a recursive-CTE oracle checks it exactly.
     "q7R_dedup_components" -> ((s, d) => componentSizes(s, d))
   )
 
-  /** Caches q7R's converged label table per (session, sfDir) — the loop
-    * materializes per-round persists, and the final table must outlive
-    * the lambda (the caller runs its action after we return). Released
-    * with the other caches in [[release]].
+  /** Caches q7R's converged star-edge table per (session, sfDir) — the
+    * loop materializes per-round persists, and the final table must
+    * outlive the lambda (the caller runs its action after we return).
+    * Released with the other caches in [[release]].
     */
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** One large-star round: connect every strictly-LARGER neighbor of u to
+    * m = min(Γ(u) ∪ {u}). Every input edge is owned (and rewritten) by
+    * exactly one group — its smaller endpoint's — so connectivity is
+    * preserved while long paths halve. min(v) partial-aggregates
+    * map-side (a hub node's group never ships its raw neighbor list to
+    * one task, unlike a window over the same key), and AQE's skew split
+    * covers the join-back on a hot u.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge larger→smaller, then within
+    * each node's smaller-neighborhood connect everything (plus the node
+    * itself) to the minimum — the contraction step that collapses the
+    * shallow trees large-star leaves behind.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+    o.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * O(log n) rounds on any graph — a chain that took the round-6
+    * min-label propagation O(n) rounds converges in ~log₂ n here
+    * (CcSpec pins the bound). Each round runs exactly ONE job: the
+    * action that materializes the new edge table also computes the
+    * convergence statistic, via a left join against the persisted
+    * previous table — `matched == |next|` means next ⊆ cur, and with
+    * `|next| == |cur|` and both sides distinct that is set equality, the
+    * EXACT fixpoint test (no separate isEmpty job, no hash heuristics).
+    * At the fixpoint the edge set is a union of stars (child →
+    * component-minimum root), so representatives and sizes read straight
+    * off the final table.
+    *
+    * Input: undirected distinct edges (u, v), u ≠ v. Returns the
+    * persisted star-edge table and the number of rounds run (the last
+    * round is the no-op that proves convergence).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges0: DataFrame): (DataFrame, Int) = {
+    var cur = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    var curCnt = cur.count()
+    var rounds = 0
+    var converged = curCnt == 0L
+    while (!converged) {
+      rounds += 1
+      val next = smallStar(largeStar(cur))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = next
+        .join(cur.select(col("u"), col("v"), lit(1).as("hit")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("matched"))
+        .head()
+      val nextCnt = stats.getLong(0)
+      converged = stats.getLong(1) == nextCnt && nextCnt == curCnt
+      cur.unpersist()
+      cur = next
+      curCnt = nextCnt
+    }
+    (cur, rounds)
+  }
+
   private def componentSizes(s: SparkSession, d: String): DataFrame = {
-    val labels = ccCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val pairs = jaccardPairs(s, d).select("id_a", "id_b")
-      val edges = pairs
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var cur = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges
-          .join(cur.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("cand"))
-        val next = cur.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        converged = next
-          .join(cur.select(col("id"), col("lbl").as("old")), "id")
-          .filter(col("lbl") =!= col("old")).isEmpty
-        cur.unpersist()
-        cur = next
-      }
-      edges.unpersist()
-      cur
-    })
-    labels.groupBy(col("lbl").as("rep"))
-      .agg(count(lit(1)).as("n_members"))
+    val stars = cachedDf(ccCache, s, d) {
+      connectedComponentsWithRounds(
+        jaccardPairs(s, d)
+          .select(col("id_a").as("u"), col("id_b").as("v")))._1
+    }
+    // star edges are (child, root): one row per non-root member, so the
+    // component size is the child count plus the root itself
+    stars.groupBy(col("v").as("rep"))
+      .agg((count(lit(1)) + lit(1L)).as("n_members"))
       .orderBy("rep")
   }
 
