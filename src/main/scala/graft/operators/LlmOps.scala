@@ -115,7 +115,7 @@ object LlmOps {
   private val simCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  /** All three persisted-DataFrame caches funnel through this instead of
+  /** Every persisted-DataFrame cache funnels through this instead of
     * bare `getOrElseUpdate`: that call is NOT atomic on a TrieMap, so two
     * concurrent first accesses would both run `build` and the losing copy
     * would stay persisted with no handle — leaked executor memory until
@@ -154,7 +154,7 @@ object LlmOps {
     // builds under, so a release racing a first access can't sweep a key
     // before the build's persisted value lands in the map (which would
     // leak that DataFrame until session end)
-    Seq(simCache, shingleCache, ccCache).foreach { c =>
+    Seq(simCache, shingleCache, dfreqCache, ccCache).foreach { c =>
       c.synchronized {
         c.keys.filter(_._1 == key).foreach { k =>
           c.remove(k).foreach(_.unpersist(blocking = true))
@@ -174,6 +174,13 @@ object LlmOps {
     * trailing partial shingles filter out.
     */
   private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Shingle document-frequency table ([[jaccardPairs]]): persisted per
+    * (session, sfDir) because two consumers (q7N, q7R via the pair graph)
+    * join it AND its measured cardinality gates the broadcast decision.
+    */
+  private val dfreqCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -211,17 +218,26 @@ object LlmOps {
       .withColumn("sz", size(col("shingles")))
     val tok = sh.select(col("doc_id"), col("sz"),
       explode(col("shingles")).as("g"))
-    // The df annotation is a BROADCAST join: this corpus draws from a
-    // closed vocabulary, so distinct shingles are ≤ |vocab|³ — model
-    // metadata, not corpus volume — and without the hint Catalyst
-    // can't size the aggregate and shuffle-sorts 10× the rows to join
-    // it. On open-domain text the shingle dictionary grows with the
-    // corpus; there the hint comes off and this reverts to the plain
-    // shuffle equi-join (same plan minus the exchange elision).
-    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    // The df table joins back against every shingle instance, so it is
+    // broadcast when — and only when — it is measured to be model-sized.
+    // Catalyst can't size the aggregate statically (it shuffle-sorts 10×
+    // the rows without help), so the table is persisted (the join needs
+    // it materialized anyway) and its actual cardinality gates the hint:
+    // ≤ spark.graft.jaccard.broadcastShingleLimit (default 4M entries,
+    // ~driver-safe at ~50 B/row) → broadcast; above — the open-domain
+    // case, where the shingle dictionary grows with the corpus — the
+    // plain shuffle equi-join, which never puts corpus-scale data on the
+    // driver. JaccardSpec exercises both branches.
+    val dfreq = cachedDf(dfreqCache, s, d) {
+      tok.groupBy("g").agg(count(lit(1)).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val bcLimit = s.conf.get("spark.graft.jaccard.broadcastShingleLimit",
+      "4000000").toLong
+    val dfJoin = if (dfreq.count() <= bcLimit) broadcast(dfreq) else dfreq
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
-    val prefix = tok.join(broadcast(dfreq), "g")
+    val prefix = tok.join(dfJoin, "g")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
       // a df=1 shingle lives in one doc's prefix only — it can never
@@ -987,13 +1003,29 @@ object LlmOps {
     */
   private[graft] def connectedComponentsWithRounds(
       edges0: DataFrame): (DataFrame, Int) = {
-    var cur = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val s = edges0.sparkSession
+    // LINEAGE CUT, load-bearing: each round's plan must be rooted at the
+    // previous round's materialized RDD, not its logical plan. The star
+    // operators reference their input ~12× (union + self-join on both
+    // stars), so building round r's plan over round r-1's PLAN grows the
+    // logical tree 12^r — the analyzer, not the data, becomes the
+    // bottleneck (the first cut of this loop OOM'd the driver rendering
+    // an explain string at round 9 on a 512-node chain). persist() alone
+    // does NOT cut lineage — CacheManager substitutes the cached scan at
+    // physical planning, but analysis still walks the full tree.
+    // createDataFrame(df.rdd, schema) is the public-API cut: the new
+    // plan is a flat RDD scan, the Row round-trip is 2 longs/row inside
+    // executor tasks, and the persisted blocks stay CacheManager-tracked
+    // so the per-round unpersist still frees them.
+    def reRoot(df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    var cur = reRoot(edges0).persist(StorageLevel.MEMORY_AND_DISK)
     var curCnt = cur.count()
     var rounds = 0
     var converged = curCnt == 0L
     while (!converged) {
       rounds += 1
-      val next = smallStar(largeStar(cur))
+      val next = reRoot(smallStar(largeStar(cur)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val stats = next
         .join(cur.select(col("u"), col("v"), lit(1).as("hit")),

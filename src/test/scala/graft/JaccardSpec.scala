@@ -44,6 +44,27 @@ class JaccardSpec extends AnyFunSuite {
     assert(got == got.sortBy(t => (-t._3, t._1, t._2)))
   }
 
+  test("dfreq broadcast is gated on measured cardinality — both branches agree") {
+    // VERDICT r6 #4: the broadcast hint on the shingle-df table must be
+    // conditional — forced, it OOMs the driver on open-domain corpora
+    // where distinct shingles grow with the data. Below the limit the
+    // hint is applied; at limit 0 the same query must plan a plain
+    // shuffle equi-join and return identical rows.
+    val key = "spark.graft.jaccard.broadcastShingleLimit"
+    def rows() = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+    val bc = rows()
+    assert(bc.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "default (closed-vocabulary) branch lost the broadcast hint")
+    spark.conf.set(key, "0")
+    try {
+      val plain = rows()
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "limit 0 must drop the broadcast hint")
+      assert(plain.collect().toSeq == bc.collect().toSeq,
+        "branches disagree on results")
+    } finally spark.conf.unset(key)
+  }
+
   test("q7N candidates meet on equi-joins — never a cartesian/nested-loop") {
     val p = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
       .queryExecution.executedPlan.toString
