@@ -44,6 +44,30 @@ class JaccardSpec extends AnyFunSuite {
     assert(got == got.sortBy(t => (-t._3, t._1, t._2)))
   }
 
+  test("positional filter loses nothing on random corpora (seeded)") {
+    // The PPJoin positional filter prunes candidate rows by a per-match
+    // overlap upper bound; its completeness argument leans on the size
+    // filter and the df-rare-first order. Stress it beyond the fixture:
+    // random tiny-vocabulary corpora (many near-dups, many boundary
+    // sizes) must still exactly equal the brute-force model.
+    import spark.implicits._
+    val vocab = Array("red", "blue", "green", "ox", "ant", "fox")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 120L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+          "en", "web", n.toLong)
+      }
+      val dir = tmpDir(s"graft-jacc-rand$seed")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q7N_dedup_jaccard")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == model(dir).toSet, s"seed=$seed")
+    }
+  }
+
   test("dfreq broadcast is gated on measured cardinality — both branches agree") {
     // VERDICT r6 #4: the broadcast hint on the shingle-df table must be
     // conditional — forced, it OOMs the driver on open-domain corpora
