@@ -154,7 +154,7 @@ object LlmOps {
     // builds under, so a release racing a first access can't sweep a key
     // before the build's persisted value lands in the map (which would
     // leak that DataFrame until session end)
-    Seq(simCache, shingleCache, dfreqCache, ccCache).foreach { c =>
+    Seq(simCache, shingleCache, dfreqCache, jaccardCache, ccCache).foreach { c =>
       c.synchronized {
         c.keys.filter(_._1 == key).foreach { k =>
           c.remove(k).foreach(_.unpersist(blocking = true))
@@ -216,8 +216,22 @@ object LlmOps {
     * Jaccard ≥ 3/5, `jac_bp` in exact basis points. See the q7N registry
     * comment for the PPJoin prefix-filter design; q7R clusters over the
     * same table.
+    *
+    * PERSISTED per (session, sfDir), same convention as [[simPairs]]:
+    * two registry consumers (q7N's join output, q7R's clustering input)
+    * would otherwise each re-run the prefix join + verify — the most
+    * expensive stage of both queries. The footprint is the near-dup
+    * SURVIVOR pairs (three longs each), a vanishing fraction of the
+    * corpus at any scale. First consumer pays the build (Bench releases
+    * between passes, so the cost stays measured); [[release]] frees it.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    cachedDf(jaccardCache, s, d) { buildJaccardPairs(s, d) }
+
+  private val jaccardCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     SortedIntersect.register(s)
     val sh = shingled(s, d)
       .filter(size(col("shingles")) >= 1)
@@ -292,6 +306,7 @@ object LlmOps {
       .filter(col("inter") * 5 >= col("uni") * 3)
       .select(col("id_a"), col("id_b"),
         expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):

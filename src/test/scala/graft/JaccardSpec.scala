@@ -75,18 +75,29 @@ class JaccardSpec extends AnyFunSuite {
     // hint is applied; at limit 0 the same query must plan a plain
     // shuffle equi-join and return identical rows.
     val key = "spark.graft.jaccard.broadcastShingleLimit"
-    def rows() = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+    // release() before each build: the branch decision bakes into the
+    // CACHED pair table at first construction, so each branch needs a
+    // fresh build. Assertions read the ANALYZED plan — the optimized
+    // plan substitutes the persisted subtree with InMemoryRelation,
+    // hiding the hint.
+    def rows() = {
+      graft.operators.LlmOps.release(spark)
+      SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+    }
     val bc = rows()
-    assert(bc.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+    val bcRows = bc.collect().toSeq
+    assert(bc.queryExecution.analyzed.toString.contains("strategy=broadcast"),
       "default (closed-vocabulary) branch lost the broadcast hint")
     spark.conf.set(key, "0")
     try {
       val plain = rows()
-      assert(!plain.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      assert(!plain.queryExecution.analyzed.toString.contains("strategy=broadcast"),
         "limit 0 must drop the broadcast hint")
-      assert(plain.collect().toSeq == bc.collect().toSeq,
-        "branches disagree on results")
-    } finally spark.conf.unset(key)
+      assert(plain.collect().toSeq == bcRows, "branches disagree on results")
+    } finally {
+      spark.conf.unset(key)
+      graft.operators.LlmOps.release(spark)
+    }
   }
 
   test("q7N candidates meet on equi-joins — never a cartesian/nested-loop") {
