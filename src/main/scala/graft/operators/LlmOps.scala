@@ -120,9 +120,10 @@ object LlmOps {
     * concurrent first accesses would both run `build` and the losing copy
     * would stay persisted with no handle — leaked executor memory until
     * session end. The lock is per-cache; `build` is driver-side plan
-    * construction plus a lazy `.persist()` registration for sim/shingle
-    * (no job runs under the lock), while q7R's build does run its
-    * fixpoint jobs under it — concurrent callers of the SAME cache block
+    * construction plus a lazy `.persist()` registration for
+    * sim/shingle/dfreq (no job runs under the lock), while the jaccard
+    * build runs its dfreq cardinality probe and q7R's build its fixpoint
+    * jobs under theirs — concurrent callers of the SAME cache block
     * until the first finishes, which is also the semantics you want (the
     * second caller would otherwise redo the work).
     */
