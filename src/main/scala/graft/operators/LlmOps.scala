@@ -581,6 +581,7 @@ object LlmOps {
     // oracle); property-tested vs exact Jaccard in MinHashSpec.
     "q7A_dedup_minhash" -> ((s, d) => {
       MinHash.register(s)
+      SortedIntersect.register(s)
       val sets = shingled(s, d)
       val nBands = MinHash.K / 2
       // docs with EMPTY shingle sets (fewer than 3 words) must be
@@ -605,9 +606,13 @@ object LlmOps {
       val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
       val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
       cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb"))), 4))
+        // graft_isect over the pre-sorted shingle sets (the q7N verify
+        // kernel); |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct sets,
+        // so the value is identical to the array_intersect/array_union
+        // spelling it replaces, minus the per-row interpreted hash sets
+        .withColumn("inter", expr("graft_isect(sa, sb)"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -869,8 +874,9 @@ object LlmOps {
     // candidate generation is provably complete, JaccardSpec re-proves
     // it against a brute-force model); (3) candidates meet on a shingle
     // EQUI-join (inverted index), pre-trimmed by the size filter
-    // 3·max(sa,sb) ≤ 5·min(sa,sb); (4) survivors verify in-row with
-    // array_intersect. Join keys are 3-shingles and ids, never document
+    // 3·max(sa,sb) ≤ 5·min(sa,sb) and the PPJoin POSITIONAL filter;
+    // (4) survivors verify in-row with the codegen'd graft_isect
+    // sorted-merge walk. Join keys are 3-shingles and ids, never document
     // bodies; per-task input is bounded by prefix-token frequency, not
     // by n. All arithmetic is integer (τ = 3/5; jac_bp = basis points by
     // integer division) so both engines agree bit-for-bit (§7.4.3).
