@@ -92,6 +92,20 @@ class CcSpec extends AnyFunSuite {
     assert(runs.distinct.size == 1)
   }
 
+  test("cc: per-round lineage cut keeps the final plan O(1)") {
+    // the star operators reference their input ~12×, so without the
+    // per-round re-rooting the result's LOGICAL plan would hold
+    // 12^rounds nodes (the shape that OOM'd the first cut of this loop
+    // while AQE rendered an explain string). The returned table must be
+    // a flat RDD scan, not a tower of rounds.
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val (stars, rounds) = LlmOps.connectedComponentsWithRounds(toDf(edges))
+    val nodes = stars.queryExecution.logical.collect { case p => p }.size
+    stars.unpersist()
+    assert(rounds >= 5, s"rounds=$rounds — chain should need several rounds")
+    assert(nodes <= 5, s"final logical plan has $nodes nodes — lineage cut lost")
+  }
+
   test("cc: empty edge set yields empty result in zero rounds") {
     val (stars, rounds) = LlmOps.connectedComponentsWithRounds(
       toDf(Seq.empty[(Long, Long)]))
