@@ -197,7 +197,8 @@ object LlmOps {
       // still charged to the first consumer each pass).
       // array_sort: the set is ORDER-SORTED once per doc so the q7N
       // verify can count intersections with the linear codegen'd
-      // graft_isect walk instead of array_intersect's per-row hash set.
+      // graft_isect_sorted walk instead of array_intersect's per-row
+      // hash set.
       // Every other consumer (q7A MinHash, q7P explode) is
       // order-insensitive.
       Tables.documents(s, d)
@@ -299,12 +300,20 @@ object LlmOps {
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
-      // graft_isect: linear codegen'd merge walk over the pre-sorted
-      // shingle sets (see SortedIntersect) — array_intersect built an
-      // interpreted hash set per candidate row and dominated the query
-      .withColumn("inter", expr("graft_isect(ga, gb)"))
+      // graft_isect_ge_sorted: the THRESHOLD-AWARE codegen'd merge walk
+      // over the pre-sorted shingle sets (see SortedIntersectGe) —
+      // returns the exact intersection size when Jaccard ≥ 3/5 and -1
+      // otherwise, abandoning a candidate as soon as the remaining
+      // elements cannot reach the required overlap. Most candidates
+      // FAIL (that is what makes them candidates, not results), so the
+      // early exit skips most of the walk for most rows — verify is the
+      // measured cost center once candidates grow (SCALING.md, 10×
+      // corpus). Survivors complete the walk, so `inter` is exact and
+      // jac_bp is unchanged; `inter >= 0` is precisely the old
+      // `inter·5 ≥ uni·3` filter (see the ⟺ chain in the kernel doc).
+      .withColumn("inter", expr("graft_isect_ge_sorted(ga, gb, 3, 5)"))
+      .filter(col("inter") >= 0)
       .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
-      .filter(col("inter") * 5 >= col("uni") * 3)
       .select(col("id_a"), col("id_b"),
         expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -606,11 +615,15 @@ object LlmOps {
       val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
       val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
       cand.join(sa, "id_a").join(sb, "id_b")
-        // graft_isect over the pre-sorted shingle sets (the q7N verify
-        // kernel); |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct sets,
-        // so the value is identical to the array_intersect/array_union
-        // spelling it replaces, minus the per-row interpreted hash sets
-        .withColumn("inter", expr("graft_isect(sa, sb)"))
+        // graft_isect_sorted over the pre-sorted shingle sets (the q7N
+        // verify kernel); |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct
+        // sets, so the value is identical to the array_intersect/
+        // array_union spelling it replaces, minus the per-row interpreted
+        // hash sets. The EXACT kernel, not the ge early-exit one: q7A's
+        // declared filter is on the ROUNDED jaccard (≥ 0.6 at 4 dp), and
+        // an exact-threshold early exit would drop a pair in the
+        // half-ulp band the rounding admits.
+        .withColumn("inter", expr("graft_isect_sorted(sa, sb)"))
         .withColumn("jaccard", round(col("inter").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.6)
@@ -875,7 +888,7 @@ object LlmOps {
     // it against a brute-force model); (3) candidates meet on a shingle
     // EQUI-join (inverted index), pre-trimmed by the size filter
     // 3·max(sa,sb) ≤ 5·min(sa,sb) and the PPJoin POSITIONAL filter;
-    // (4) survivors verify in-row with the codegen'd graft_isect
+    // (4) survivors verify in-row with the codegen'd graft_isect_ge_sorted
     // sorted-merge walk. Join keys are 3-shingles and ids, never document
     // bodies; per-task input is bounded by prefix-token frequency, not
     // by n. All arithmetic is integer (τ = 3/5; jac_bp = basis points by
