@@ -113,7 +113,28 @@ object LlmOps {
     * reuses the cell hash partitioning from the join.
     */
   private val simCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+
+  /** Monotonic id per live SparkSession, for cache keying. The r7 keys
+    * used `System.identityHashCode(session)`, which two live sessions can
+    * share (it is a hash, not an identity) — a collision hands one
+    * session a DataFrame bound to the other: an analyzer error at best,
+    * stale data at worst. Ids from this map can never collide (the
+    * counter is monotonic) and never resurrect (a GC'd session's id is
+    * simply retired); the WeakHashMap holds no strong reference, so the
+    * map itself never keeps a session alive.
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private var lastSessionId = 0L
+  private[graft] def sessionKey(s: SparkSession): Long = sessionIds.synchronized {
+    val got = sessionIds.get(s)
+    if (got != null) got.longValue()
+    else {
+      lastSessionId += 1
+      sessionIds.put(s, lastSessionId)
+      lastSessionId
+    }
+  }
 
   /** Every persisted-DataFrame cache funnels through this instead of
     * bare `getOrElseUpdate`: that call is NOT atomic on a TrieMap, so two
@@ -121,16 +142,16 @@ object LlmOps {
     * would stay persisted with no handle — leaked executor memory until
     * session end. The lock is per-cache; `build` is driver-side plan
     * construction plus a lazy `.persist()` registration for
-    * sim/shingle/dfreq (no job runs under the lock), while the jaccard
-    * build runs its dfreq cardinality probe and q7R's build its fixpoint
-    * jobs under theirs — concurrent callers of the SAME cache block
+    * sim/shingle (no job runs under the lock), while the jaccard build
+    * runs its dfreq probe plus the pair-table materialization and q7R's
+    * build its fixpoint jobs under theirs — concurrent callers of the SAME cache block
     * until the first finishes, which is also the semantics you want (the
     * second caller would otherwise redo the work).
     */
-  private def cachedDf(cache: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
+  private def cachedDf(cache: scala.collection.concurrent.TrieMap[(Long, String), DataFrame],
                        s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
-      cache.getOrElseUpdate((System.identityHashCode(s), d), build)
+      cache.getOrElseUpdate((sessionKey(s), d), build)
     }
 
   private def simPairs(s: SparkSession, d: String): DataFrame =
@@ -150,12 +171,12 @@ object LlmOps {
     * ever touched (VERDICT r02).
     */
   def release(s: SparkSession): Unit = {
-    val key = System.identityHashCode(s)
+    val key = sessionKey(s)
     // each cache's remove+unpersist runs under the same lock cachedDf
     // builds under, so a release racing a first access can't sweep a key
     // before the build's persisted value lands in the map (which would
     // leak that DataFrame until session end)
-    Seq(simCache, shingleCache, dfreqCache, jaccardCache, ccCache).foreach { c =>
+    Seq(simCache, shingleCache, jaccardCache, ccCache).foreach { c =>
       c.synchronized {
         c.keys.filter(_._1 == key).foreach { k =>
           c.remove(k).foreach(_.unpersist(blocking = true))
@@ -175,14 +196,7 @@ object LlmOps {
     * trailing partial shingles filter out.
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  /** Shingle document-frequency table ([[jaccardPairs]]): persisted per
-    * (session, sfDir) because two consumers (q7N, q7R via the pair graph)
-    * join it AND its measured cardinality gates the broadcast decision.
-    */
-  private val dfreqCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     cachedDf(shingleCache, s, d) {
@@ -231,7 +245,7 @@ object LlmOps {
     cachedDf(jaccardCache, s, d) { buildJaccardPairs(s, d) }
 
   private val jaccardCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     SortedIntersect.register(s)
@@ -244,19 +258,38 @@ object LlmOps {
     // broadcast when — and only when — it is measured to be model-sized.
     // Catalyst can't size the aggregate statically (it shuffle-sorts 10×
     // the rows without help), so the table is persisted (the join needs
-    // it materialized anyway) and its actual cardinality gates the hint:
-    // ≤ spark.graft.jaccard.broadcastShingleLimit (default 4M entries,
-    // ~driver-safe at ~50 B/row) → broadcast; above — the open-domain
-    // case, where the shingle dictionary grows with the corpus — the
-    // plain shuffle equi-join, which never puts corpus-scale data on the
-    // driver. JaccardSpec exercises both branches.
-    val dfreq = cachedDf(dfreqCache, s, d) {
-      tok.groupBy("g").agg(count(lit(1)).as("df"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    // it materialized anyway) and ONE probe job measures both its
+    // cardinality and its raw key bytes; the hint applies only under
+    // BOTH spark.graft.jaccard.broadcastShingleLimit (default 4M rows)
+    // and spark.graft.jaccard.broadcastShingleMaxBytes (default 128 MB
+    // ESTIMATED footprint: raw UTF8 key bytes + 64 B/row for the
+    // UTF8String/long/HashedRelation-slot overhead — a row-count gate
+    // alone undercounts multi-word string shingles by that overhead,
+    // ADVICE r7). Above either bound — the open-domain case, where the
+    // shingle dictionary grows with the corpus — the plain shuffle
+    // equi-join, which never puts corpus-scale data on the driver.
+    // JaccardSpec exercises both branches.
+    //
+    // The persist is LOCAL to this build (not a session-scoped cache):
+    // both registry consumers (q7N, q7R) read the PAIR table below —
+    // nothing rejoins dfreq after it materializes — so it is unpersisted
+    // as soon as the pair table is, right after the eager count that
+    // materializes it (still under the jaccardCache lock, like the
+    // probe; a second session-concurrent caller would redo the same
+    // work anyway).
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probe = dfreq.agg(count(lit(1)).as("rows"),
+      coalesce(sum(length(col("g"))), lit(0L)).as("bytes")).head()
     val bcLimit = s.conf.get("spark.graft.jaccard.broadcastShingleLimit",
       "4000000").toLong
-    val dfJoin = if (dfreq.count() <= bcLimit) broadcast(dfreq) else dfreq
+    val bcMaxBytes = s.conf.get("spark.graft.jaccard.broadcastShingleMaxBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val estBytes = probe.getLong(1) + 64L * probe.getLong(0)
+    val dfJoin =
+      if (probe.getLong(0) <= bcLimit && estBytes <= bcMaxBytes)
+        broadcast(dfreq)
+      else dfreq
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
     val prefix = tok.join(dfJoin, "g")
@@ -297,7 +330,7 @@ object LlmOps {
             (col("a.sz") + col("b.sz")) * 3)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
       // graft_isect_ge_sorted: the THRESHOLD-AWARE codegen'd merge walk
@@ -317,6 +350,12 @@ object LlmOps {
       .select(col("id_a"), col("id_b"),
         expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager materialization so dfreq's blocks can be freed NOW: the
+    // survivor pair table is tiny (three longs per near-dup pair) and
+    // both consumers would materialize it on their first action anyway
+    out.count()
+    dfreq.unpersist(blocking = false)
+    out
   }
 
   /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):
@@ -1006,7 +1045,7 @@ object LlmOps {
     * Released with the other caches in [[release]].
     */
   private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
 
   /** One large-star round: connect every strictly-LARGER neighbor of u to
     * m = min(Γ(u) ∪ {u}). Every input edge is owned (and rewritten) by
@@ -1154,11 +1193,11 @@ object LlmOps {
     * cached value is K·dim doubles.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[IvfCent]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Seq[IvfCent]]
 
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
-    val cached = ivfCache.get((System.identityHashCode(s), d))
+    val cached = ivfCache.get((sessionKey(s), d))
     if (cached.isDefined) {
       val cents = cached.get
       return (cents, v.select(ivfCid(cents, col("e")).as("cid"),
@@ -1184,7 +1223,7 @@ object LlmOps {
         IvfCent(cid, ce, ce.map(x => x * x).sum)
       }.sortBy(_.cid)
     }
-    ivfCache.put((System.identityHashCode(s), d), cents)
+    ivfCache.put((sessionKey(s), d), cents)
     val index = v.select(ivfCid(cents, col("e")).as("cid"),
       col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
     (cents, index)

@@ -77,22 +77,28 @@ class JaccardSpec extends AnyFunSuite {
     val key = "spark.graft.jaccard.broadcastShingleLimit"
     // release() before each build: the branch decision bakes into the
     // CACHED pair table at first construction, so each branch needs a
-    // fresh build. Assertions read the ANALYZED plan — the optimized
-    // plan substitutes the persisted subtree with InMemoryRelation,
-    // hiding the hint.
+    // fresh build. Assertions COLLECT ResolvedHint nodes from the
+    // ANALYZED plan (the optimized plan substitutes the persisted
+    // subtree with InMemoryRelation, hiding the hint; matching the
+    // rendered plan STRING is brittle across Spark hint pretty-printing
+    // — ADVICE r7).
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
     def rows() = {
       graft.operators.LlmOps.release(spark)
       SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
     }
+    def bcHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
     val bc = rows()
     val bcRows = bc.collect().toSeq
-    assert(bc.queryExecution.analyzed.toString.contains("strategy=broadcast"),
+    assert(bcHints(bc).nonEmpty,
       "default (closed-vocabulary) branch lost the broadcast hint")
     spark.conf.set(key, "0")
     try {
       val plain = rows()
-      assert(!plain.queryExecution.analyzed.toString.contains("strategy=broadcast"),
-        "limit 0 must drop the broadcast hint")
+      assert(bcHints(plain).isEmpty, "limit 0 must drop the broadcast hint")
       assert(plain.collect().toSeq == bcRows, "branches disagree on results")
     } finally {
       spark.conf.unset(key)

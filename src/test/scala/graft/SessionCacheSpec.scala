@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmOps
+
+/** Session-scoped cache keying (VERDICT r7 nit #1): keys derive from a
+  * monotonic per-session id held in a WEAK-keyed map, not
+  * `System.identityHashCode(session)` — identity hash codes are hashes,
+  * not identities, so two live sessions can share one, and a collision
+  * would hand one session a cached DataFrame bound to the other (an
+  * analyzer error at best, stale data for the same sfDir at worst).
+  * Monotonic ids cannot collide and are never reused for a new session;
+  * the weak keying keeps the id map from pinning dead sessions.
+  */
+class SessionCacheSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("distinct live sessions get distinct, stable cache keys") {
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    assert(LlmOps.sessionKey(spark) != LlmOps.sessionKey(s2))
+    assert(LlmOps.sessionKey(s2) != LlmOps.sessionKey(s3))
+    // stable: the same session always maps to the same key
+    assert(LlmOps.sessionKey(spark) == LlmOps.sessionKey(spark))
+    assert(LlmOps.sessionKey(s2) == LlmOps.sessionKey(s2))
+  }
+
+  test("two sessions on the same sfDir never share a cached DataFrame") {
+    val s2 = spark.newSession()
+    try {
+      // q77 funnels through the session-scoped sim cache: each session
+      // must get a table bound to ITSELF (a shared entry would bind one
+      // session's query to the other's session state), with identical
+      // results
+      val a = SparkEntry.queries("q77_sim_threshold")(spark, sf0001)
+      val b = SparkEntry.queries("q77_sim_threshold")(s2, sf0001)
+      assert(a.sparkSession eq spark)
+      assert(b.sparkSession eq s2)
+      assert(a.collect().toSeq == b.collect().toSeq)
+    } finally {
+      LlmOps.release(s2)
+      LlmOps.release(spark)
+    }
+  }
+}
