@@ -198,7 +198,7 @@ object LlmOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     cachedDf(shingleCache, s, d) {
       // Persisted because every consumer references it 3×+ (q7A: sig +
       // both verify sides; q7N: inverted index + both verify sides) —
@@ -252,6 +252,48 @@ object LlmOps {
     val sh = shingled(s, d)
       .filter(size(col("shingles")) >= 1)
       .withColumn("sz", size(col("shingles")))
+    val (cand, dfreq) = jaccardCandidates(s, sh)
+    val out = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
+      // graft_isect_ge_sorted: the THRESHOLD-AWARE codegen'd merge walk
+      // over the pre-sorted shingle sets (see SortedIntersectGe) —
+      // returns the exact intersection size when Jaccard ≥ 3/5 and -1
+      // otherwise, abandoning a candidate as soon as the remaining
+      // elements cannot reach the required overlap. Most candidates
+      // FAIL (that is what makes them candidates, not results), so the
+      // early exit skips most of the walk for most rows — verify is the
+      // measured cost center once candidates grow (SCALING.md, 10×
+      // corpus). Survivors complete the walk, so `inter` is exact and
+      // jac_bp is unchanged; `inter >= 0` is precisely the old
+      // `inter·5 ≥ uni·3` filter (see the ⟺ chain in the kernel doc).
+      .withColumn("inter", expr("graft_isect_ge_sorted(ga, gb, 3, 5)"))
+      .filter(col("inter") >= 0)
+      .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dfreq's persist is LOCAL to this build (not a session-scoped
+    // cache): both registry consumers (q7N, q7R) read the PAIR table —
+    // nothing rejoins dfreq after it materializes — so the pair table
+    // is materialized eagerly (it is tiny: three longs per near-dup
+    // pair, and both consumers would materialize it on first action
+    // anyway; still under the jaccardCache lock, like the probe) and
+    // dfreq's blocks are freed immediately after (ADVICE r7).
+    out.count()
+    dfreq.unpersist(blocking = false)
+    out
+  }
+
+  /** The PPJoin candidate stage of [[buildJaccardPairs]], over a
+    * (doc_id, shingles, sz) set table: returns the candidate (id_a,
+    * id_b) pairs and the dfreq table backing them — still PERSISTED;
+    * the caller unpersists it once the candidates are consumed.
+    * `private[graft]` so the scale probe ([[graft.Scale]]) can measure
+    * candidates/doc on synthetic corpora without duplicating the join.
+    */
+  private[graft] def jaccardCandidates(
+      s: SparkSession, sh: DataFrame): (DataFrame, DataFrame) = {
     val tok = sh.select(col("doc_id"), col("sz"),
       explode(col("shingles")).as("g"))
     // The df table joins back against every shingle instance, so it is
@@ -269,14 +311,6 @@ object LlmOps {
     // shingle dictionary grows with the corpus — the plain shuffle
     // equi-join, which never puts corpus-scale data on the driver.
     // JaccardSpec exercises both branches.
-    //
-    // The persist is LOCAL to this build (not a session-scoped cache):
-    // both registry consumers (q7N, q7R) read the PAIR table below —
-    // nothing rejoins dfreq after it materializes — so it is unpersisted
-    // as soon as the pair table is, right after the eager count that
-    // materializes it (still under the jaccardCache lock, like the
-    // probe; a second session-concurrent caller would redo the same
-    // work anyway).
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val probe = dfreq.agg(count(lit(1)).as("rows"),
@@ -330,32 +364,7 @@ object LlmOps {
             (col("a.sz") + col("b.sz")) * 3)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val out = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
-      // graft_isect_ge_sorted: the THRESHOLD-AWARE codegen'd merge walk
-      // over the pre-sorted shingle sets (see SortedIntersectGe) —
-      // returns the exact intersection size when Jaccard ≥ 3/5 and -1
-      // otherwise, abandoning a candidate as soon as the remaining
-      // elements cannot reach the required overlap. Most candidates
-      // FAIL (that is what makes them candidates, not results), so the
-      // early exit skips most of the walk for most rows — verify is the
-      // measured cost center once candidates grow (SCALING.md, 10×
-      // corpus). Survivors complete the walk, so `inter` is exact and
-      // jac_bp is unchanged; `inter >= 0` is precisely the old
-      // `inter·5 ≥ uni·3` filter (see the ⟺ chain in the kernel doc).
-      .withColumn("inter", expr("graft_isect_ge_sorted(ga, gb, 3, 5)"))
-      .filter(col("inter") >= 0)
-      .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
-      .select(col("id_a"), col("id_b"),
-        expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager materialization so dfreq's blocks can be freed NOW: the
-    // survivor pair table is tiny (three longs per near-dup pair) and
-    // both consumers would materialize it on their first action anyway
-    out.count()
-    dfreq.unpersist(blocking = false)
-    out
+    (cand, dfreq)
   }
 
   /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):
@@ -1193,19 +1202,44 @@ object LlmOps {
     * cached value is K·dim doubles.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), Seq[IvfCent]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Long), Seq[IvfCent]]
 
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
-    val cached = ivfCache.get((sessionKey(s), d))
-    if (cached.isDefined) {
-      val cents = cached.get
-      return (cents, v.select(ivfCid(cents, col("e")).as("cid"),
-        col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn")))
-    }
-    // seeds: the K smallest xxhash64(vec_id) vectors — deterministic,
-    // data-independent spread; metadata-scale collect (K rows)
-    var cents: Seq[IvfCent] = v.select(col("vec_id"), col("e"))
+    def index(cents: Seq[IvfCent]): DataFrame =
+      v.select(ivfCid(cents, col("e")).as("cid"),
+        col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
+    // the effective sample budget is part of the cache key: a spec (or a
+    // server session) that retunes the conf must get a retrained model,
+    // not the previous budget's centroids
+    val sampleLimit =
+      s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
+    val cached = ivfCache.get((sessionKey(s), d, sampleLimit))
+    if (cached.isDefined) return (cached.get, index(cached.get))
+    // Training input: the full corpus while it fits the sample budget;
+    // above it, a deterministic ~sampleLimit-row sample keyed by q7J's
+    // engine-portable LCG (SCALING.md's "at 100 TB train centroids on a
+    // sample" is now the code path, not a note): quantizer quality needs
+    // the sample to cover the density landscape, not every row, and each
+    // Lloyd step otherwise runs a driver-blocking full-corpus job per
+    // sweep. The count is column-pruned metadata; the SERVING index
+    // below always assigns the full corpus.
+    val n = v.select("vec_id").count()
+    val train =
+      if (n <= sampleLimit) v
+      else {
+        // keep rows whose 31-bit LCG key falls in the first
+        // sampleLimit/n fraction of the key space (expected sample size
+        // ≈ sampleLimit; exact size is irrelevant to training)
+        val cut = math.max(1L,
+          (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
+        v.filter(expr("pmod(pmod(vec_id, 2147483648) * 1103515245 + 12345," +
+          s" 2147483648) < ${cut}L"))
+      }
+    // seeds: the K smallest xxhash64(vec_id) vectors of the TRAINING
+    // set — deterministic, data-independent spread; metadata-scale
+    // collect (K rows)
+    var cents: Seq[IvfCent] = train.select(col("vec_id"), col("e"))
       .withColumn("h", expr("xxhash64(vec_id)"))
       .orderBy("h", "vec_id").limit(IvfK)
       .collect().toSeq.zipWithIndex.map { case (r, i) =>
@@ -1214,7 +1248,7 @@ object LlmOps {
       }
     for (_ <- 1 to IvfLloydSteps) {
       // per-(cell, dim) mean: one scan, map-side partial agg, K·dim groups
-      val means = v.select(ivfCid(cents, col("e")).as("cid"),
+      val means = train.select(ivfCid(cents, col("e")).as("cid"),
           posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("m"))
         .collect().toSeq
@@ -1223,10 +1257,8 @@ object LlmOps {
         IvfCent(cid, ce, ce.map(x => x * x).sum)
       }.sortBy(_.cid)
     }
-    ivfCache.put((sessionKey(s), d), cents)
-    val index = v.select(ivfCid(cents, col("e")).as("cid"),
-      col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
-    (cents, index)
+    ivfCache.put((sessionKey(s), d, sampleLimit), cents)
+    (cents, index(cents))
   }
 
   val oracle: Map[String, String] = Map(

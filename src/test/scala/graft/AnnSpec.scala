@@ -94,6 +94,36 @@ class AnnSpec extends AnyFunSuite {
       s"mega-cell holds ${idx.values.max} of $n vectors")
   }
 
+  test("q7G IVF sample-trained quantizer: recall floor holds on the sampled branch") {
+    // VERDICT r7 #3: at 100 TB the quantizer trains on a deterministic
+    // LCG-keyed sample (spark.graft.ivf.trainSampleLimit), serving
+    // unchanged. Force the sampled branch on the fixture (~500 vectors,
+    // budget 200) and require: (a) the branch genuinely retrains — the
+    // centroid set differs from the full-corpus model's; (b) reported
+    // sims stay exact with dense ranks (the rerank is independent of
+    // training); (c) recall@5 holds a floor — measured 0.52 sampled on
+    // this fixture (identical to full-trained at pin time; a 16-cell
+    // density sketch needs coverage, not every row).
+    val key = "spark.graft.ivf.trainSampleLimit"
+    val fullCents = graft.operators.LlmOps.ivfModel(spark, sf0001)._1
+    spark.conf.set(key, "200")
+    try {
+      val sampledCents = graft.operators.LlmOps.ivfModel(spark, sf0001)._1
+      assert(sampledCents.map(_.ce) != fullCents.map(_.ce),
+        "sampled branch returned the full-corpus centroids — branch not taken")
+      val out = SparkEntry.queries("q7G_ann_ivf")(spark, sf0001).collect()
+      assert(out.nonEmpty)
+      out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+        assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+        rows.foreach { r =>
+          assert(r.getDouble(2) == cosine(vecs(q), vecs(r.getLong(1))))
+        }
+      }
+      val avg = avgRecall("q7G_ann_ivf")
+      assert(avg >= 0.45, s"sampled-branch avg recall@5 = $avg")
+    } finally spark.conf.unset(key)
+  }
+
   test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
     val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
       .collect().map(_.getLong(0)).toSet

@@ -77,6 +77,28 @@ class CcSpec extends AnyFunSuite {
     assert(rounds <= 12, s"rounds=$rounds — lost the O(log n) bound")
   }
 
+  test("cc: 1-hub star graph with 100k leaves — flat rounds under fan-in skew") {
+    // VERDICT r7 #5: the chain tests stress DEPTH; a hub node stresses
+    // FAN-IN — one group key owns 100k neighbor rows in the min
+    // aggregation. The map-side min partial agg means the hub's group
+    // ships one partial per map task, never its raw neighbor list to a
+    // single reducer; a star is also already one contraction from the
+    // fixpoint, so rounds must be ≤ 3 regardless of leaf count. Hub id
+    // ABOVE the leaves so the fixpoint genuinely re-roots the star (the
+    // hub is not its component's minimum).
+    import spark.implicits._
+    val hub = 5000000L
+    val leaves = 100000L
+    val edges = spark.range(1, leaves + 1)
+      .select(lit(hub).as("u"), col("id").as("v"))
+    val (stars, rounds) = LlmOps.connectedComponentsWithRounds(edges)
+    val got = collectStars(stars)
+    stars.unpersist()
+    val want = (2L to leaves).map(i => (i, 1L)).toSet + ((hub, 1L))
+    assert(got == want)
+    assert(rounds <= 3, s"rounds=$rounds — hub star should contract immediately")
+  }
+
   test("cc: deterministic across input partitionings and row order") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
