@@ -217,16 +217,23 @@ object LlmOps {
       // order-insensitive.
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), expr(
-          """array_sort(array_distinct(filter(
-            |  zip_with(
-            |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
-            |             (a, b) -> concat(a, ' ', b)),
-            |    slice(w, 3, greatest(size(w) - 2, 0)),
-            |    (ab, c) -> concat(ab, ' ', c)),
-            |  x -> x IS NOT NULL)))""".stripMargin).as("shingles"))
+        .select(col("doc_id"), expr(ShingleSql).as("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The word-3-shingle set expression over a `w` (split words) column —
+    * shared by [[shingled]] and the S12 streaming near-dup stage
+    * (graft.streaming.StreamOps.nearDupCandidates), so stream and batch
+    * band the SAME sets.
+    */
+  private[graft] val ShingleSql: String =
+    """array_sort(array_distinct(filter(
+      |  zip_with(
+      |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
+      |             (a, b) -> concat(a, ' ', b)),
+      |    slice(w, 3, greatest(size(w) - 2, 0)),
+      |    (ab, c) -> concat(ab, ' ', c)),
+      |  x -> x IS NOT NULL)))""".stripMargin
 
   /** q7N's pair table, unordered: all (id_a < id_b) with word-3-shingle
     * Jaccard ≥ 3/5, `jac_bp` in exact basis points. See the q7N registry

@@ -18,6 +18,13 @@ case class Balance(user_id: Long, n_events: Long, balance: Double)
   */
 case class Delivery(user_id: Long, kind: String, event_id: Long)
 
+/** One (band, band-hash) bucket observation of a document (S12). */
+case class DocBand(band: Int, bh: Long, doc_id: Long,
+    ts_t: java.sql.Timestamp)
+
+/** One streaming near-dup CANDIDATE pair (S12), id_a < id_b. */
+case class CandPair(id_a: Long, id_b: Long)
+
 /** S2–S6, S9–S10 — the streaming transforms (SURVEY.md §2.11).
   *
   * Every transform is a plain `DataFrame => DataFrame` applied identically
@@ -143,6 +150,86 @@ object StreamOps {
           if (keys.nonEmpty) state.update(math.max(maxSeen, keys.last))
           val tt = late.headOption.map(k => Delivery(uid, "timeTravel", k)).iterator
           tt ++ fresh.iterator.map(k => Delivery(uid, "event", k))
+      }
+  }
+
+  /** S12 — STREAMING near-dup candidate detection: q7A's MinHash + LSH
+    * banding run ON THE STREAM, so a 100 TB ingest can flag near-dups at
+    * arrival instead of re-scanning the lake in batch. The per-row part
+    * is identical to q7A by construction (shared shingle SQL via
+    * [[graft.operators.LlmOps.ShingleSql]], the same codegen'd
+    * `graft_minhash_row` signature, the same 32 bands of 2): each doc
+    * explodes to its (band, band_hash) bucket keys, and a
+    * `flatMapGroupsWithState` keyed BY BUCKET keeps the doc ids seen in
+    * that bucket, emitting a candidate pair the moment a new doc lands in
+    * a bucket with history — pairs among same-batch arrivals included.
+    *
+    * State is WATERMARK-BOUNDED: `docs` must carry a watermarked `ts_t`
+    * ingest time, and each bucket's timeout re-arms to (batch max event
+    * time + horizonMs); once the watermark passes that — no arrivals in
+    * the bucket for a full horizon — the bucket's id list is dropped
+    * (EventTimeTimeout), so state is O(buckets active in the horizon),
+    * never O(corpus). A doc arriving after its twin's bucket expired is
+    * not flagged — the declared trade of any horizon-bounded streaming
+    * dedup; the batch q7A/q7N sweep remains the exhaustive pass.
+    *
+    * Like q7A, docs with EMPTY shingle sets are excluded before banding
+    * (their all-identical signatures would pile into one hot bucket),
+    * and a pair colliding in several bands emits once per band — the
+    * downstream verify/apply stage deduplicates, exactly as q7A's
+    * `.distinct()` does before its Jaccard verify.
+    *
+    * Engine surface, not a registry entry (`queries` stays batch-only,
+    * SURVEY §2.0); parity + eviction pinned in StreamingParitySpec.
+    */
+  def nearDupCandidates(docs: DataFrame,
+      horizonMs: Long = 3600L * 1000): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.MinHash.register(spark)
+    val nBands = graft.functions.MinHash.K / 2
+    val banded = docs
+      .select(col("doc_id"), col("ts_t"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ts_t"),
+        expr(graft.operators.LlmOps.ShingleSql).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("ts_t"),
+        expr("graft_minhash_row(shingles)").as("sig"))
+      .select(col("doc_id"), col("ts_t"), explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), " +
+          "b -> struct(b AS band, xxhash64(slice(sig, b * 2 + 1, 2)) AS bh))"))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("doc_id"), col("ts_t"))
+      .as[DocBand]
+    banded.groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[DocBand],
+            state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray
+            val seen = state.getOption.getOrElse(Array.empty[Long])
+            val seenSet = seen.toSet
+            val fresh = batch.map(_.doc_id).distinct.sorted
+              .filterNot(seenSet)
+            val all = (seen ++ fresh).sorted
+            val freshSet = fresh.toSet
+            // every (a < b) pair whose LATER-ARRIVING member is in this
+            // batch — each pair emits exactly once per bucket lifetime
+            val out = for {
+              i <- all.indices.iterator
+              j <- (i + 1 until all.length).iterator
+              if freshSet.contains(all(i)) || freshSet.contains(all(j))
+            } yield CandPair(all(i), all(j))
+            state.update(seen ++ fresh)
+            // re-arm the TTL off the batch's max event time (not
+            // getCurrentWatermarkMs, which batch parity runs don't have)
+            val maxTs = batch.map(_.ts_t.getTime).max
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out
+          }
       }
   }
 

@@ -208,6 +208,100 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  /** Stages the fixture documents as time-ordered chunk files with a
+    * fabricated ingest time (`ts` epoch-µs, doc_id-spaced) — the S12
+    * replay source.
+    */
+  private def stageDocs(dir: String, chunks: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+    val bucketed = graft.sources.Tables.documents(spark, sf0001)
+      // base offset: the initial watermark is epoch 0, and a row AT the
+      // watermark is late — doc 0 must not sit exactly on it
+      .select(col("doc_id"), col("text"),
+        (lit(86400000000L) + col("doc_id") * 1000000L).as("ts"))
+      .withColumn("__bucket", ntile(chunks).over(w))
+      .cache()
+    try (1 to chunks).foreach { b =>
+      bucketed.filter(col("__bucket") === b).drop("__bucket")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    } finally bucketed.unpersist()
+  }
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDocs(dir: String): DataFrame =
+    spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(col("ts")))
+      .withWatermark("ts_t", "10 minutes")
+
+  private def readDocsBatch(dir: String): DataFrame =
+    spark.read.schema(docSchema).parquet(dir)
+      .withColumn("ts_t", timestamp_micros(col("ts")))
+
+  test("S12: streaming near-dup candidates — stream == batch, q7A pairs ⊆ candidates") {
+    val dir = tmpDir("graft-s12")
+    stageDocs(dir, 4)
+    val wide = 10L * 365 * 86400 * 1000 // horizon >> fixture span: no eviction
+    val got = runStream("s12",
+      StreamOps.nearDupCandidates(readDocs(dir), wide).toDF, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = StreamOps.nearDupCandidates(readDocsBatch(dir), wide)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(want.nonEmpty, "fixture has no band collisions — precondition broken")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the batch q7A VERIFIED near-dups must all have been flagged as
+    // candidates on the stream (banding is shared by construction)
+    val q7a = graft.SparkEntry.queries("q7A_dedup_minhash")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q7a.nonEmpty && q7a.subsetOf(got),
+      s"q7A pairs lost on the stream: ${(q7a -- got).take(5)}")
+  }
+
+  test("S12: bucket state is watermark-bounded — expired buckets stop pairing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = tmpDir("graft-s12ttl")
+    val H = 3600L * 1000000L // 1h in µs
+    def drop(id: Long, text: String, tsUs: Long): Unit = {
+      Seq((id, text, tsUs)).toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val dup = "alpha beta gamma delta epsilon"
+    drop(1, dup, H) // NOT epoch 0: a row at the initial watermark is late
+    val stream = StreamOps.nearDupCandidates(readDocs(dir),
+      horizonMs = 3600L * 1000).toDF // 1h TTL
+    val q = stream.writeStream.format("memory").queryName("s12ttl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // doc 1 seeds its buckets (TTL arms at 2h)
+      drop(2, "omega psi chi phi upsilon", 4 * H)
+      q.processAllAvailable() // wm → 3h50m after this batch
+      drop(3, "one two three four five", 4 * H + 60000000L)
+      q.processAllAvailable() // doc-1 buckets (idle, TTL 2h < wm) evict HERE
+      drop(4, dup, 4 * H + 120000000L)
+      q.processAllAvailable() // twin of doc 1 — but the bucket is gone
+      drop(5, dup, 4 * H + 180000000L)
+      q.processAllAvailable() // control: same-horizon twin pairs normally
+    } finally q.stop()
+    val got = spark.table("s12ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 4L)),
+      "pair across the expired horizon — bucket state not evicted")
+    assert(got.contains((4L, 5L)),
+      "in-horizon twin not paired — eviction test over-evicted")
+  }
+
   test("S11: stream-stream click→purchase interval join — stream == batch") {
     val got = runStream("s11",
       StreamOps.clickToPurchase(
