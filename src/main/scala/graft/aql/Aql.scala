@@ -23,6 +23,11 @@ import graft.operators.Filters
   *    mirroring q17's convention.
   *  - `FILTER` → `.filter`; `SELECT` → `.select` (columns named by path
   *    leaf); `AGGREGATE` → global `.agg` with `SUM/MIN/MAX/AVG/COUNT`.
+  *  - `AGGREGATE … BY k1, k2` → `groupBy(k1, k2).agg(…)`, output ordered
+  *    by the group keys (q41's shape). An EXTENSION: the reference's AQL
+  *    aggregates globally only — `BY` exists because the grouped form is
+  *    the first thing every analytics user reaches for; group keys lower
+  *    through the same Path rules (JSON payload paths included).
   *  - `CASE p => e … ENDCASE` → chained `when()` (no match → NULL; write
   *    `CASE TRUE => e` for a default arm).
   *  - `` `a {e} b` `` backtick templates → `concat` of literal parts and
@@ -62,6 +67,7 @@ object Aql {
 
   final case class Query(from: TagExpr, filter: Option[Expr],
                          select: Seq[Expr], aggregate: Seq[Expr],
+                         by: Seq[Expr] = Nil,
                          limit: Option[Int] = None)
 
   // ---------- tokenizer ----------
@@ -69,7 +75,7 @@ object Aql {
   // numbers are unsigned here; keywords need the \b or they'd prefix-match
   // identifiers.
   private val tokenRe =
-    ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|LIMIT\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b""" +
+    ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|BY\b|LIMIT\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b""" +
       """|'[^']*'|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|=>|\?\?|&&|\|\||!=|>=|<=|==|[&|!=<>+\-*/().,^])""").r
 
   private def tokenize(s: String): List[String] = {
@@ -114,12 +120,17 @@ object Aql {
     val filter = if (c.accept("FILTER")) Some(expr(c)) else None
     val select = if (c.accept("SELECT")) exprList(c) else Nil
     val aggregate = if (c.accept("AGGREGATE")) exprList(c) else Nil
+    val by = if (c.accept("BY")) {
+      if (aggregate.isEmpty)
+        throw new IllegalArgumentException("AQL: BY requires AGGREGATE")
+      exprList(c)
+    } else Nil
     val limit = if (c.accept("LIMIT")) {
       val t = c.pop()
       if (!t.matches("\\d+")) throw new IllegalArgumentException(s"AQL: LIMIT expects an integer, found '$t'")
       Some(t.toInt)
     } else None
-    Query(from, filter, select, aggregate, limit)
+    Query(from, filter, select, aggregate, by, limit)
   }
 
   private def tagOr(c: Cursor): TagExpr = {
@@ -458,8 +469,10 @@ object Aql {
       df.join(sub, lower(lhs) === col("__in"), "left_semi")
 
     case Bin(op, lhs, SubQuery(sq)) if cmpOps(op) =>
-      require(sq.aggregate.size == 1 && sq.select.isEmpty && sq.limit.isEmpty,
-        "AQL: a compared subQuery must have exactly one AGGREGATE (and no SELECT/LIMIT)")
+      require(sq.aggregate.size == 1 && sq.select.isEmpty && sq.limit.isEmpty
+          && sq.by.isEmpty,
+        "AQL: a compared subQuery must have exactly one AGGREGATE " +
+          "(and no SELECT/LIMIT/BY — grouping comes from ^.k correlation)")
       val aggRaw = sq.aggregate.head match {
         case cl: Call => lowerAggRaw(cl.fn, cl.args)
         case other => throw new IllegalArgumentException(s"AQL: AGGREGATE expects calls, got $other")
@@ -532,7 +545,18 @@ object Aql {
         case c: Call => lowerAgg(c.fn, c.args)
         case other => throw new IllegalArgumentException(s"AQL: AGGREGATE expects calls, got $other")
       }
-      df.agg(aggs.head, aggs.tail: _*)
+      if (q.by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else {
+        // grouped form → groupBy.agg (q41's plan: map-side partial agg,
+        // one shuffle on the group keys); output ordered BY the keys so
+        // results are deterministic like every non-stream registry query
+        val names = q.by.zipWithIndex.map { case (e, i) => selectName(e, i) }
+        require(names.distinct.size == names.size,
+          s"AQL: duplicate group-key names in BY: $names")
+        val keys = q.by.zip(names).map { case (e, n) => lower(e).as(n) }
+        df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          .orderBy(names.map(col): _*)
+      }
     } else {
       // event-key order first, then project: the projection is
       // order-preserving, so results stream out in lamport order.

@@ -112,8 +112,12 @@ class AqlFuzzSpec extends AnyFunSuite {
       3 -> numExprG(1), 2 -> jsonPathG, 1 -> caseG, 1 -> interpG))
     m <- Gen.chooseNum(0, 2)
     aggs <- if (sels.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
+    // BY only with AGGREGATE (parse rule); keys drawn name-distinct
+    by <- if (aggs.isEmpty) Gen.const(Nil: List[Expr])
+          else Gen.someOf(Path(Seq("event_type")), Path(Seq("user_id")))
+            .map(_.toList: List[Expr])
     lim <- Gen.option(Gen.chooseNum(1, 500))
-  } yield Query(from, filter, sels, aggs, lim)
+  } yield Query(from, filter, sels, aggs, by, lim)
 
   // ---------- renderer (fully parenthesized → unambiguous) ----------
   private def renderTag(t: TagExpr): String = t match {
@@ -147,6 +151,7 @@ class AqlFuzzSpec extends AnyFunSuite {
     q.filter.foreach(f => b.append(" FILTER ").append(render(f)))
     if (q.select.nonEmpty) b.append(" SELECT ").append(q.select.map(render).mkString(", "))
     if (q.aggregate.nonEmpty) b.append(" AGGREGATE ").append(q.aggregate.map(render).mkString(", "))
+    if (q.by.nonEmpty) b.append(" BY ").append(q.by.map(render).mkString(", "))
     q.limit.foreach(n => b.append(" LIMIT ").append(n))
     b.toString
   }
