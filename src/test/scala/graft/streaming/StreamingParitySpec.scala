@@ -200,11 +200,12 @@ class StreamingParitySpec extends AnyFunSuite {
     checkRunningBalance("s9")
   }
 
-  test("S9+S10 under the RocksDB state store (the 100 TB keyed-state posture)") {
+  test("S9+S10+S12 under the RocksDB state store (the 100 TB keyed-state posture)") {
     StreamOps.useRocksDBStateStore(spark)
     try {
       checkRunningBalance("s9rocks")
       checkMonotonic("s10rocks")
+      checkNearDupTtl("s12rocks")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -267,10 +268,14 @@ class StreamingParitySpec extends AnyFunSuite {
       s"q7A pairs lost on the stream: ${(q7a -- got).take(5)}")
   }
 
-  test("S12: bucket state is watermark-bounded — expired buckets stop pairing") {
+  /** S12's eviction scenario + assertions, parameterized (like
+    * [[checkMonotonic]]) so it can run under more than one state-store
+    * provider.
+    */
+  private def checkNearDupTtl(name: String): Unit = {
     val sparkS = spark
     import sparkS.implicits._
-    val dir = tmpDir("graft-s12ttl")
+    val dir = tmpDir(s"graft-$name")
     val H = 3600L * 1000000L // 1h in µs
     def drop(id: Long, text: String, tsUs: Long): Unit = {
       Seq((id, text, tsUs)).toDF("doc_id", "text", "ts")
@@ -281,7 +286,7 @@ class StreamingParitySpec extends AnyFunSuite {
     drop(1, dup, H) // NOT epoch 0: a row at the initial watermark is late
     val stream = StreamOps.nearDupCandidates(readDocs(dir),
       horizonMs = 3600L * 1000).toDF // 1h TTL
-    val q = stream.writeStream.format("memory").queryName("s12ttl")
+    val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       q.processAllAvailable() // doc 1 seeds its buckets (TTL arms at 2h)
@@ -294,12 +299,16 @@ class StreamingParitySpec extends AnyFunSuite {
       drop(5, dup, 4 * H + 180000000L)
       q.processAllAvailable() // control: same-horizon twin pairs normally
     } finally q.stop()
-    val got = spark.table("s12ttl").collect()
+    val got = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!got.contains((1L, 4L)),
       "pair across the expired horizon — bucket state not evicted")
     assert(got.contains((4L, 5L)),
       "in-horizon twin not paired — eviction test over-evicted")
+  }
+
+  test("S12: bucket state is watermark-bounded — expired buckets stop pairing") {
+    checkNearDupTtl("s12ttl")
   }
 
   test("S11: stream-stream click→purchase interval join — stream == batch") {
