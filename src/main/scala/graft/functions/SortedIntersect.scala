@@ -115,9 +115,9 @@ case class SortedIntersectGe(first: Expression, second: Expression,
     val den = denV.asInstanceOf[Int]
     val n = x.numElements()
     val m = y.numElements()
-    // ceil(num·(n+m) / (num+den)) in long arithmetic (n+m can approach
-    // Int.MaxValue·2; num/den are small)
-    val alpha = (num.toLong * (n + m) + num + den - 1) / (num + den)
+    // ceil(num·(n+m) / (num+den)) in long arithmetic — n and m widen
+    // BEFORE the sum (n+m can exceed Int.MaxValue); num/den are small
+    val alpha = (num.toLong * (n.toLong + m) + num + den - 1) / (num + den)
     var i = 0
     var j = 0
     var c = 0
@@ -148,7 +148,7 @@ case class SortedIntersectGe(first: Expression, second: Expression,
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
          |final long $alpha =
-         |  ((long) $num * ($n + $m) + $num + $den - 1) / ($num + $den);
+         |  ((long) $num * ((long) $n + $m) + $num + $den - 1) / ($num + $den);
          |int $i = 0, $j = 0, $c = 0;
          |${ev.value} = -1;
          |while ($i < $n && $j < $m) {

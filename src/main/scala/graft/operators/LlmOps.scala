@@ -1229,15 +1229,23 @@ object LlmOps {
     // sample" is now the code path, not a note): quantizer quality needs
     // the sample to cover the density landscape, not every row, and each
     // Lloyd step otherwise runs a driver-blocking full-corpus job per
-    // sweep. The count is column-pruned metadata; the SERVING index
-    // below always assigns the full corpus.
-    val n = v.select("vec_id").count()
+    // sweep. The branch probe is a LIMIT(budget+1) count, not a full
+    // count: CollectLimit stops scanning once budget+1 ids have been
+    // seen, so the within-budget case (every fixture; any corpus small
+    // enough to train on fully) never pays a full-corpus pass just to
+    // learn it is small. Only a genuinely over-budget corpus pays the
+    // full count that sizes the sampling fraction — there, training
+    // itself dwarfs it. The SERVING index below always assigns the full
+    // corpus.
+    val within = sampleLimit >= Int.MaxValue ||
+      v.select("vec_id").limit(sampleLimit.toInt + 1).count() <= sampleLimit
     val train =
-      if (n <= sampleLimit) v
+      if (within) v
       else {
         // keep rows whose 31-bit LCG key falls in the first
         // sampleLimit/n fraction of the key space (expected sample size
         // ≈ sampleLimit; exact size is irrelevant to training)
+        val n = v.select("vec_id").count()
         val cut = math.max(1L,
           (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
         v.filter(expr("pmod(pmod(vec_id, 2147483648) * 1103515245 + 12345," +
