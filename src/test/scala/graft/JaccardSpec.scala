@@ -112,4 +112,16 @@ class JaccardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q7N verify runs the threshold-aware early-exit kernel") {
+    // the ANALYZED plan must carry graft_isect_ge_sorted (the executed
+    // plan hides it behind the persisted InMemoryRelation): a regression
+    // to the full-walk kernel — or worse, array_intersect's per-row hash
+    // set — doubles the measured verify cost at the 10x point (SCALING.md)
+    graft.operators.LlmOps.release(spark)
+    val analyzed = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_isect_ge_sorted"), analyzed.take(2000))
+    graft.operators.LlmOps.release(spark)
+  }
 }
