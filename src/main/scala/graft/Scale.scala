@@ -109,6 +109,9 @@ object Scale {
       val (cand, dfreq) = LlmOps.jaccardCandidates(s, sh)
       val (nCand, tCand) = timed(cand.count())
       dfreq.unpersist()
+      // release BEFORE timing q7N so the wall includes shingling —
+      // the same cold-cache scope as the closed10x measurement
+      LlmOps.release(s)
       val (nPairs, tQ) = timed(
         SparkEntry.queries("q7N_dedup_jaccard")(s, dir).count())
       println(f"""{"mode":"openvocab","mult":$mult,"docs":$nDocs,""" +

@@ -128,7 +128,9 @@ case class SortedIntersectGe(first: Expression, second: Expression,
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
-      if (c + math.min(n - i, m - j) < alpha) done = true
+      // same widening as alpha: c + remaining can pass Int.MaxValue in
+      // exactly the huge-array regime alpha was widened for
+      if (c.toLong + math.min(n - i, m - j) < alpha) done = true
     }
     if (!done && c >= alpha) res = c
     res
@@ -156,7 +158,7 @@ case class SortedIntersectGe(first: Expression, second: Expression,
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |  final int $rest = $n - $i < $m - $j ? $n - $i : $m - $j;
-         |  if ($c + $rest < $alpha) { $c = -1; break; }
+         |  if ((long) $c + $rest < $alpha) { $c = -1; break; }
          |}
          |if ($c >= $alpha) { ${ev.value} = $c; }
        """.stripMargin

@@ -235,6 +235,15 @@ object LlmOps {
       |    (ab, c) -> concat(ab, ' ', c)),
       |  x -> x IS NOT NULL)))""".stripMargin
 
+  /** The LSH banding expression over a `sig` (graft_minhash_row) column:
+    * nBands (band, band-hash) structs, 2 signature slots per band —
+    * shared by q7A and S12 like [[ShingleSql]], so the streaming
+    * candidate stage flags exactly the buckets the batch sweep would.
+    */
+  private[graft] def bandSql(nBands: Int): String =
+    s"transform(sequence(0, ${nBands - 1}), " +
+      "b -> struct(b AS band, xxhash64(slice(sig, b * 2 + 1, 2)) AS bh))"
+
   /** q7N's pair table, unordered: all (id_a < id_b) with word-3-shingle
     * Jaccard ≥ 3/5, `jac_bp` in exact basis points. See the q7N registry
     * comment for the PPJoin prefix-filter design; q7R clusters over the
@@ -286,9 +295,17 @@ object LlmOps {
     // is materialized eagerly (it is tiny: three longs per near-dup
     // pair, and both consumers would materialize it on first action
     // anyway; still under the jaccardCache lock, like the probe) and
-    // dfreq's blocks are freed immediately after (ADVICE r7).
-    out.count()
-    dfreq.unpersist(blocking = false)
+    // dfreq's blocks are freed immediately after (ADVICE r7). Accepted
+    // trade: a PLAN-only consumer (graft.Explain) of q7N/q7R executes
+    // the build once per (session, sfDir) just to read the plan.
+    // try/finally: a failed materialization must still release BOTH
+    // persists — dfreq has no other handle (no cache entry since r8),
+    // and a half-built `out` would otherwise pin its partial blocks
+    // until session end on every retried build.
+    try out.count()
+    catch {
+      case e: Throwable => out.unpersist(blocking = false); throw e
+    } finally dfreq.unpersist(blocking = false)
     out
   }
 
@@ -658,9 +675,7 @@ object LlmOps {
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), expr("graft_minhash_row(shingles)").as("sig"))
       val bands = sig
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, ${nBands - 1}), " +
-            "b -> struct(b AS band, xxhash64(slice(sig, b * 2 + 1, 2)) AS bh))")).as("bb"))
+        .select(col("doc_id"), explode(expr(bandSql(nBands))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -195,10 +195,8 @@ object StreamOps {
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("ts_t"),
         expr("graft_minhash_row(shingles)").as("sig"))
-      .select(col("doc_id"), col("ts_t"), explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), " +
-          "b -> struct(b AS band, xxhash64(slice(sig, b * 2 + 1, 2)) AS bh))"))
-        .as("bb"))
+      .select(col("doc_id"), col("ts_t"),
+        explode(expr(graft.operators.LlmOps.bandSql(nBands))).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
         col("doc_id"), col("ts_t"))
       .as[DocBand]
@@ -214,15 +212,19 @@ object StreamOps {
             val seenSet = seen.toSet
             val fresh = batch.map(_.doc_id).distinct.sorted
               .filterNot(seenSet)
-            val all = (seen ++ fresh).sorted
-            val freshSet = fresh.toSet
-            // every (a < b) pair whose LATER-ARRIVING member is in this
-            // batch — each pair emits exactly once per bucket lifetime
-            val out = for {
-              i <- all.indices.iterator
-              j <- (i + 1 until all.length).iterator
-              if freshSet.contains(all(i)) || freshSet.contains(all(j))
-            } yield CandPair(all(i), all(j))
+            // every pair with ≥1 fresh member, enumerated as fresh×seen
+            // plus fresh×fresh directly — NOT a filter over all (seen ∪
+            // fresh)² pairs, which would re-scan a hot bucket's full
+            // history quadratically on every batch that adds one doc.
+            // Each pair still emits exactly once per bucket lifetime
+            // (its later-arriving member is fresh exactly once).
+            val out = (for {
+              f <- fresh.iterator
+              s <- seen.iterator
+            } yield if (s < f) CandPair(s, f) else CandPair(f, s)) ++ (for {
+              i <- fresh.indices.iterator
+              j <- (i + 1 until fresh.length).iterator
+            } yield CandPair(fresh(i), fresh(j)))
             state.update(seen ++ fresh)
             // re-arm the TTL off the batch's max event time (not
             // getCurrentWatermarkMs, which batch parity runs don't have)
