@@ -98,8 +98,13 @@ object Scale {
   private def writeDocs(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-  private def openvocab(s: SparkSession): Unit = {
-    for ((mult, nDocs, v) <- Seq((1, 5000, 2000), (10, 50000, 20000))) {
+  private def openvocab(s: SparkSession, big: Boolean): Unit = {
+    val scales = Seq((1, 5000, 2000), (10, 50000, 20000)) ++
+      // the 100× point also crosses the dfreq broadcast row gate (its
+      // dictionary exceeds 4M distinct shingles), so it exercises the
+      // shuffle-fallback branch at real scale — pass `big` to include it
+      (if (big) Seq((100, 500000, 200000)) else Nil)
+    for ((mult, nDocs, v) <- scales) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-ov$mult").toString
       writeDocs(zipfCorpus(s, nDocs, v, seed = 97L), dir)
@@ -171,7 +176,7 @@ object Scale {
   def main(args: Array[String]): Unit = {
     val s = session()
     args.headOption.getOrElse("openvocab") match {
-      case "openvocab" => openvocab(s)
+      case "openvocab" => openvocab(s, big = args.contains("big"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
       case other       => sys.error(s"unknown mode $other")
