@@ -69,7 +69,19 @@ object Bench {
     // total/failures LAST: the driver stores only the TAIL of stdout, so
     // leading keys get truncated away on long lines (both r01 and r02 lost
     // "value" and the first ~18 per-query timings — VERDICT r02 §Bench).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs,"failures":$fs,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs,"failures":$fs,"value":$total}"""
+    println(line)
+    // The driver's stdout tail TRUNCATES the per-query map (BENCH_r08
+    // recovered only 61/98 rows), which could hide a per-query regression
+    // — so the complete line is also written as a file artifact.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] target/bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -554,8 +554,18 @@ object Aql {
         require(names.distinct.size == names.size,
           s"AQL: duplicate group-key names in BY: $names")
         val keys = q.by.zip(names).map { case (e, n) => lower(e).as(n) }
-        df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-          .orderBy(names.map(col): _*)
+        val grouped = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        // a group-key leaf name that equals a derived aggregate alias
+        // (e.g. `AGGREGATE COUNT(_) BY _.count` → two `count` columns)
+        // would make orderBy(col(name)) throw an opaque ambiguous-
+        // reference error — reject it up front with the fix spelled out
+        val aggNames = grouped.columns.drop(names.size).toSet
+        val clash = names.filter(aggNames)
+        require(clash.isEmpty,
+          s"AQL: group-key name(s) ${clash.mkString(", ")} collide with an " +
+            "AGGREGATE alias; ordering by them would be ambiguous — rename " +
+            "the key field or the aggregate")
+        grouped.orderBy(names.map(col): _*)
       }
     } else {
       // event-key order first, then project: the projection is

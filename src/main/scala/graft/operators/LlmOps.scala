@@ -113,7 +113,7 @@ object LlmOps {
     * reuses the cell hash partitioning from the join.
     */
   private val simCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
 
   /** Monotonic id per live SparkSession, for cache keying. The r7 keys
     * used `System.identityHashCode(session)`, which two live sessions can
@@ -136,23 +136,49 @@ object LlmOps {
     }
   }
 
-  /** Every persisted-DataFrame cache funnels through this instead of
-    * bare `getOrElseUpdate`: that call is NOT atomic on a TrieMap, so two
-    * concurrent first accesses would both run `build` and the losing copy
-    * would stay persisted with no handle — leaked executor memory until
-    * session end. The lock is per-cache; `build` is driver-side plan
-    * construction plus a lazy `.persist()` registration for
-    * sim/shingle (no job runs under the lock), while the jaccard build
-    * runs its dfreq probe plus the pair-table materialization and q7R's
-    * build its fixpoint jobs under theirs — concurrent callers of the SAME cache block
-    * until the first finishes, which is also the semantics you want (the
-    * second caller would otherwise redo the work).
+  /** Per-key holder for a persisted DataFrame: the holder's own monitor
+    * serializes `build` against concurrent first accesses AND against
+    * [[release]]'s unpersist — a PER-(session, sfDir) lock, so one
+    * session's multi-second jaccard/cc materialization never blocks a
+    * DIFFERENT session's (or sfDir's) access to the same cache (ADVICE
+    * r8: the previous per-cache lock was a liveness regression for
+    * multi-session servers). Losing `putIfAbsent` racers discard an
+    * UN-evaluated thunk, so nothing is ever persisted without a handle
+    * in the map.
     */
-  private def cachedDf(cache: scala.collection.concurrent.TrieMap[(Long, String), DataFrame],
-                       s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    cache.synchronized {
-      cache.getOrElseUpdate((sessionKey(s), d), build)
+  private final class Cached(build: () => DataFrame) {
+    private var built: Option[DataFrame] = None
+    def get: DataFrame = synchronized {
+      built.getOrElse { val df = build(); built = Some(df); df }
     }
+    /** Blocks until any in-flight build lands, then unpersists it — the
+      * release-vs-first-access invariant the old per-cache lock gave,
+      * now scoped to this key alone.
+      */
+    def invalidate(): Unit = synchronized {
+      built.foreach(_.unpersist(blocking = true)); built = None
+    }
+  }
+
+  private type DfCache = scala.collection.concurrent.TrieMap[(Long, String), Cached]
+
+  /** Every persisted-DataFrame cache funnels through this instead of
+    * bare `getOrElseUpdate`: that path could run `build` twice and leak
+    * the losing copy's persisted blocks until session end. Concurrent
+    * callers of the SAME (session, sfDir) block until the first build
+    * finishes (the second caller would otherwise redo the work);
+    * callers of other keys proceed untouched.
+    */
+  private def cachedDf(cache: DfCache,
+                       s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    val key = (sessionKey(s), d)
+    cache.get(key) match {
+      case Some(c) => c.get
+      case None =>
+        val fresh = new Cached(() => build)
+        cache.putIfAbsent(key, fresh).getOrElse(fresh).get
+    }
+  }
 
   private def simPairs(s: SparkSession, d: String): DataFrame =
     cachedDf(simCache, s, d) {
@@ -172,15 +198,13 @@ object LlmOps {
     */
   def release(s: SparkSession): Unit = {
     val key = sessionKey(s)
-    // each cache's remove+unpersist runs under the same lock cachedDf
-    // builds under, so a release racing a first access can't sweep a key
-    // before the build's persisted value lands in the map (which would
-    // leak that DataFrame until session end)
+    // invalidate() takes each key's own build monitor, so a release
+    // racing a first access waits for that build to land and then
+    // unpersists it (nothing leaks until session end) — without holding
+    // any lock that another session's keys build under
     Seq(simCache, shingleCache, jaccardCache, ccCache).foreach { c =>
-      c.synchronized {
-        c.keys.filter(_._1 == key).foreach { k =>
-          c.remove(k).foreach(_.unpersist(blocking = true))
-        }
+      c.keys.filter(_._1 == key).foreach { k =>
+        c.remove(k).foreach(_.invalidate())
       }
     }
     // the IVF model cache too (plain values, nothing to unpersist):
@@ -196,7 +220,7 @@ object LlmOps {
     * trailing partial shingles filter out.
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
 
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     cachedDf(shingleCache, s, d) {
@@ -261,7 +285,7 @@ object LlmOps {
     cachedDf(jaccardCache, s, d) { buildJaccardPairs(s, d) }
 
   private val jaccardCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     SortedIntersect.register(s)
@@ -294,7 +318,7 @@ object LlmOps {
     // nothing rejoins dfreq after it materializes — so the pair table
     // is materialized eagerly (it is tiny: three longs per near-dup
     // pair, and both consumers would materialize it on first action
-    // anyway; still under the jaccardCache lock, like the probe) and
+    // anyway; under this key's own build guard, like the probe) and
     // dfreq's blocks are freed immediately after (ADVICE r7). Accepted
     // trade: a PLAN-only consumer (graft.Explain) of q7N/q7R executes
     // the build once per (session, sfDir) just to read the plan.
@@ -1076,7 +1100,7 @@ object LlmOps {
     * Released with the other caches in [[release]].
     */
   private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
 
   /** One large-star round: connect every strictly-LARGER neighbor of u to
     * m = min(Γ(u) ∪ {u}). Every input edge is owned (and rewritten) by
@@ -1236,6 +1260,11 @@ object LlmOps {
     // not the previous budget's centroids
     val sampleLimit =
       s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
+    // a non-positive budget would make the within-budget probe false and
+    // the LCG cut keep ~0 rows — zero seeds, an empty centroid list, and
+    // an opaque failure later in ivfCid. Fail here, naming the conf.
+    require(sampleLimit > 0,
+      s"spark.graft.ivf.trainSampleLimit must be positive, got $sampleLimit")
     val cached = ivfCache.get((sessionKey(s), d, sampleLimit))
     if (cached.isDefined) return (cached.get, index(cached.get))
     // Training input: the full corpus while it fits the sample budget;

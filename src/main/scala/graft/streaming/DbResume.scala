@@ -24,8 +24,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * show zero fresh rows — the DB state alone proves the resume point;
   * the Spark checkpoint only avoids re-reading files.
   *
-  * The OffsetMap is metadata-scale (one row per stream): reading it to
-  * the driver and broadcasting it back mirrors the reference exactly.
+  * The OffsetMap is one row per stream — metadata-scale relative to the
+  * events, but NOT driver-bounded by contract: a batch may touch
+  * millions of streams. So the map never fully materializes on the
+  * driver inside the landing protocol: the lowerBound side is a JDBC
+  * scan joined distributively, and the advance drains the per-stream
+  * maxima through toLocalIterator one shuffle partition at a time.
+  * ([[readOffsets]] does collect the map — it is the restart-inspection
+  * API, for tests and operators, not part of the per-batch path.)
   *
   * DEVIATION from EP-3: the reference advances its OffsetMap in the SAME
   * database transaction as the landed rows. Spark executors each hold
@@ -71,8 +77,14 @@ object DbResume {
     } finally c.close()
   }
 
-  private def advanceOffsets(url: String, maxes: Seq[(Long, Long)]): Unit = {
-    if (maxes.isEmpty) return
+  /** JDBC rows flushed per executeBatch while advancing the OffsetMap —
+    * bounds the statement batch, not correctness (the whole advance still
+    * commits once; a crash mid-advance replays it idempotently).
+    */
+  private val AdvanceChunk = 10000
+
+  private def advanceOffsets(url: String, maxes: Iterator[(Long, Long)]): Unit = {
+    if (!maxes.hasNext) return
     val c = DerbySink.connect(url)
     try {
       c.setAutoCommit(false)
@@ -82,12 +94,15 @@ object DbResume {
            |WHEN MATCHED THEN UPDATE SET last_off = ?
            |WHEN NOT MATCHED THEN INSERT (stream_id, last_off) VALUES (?, ?)""".stripMargin)
       try {
+        var pending = 0
         maxes.foreach { case (sid, off) =>
           ps.setLong(1, sid); ps.setLong(2, off)
           ps.setLong(3, sid); ps.setLong(4, off)
           ps.addBatch()
+          pending += 1
+          if (pending >= AdvanceChunk) { ps.executeBatch(); pending = 0 }
         }
-        ps.executeBatch()
+        if (pending > 0) ps.executeBatch()
         c.commit()
       } finally ps.close()
     } finally c.close()
@@ -153,14 +168,22 @@ object DbResume {
   private[streaming] def landBatch(batch: DataFrame, url: String,
                                    statKey: String): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
     batch.persist()
     try {
       // ALL rows MERGE (idempotent — replays no-op, late arrivals
-      // insert); the OffsetMap only classifies fresh vs not
+      // insert); the OffsetMap only classifies fresh vs not.
       DerbySink.upsertBatchAs(batch, url, SINK, "event_id")
-      val lower = readOffsets(url).toSeq.toDF("user_id", "last_off")
-      val fresh = batch.join(broadcast(lower), Seq("user_id"), "left")
+      // The lowerBound side is a JDBC SCAN of the OFFSETS table, not a
+      // driver collect+broadcast: the map is one row per stream, and a
+      // batch touching millions of streams must not materialize them all
+      // in driver memory (VERDICT r8 watch item). AQE picks the join
+      // strategy — broadcast while the map is small, shuffle join once
+      // it isn't. (A cluster deployment can add partitionColumn options
+      // to parallelize the scan; one task suffices for an executor.)
+      val lower = s.read.format("jdbc")
+        .option("url", url).option("dbtable", OFFSETS).load()
+        .select(col("stream_id").as("user_id"), col("last_off"))
+      val fresh = batch.join(lower, Seq("user_id"), "left")
         .filter(col("event_id") > coalesce(col("last_off"), lit(Long.MinValue)))
         .drop("last_off")
         .persist()
@@ -173,10 +196,20 @@ object DbResume {
         if (n > 0) {
           // advance the map only AFTER the rows landed: a crash
           // between the two re-delivers (at-least-once) and the keyed
-          // MERGE absorbs it
-          val maxes = fresh.groupBy("user_id").agg(max("event_id"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-          advanceOffsets(url, maxes)
+          // MERGE absorbs it. toLocalIterator streams ONE shuffle
+          // partition of (stream, max) rows to the driver at a time —
+          // the driver-memory bound is streams-per-partition, never the
+          // batch's full stream cardinality (the chunked JDBC MERGE
+          // drains it incrementally).
+          val maxes = fresh.groupBy("user_id").agg(max("event_id").as("m"))
+            .toLocalIterator()
+          advanceOffsets(url,
+            new Iterator[(Long, Long)] {
+              def hasNext: Boolean = maxes.hasNext
+              def next(): (Long, Long) = {
+                val r = maxes.next(); (r.getLong(0), r.getLong(1))
+              }
+            })
         }
       } finally fresh.unpersist()
     } finally batch.unpersist()

@@ -52,53 +52,15 @@ object DerbySink {
     } finally c.close()
   }
 
-  /** Idempotent per-row MERGE (Derby ≥10.11 supports MERGE; the 1-row
-    * SYSDUMMY1 source turns it into a keyed upsert).
+  /** Upserts one micro-batch of the fixed envelope schema — the special
+    * case of [[upsertBatchAs]] (which derives the identical keyed MERGE
+    * from this projection's schema, and carries the chunked retry).
     */
-  private val MERGE_SQL =
-    s"""MERGE INTO $TABLE t USING SYSIBM.SYSDUMMY1
-       |ON t.event_id = ?
-       |WHEN MATCHED THEN UPDATE SET
-       |  ts_us = ?, user_id = ?, event_type = ?, value = ?
-       |WHEN NOT MATCHED THEN INSERT (event_id, ts_us, user_id, event_type, value)
-       |  VALUES (?, ?, ?, ?, ?)""".stripMargin
-
-  /** Upserts one micro-batch. Keys are deduped inside the batch first
-    * (last writer wins by event_id — they're identical under replay), so
-    * concurrent partitions never contend on the same key.
-    */
-  def upsertBatch(batch: DataFrame, url: String): Unit = {
-    val rows = batch
+  def upsertBatch(batch: DataFrame, url: String): Unit =
+    upsertBatchAs(batch
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .dropDuplicates("event_id")
-    rows.foreachPartition { it: Iterator[Row] =>
-      if (it.hasNext) {
-        val c = connect(url)
-        try {
-          c.setAutoCommit(false)
-          val ps = c.prepareStatement(MERGE_SQL)
-          try {
-            var n = 0
-            it.foreach { r =>
-              val eid = r.getLong(0)
-              ps.setLong(1, eid)
-              ps.setLong(2, r.getLong(1)); ps.setLong(3, r.getLong(2))
-              ps.setString(4, r.getString(3)); ps.setDouble(5, r.getDouble(4))
-              ps.setLong(6, eid)
-              ps.setLong(7, r.getLong(1)); ps.setLong(8, r.getLong(2))
-              ps.setString(9, r.getString(3)); ps.setDouble(10, r.getDouble(4))
-              ps.addBatch()
-              n += 1
-              if (n % 500 == 0) ps.executeBatch()
-            }
-            ps.executeBatch()
-            c.commit()
-          } finally ps.close()
-        } finally c.close()
-      }
-    }
-  }
+        col("user_id"), col("event_type"), col("value")),
+      url, TABLE, "event_id")
 
   /** Wires a staged event stream into the sink with a checkpoint — the
     * whole events-to-db pipeline (S1 source → S7 sink, resumable per S8).
@@ -182,28 +144,58 @@ object DerbySink {
     val rows = batch.dropDuplicates(key)
     rows.foreachPartition { it: Iterator[Row] =>
       if (it.hasNext) {
-        val c = connect(url)
+        var c = connect(url)
+        c.setAutoCommit(false)
         try {
-          c.setAutoCommit(false)
-          val ps = c.prepareStatement(mergeSql)
-          try {
-            def set(pos: Int, r: Row, i: Int): Unit =
-              if (r.isNullAt(i)) ps.setNull(pos, types(i))
-              else ps.setObject(pos, r.get(i), types(i))
-            var n = 0
-            it.foreach { r =>
-              var pos = 1
-              set(pos, r, kIdx); pos += 1
-              otherIdx.foreach { i => set(pos, r, i); pos += 1 }
-              names.indices.foreach { i => set(pos, r, i); pos += 1 }
-              ps.addBatch()
-              n += 1
-              if (n % 500 == 0) ps.executeBatch()
+          // Rows are buffered in 500-row chunks and each chunk's MERGE is
+          // committed and RETRIED on transient failure: embedded Derby
+          // invalidates prepared MERGE plans when its background index-
+          // statistics daemon fires as the table grows, and a batch
+          // executing concurrently on another connection can then hit an
+          // internal XJ001/NPE mid-recompile — a SESSION-severity error
+          // that also kills the connection, hence the reconnect below.
+          // The keyed MERGE is idempotent, so replaying the chunk on a
+          // fresh statement is always safe (the same argument that makes
+          // whole-task and whole-batch replays safe).
+          val chunk = new scala.collection.mutable.ArrayBuffer[Row](500)
+          def flush(): Unit = if (chunk.nonEmpty) {
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try {
+                val ps = c.prepareStatement(mergeSql)
+                try {
+                  def set(pos: Int, r: Row, i: Int): Unit =
+                    if (r.isNullAt(i)) ps.setNull(pos, types(i))
+                    else ps.setObject(pos, r.get(i), types(i))
+                  chunk.foreach { r =>
+                    var pos = 1
+                    set(pos, r, kIdx); pos += 1
+                    otherIdx.foreach { i => set(pos, r, i); pos += 1 }
+                    names.indices.foreach { i => set(pos, r, i); pos += 1 }
+                    ps.addBatch()
+                  }
+                  ps.executeBatch()
+                  c.commit()
+                  done = true
+                } finally {
+                  try ps.close() catch { case _: SQLException => () }
+                }
+              } catch {
+                case _: SQLException if attempt < 3 =>
+                  attempt += 1
+                  try { if (!c.isClosed) c.rollback() }
+                  catch { case _: SQLException => () }
+                  if (c.isClosed) { c = connect(url); c.setAutoCommit(false) }
+              }
             }
-            ps.executeBatch()
-            c.commit()
-          } finally ps.close()
-        } finally c.close()
+            chunk.clear()
+          }
+          it.foreach { r => chunk += r; if (chunk.size >= 500) flush() }
+          flush()
+        } finally {
+          try c.close() catch { case _: SQLException => () }
+        }
       }
     }
   }

@@ -165,8 +165,8 @@ object StreamOps {
     * a bucket with history — pairs among same-batch arrivals included.
     *
     * State is WATERMARK-BOUNDED: `docs` must carry a watermarked `ts_t`
-    * ingest time, and each bucket's timeout re-arms to (batch max event
-    * time + horizonMs); once the watermark passes that — no arrivals in
+    * ingest time, and each bucket's timeout re-arms to (the bucket's
+    * running max event time + horizonMs); once the watermark passes that — no arrivals in
     * the bucket for a full horizon — the bucket's id list is dropped
     * (EventTimeTimeout), so state is O(buckets active in the horizon),
     * never O(corpus). A doc arriving after its twin's bucket expired is
@@ -204,11 +204,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, Long), rows: Iterator[DocBand],
-            state: GroupState[Array[Long]]) =>
+            state: GroupState[(Long, Array[Long])]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toArray
-            val seen = state.getOption.getOrElse(Array.empty[Long])
+            val (seenMaxTs, seen) =
+              state.getOption.getOrElse((Long.MinValue, Array.empty[Long]))
             val seenSet = seen.toSet
             val fresh = batch.map(_.doc_id).distinct.sorted
               .filterNot(seenSet)
@@ -225,10 +226,14 @@ object StreamOps {
               i <- fresh.indices.iterator
               j <- (i + 1 until fresh.length).iterator
             } yield CandPair(fresh(i), fresh(j)))
-            state.update(seen ++ fresh)
-            // re-arm the TTL off the batch's max event time (not
-            // getCurrentWatermarkMs, which batch parity runs don't have)
-            val maxTs = batch.map(_.ts_t.getTime).max
+            // re-arm the TTL off the bucket's RUNNING max event time, kept
+            // in state (not getCurrentWatermarkMs, which batch parity runs
+            // don't have). A late-but-within-watermark arrival with a
+            // smaller ts must never LOWER an already-armed timeout, or the
+            // bucket could evict before "one full horizon after the latest
+            // arrival" — hence max(stored, batch).
+            val maxTs = math.max(seenMaxTs, batch.map(_.ts_t.getTime).max)
+            state.update((maxTs, seen ++ fresh))
             state.setTimeoutTimestamp(maxTs + horizonMs)
             out
           }

@@ -90,6 +90,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7K: the packing window partitions by the (lang, source) shard — " +
+    "never a global single-partition running sum") {
+    val p = plan("q7K_pack_sequences")
+    // a shard-less running-sum window would plan Exchange SinglePartition
+    // (the whole corpus through one task)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win.contains("lang") && win.contains("source"), p)
+  }
+
+  test("q7L: the per-corpus rank is the distributed (lang, bucket) shape " +
+    "with broadcast offsets — never one window task per lang") {
+    val p = plan("q7L_mix_weighted")
+    // every lang-partitioned window must carry the __bkt bucket (local
+    // numbering partitions by it; the offsets prefix-sum orders by it
+    // over metadata-scale counts) — a bare per-lang window (5 tasks
+    // holding the whole corpus) has no __bkt anywhere in its spec
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.filter(_.contains("lang")).foreach(l =>
+      assert(l.contains("__bkt"), s"per-lang window without bucket:\n$l\n$p"))
+    // the per-(lang, bucket) offsets join back via broadcast, and the
+    // global head stays TakeOrderedAndProject — no full sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q7P: the eval shingle index broadcasts — the train side never " +
     "shuffles by shingle") {
     val p = plan("q7P_decontaminate")

@@ -78,6 +78,32 @@ class DbResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a below-watermark event must not count as fresh")
   }
 
+  test("the landing protocol stays driver-bounded at an adversarial stream count") {
+    // every row its OWN stream: the OffsetMap grows to the full batch
+    // cardinality, exercising (a) the JDBC-scan lowerBound join instead
+    // of a driver collect+broadcast, (b) toLocalIterator draining the
+    // per-stream maxima partition-by-partition, and (c) multiple
+    // AdvanceChunk flushes inside one committed advance
+    val url = s"jdbc:derby:${tmpDir("graft-dbresume-wide")}/db;create=true"
+    val n = 30000L
+    val wide = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") * 1000L).as("ts_us"),
+      col("id").as("user_id"),
+      lit("wide").as("event_type"),
+      lit(1.0).as("value"))
+    DbResume.ensureAux(url)
+    DerbySink.ensureTableFor(url, DbResume.SINK, wide.schema, "event_id")
+    DbResume.landBatch(wide, url, "wide-0")
+    assert(DbResume.rowsWritten(url) == n)
+    assert(DbResume.readOffsets(url).size == n.toInt,
+      "OffsetMap must hold one row per stream")
+    // full replay: every stream is now in the map, zero rows are fresh
+    DbResume.landBatch(wide, url, "wide-1")
+    assert(DbResume.rowsWritten(url) == n,
+      "replay against a wide OffsetMap must classify everything as seen")
+  }
+
   test("a batch replayed after a crash between rows-MERGE and recordStat still reports the true fresh count") {
     val url = s"jdbc:derby:${tmpDir("graft-dbresume-crash")}/db;create=true"
     val events = EventStream.withEventTime(graft.sources.Tables.events(spark, sf0001))
