@@ -22,6 +22,9 @@ import graft.operators.LlmOps
   *    10-member near-dup cliques), timing q7N + q7R end-to-end.
   *  - `hub` — connected components on 1-hub star graphs (fan-in skew):
   *    rounds + wall at 100k and 1M leaves.
+  *  - `ann` — q7C/q7G recall@5 + wall on clustered synthetic embeddings
+  *    at 1× and 10×, plus the data-driven IVF geometry (K, nprobe,
+  *    vectors/cell) backing the bounded-cell claim.
   */
 object Scale {
 
@@ -160,6 +163,76 @@ object Scale {
     LlmOps.release(s)
   }
 
+  /** `ann` — q7C (SimHash) and q7G (IVF) recall@5 + wall at 1× and 10×
+    * synthetic embedding corpora, mirroring what openvocab/closed10x
+    * measure for q7N/q7R. Corpora are CLUSTERED (seeded Gaussian centers
+    * + per-vector noise): ANN recall is only meaningful against density
+    * structure — uniform random vectors have no true neighbors to find.
+    * Ground truth is the exact (rounded-cosine) 5-NN computed
+    * brute-force on the driver over the collected corpus — 10 queries ×
+    * n cosines, fine at these scales. Also reports the data-driven IVF
+    * geometry (K, nprobe, vectors/cell) so SCALING.md can show the
+    * per-cell candidate count staying bounded as the corpus grows.
+    */
+  private def ann(s: SparkSession): Unit = {
+    import s.implicits._
+    val dim = 64
+    val nCenters = 50
+    for ((mult, nVec) <- Seq((1, 5000), (10, 50000))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-ann$mult").toString
+      val rnd = new scala.util.Random(1234L)
+      val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+      val rows = (0 until nVec).map { i =>
+        val c = centers(rnd.nextInt(nCenters))
+        val e = Array.tabulate(dim)(j => (c(j) + 0.5 * rnd.nextGaussian()).toFloat)
+        (i.toLong, s"c${i % nCenters}", e.toSeq)
+      }
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      // exact rounded-cosine 5-NN per query id (the engines' rounding
+      // convention, so recall compares like against like)
+      val vecs = rows.map { case (id, _, e) =>
+        id -> e.map(_.toDouble).toArray }.toMap
+      def cosine4(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        BigDecimal(dot / math.sqrt(na * nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def exactTop5(q: Long): Set[Long] =
+        vecs.view.filterKeys(_ != q).toSeq
+          .map { case (id, v) => (cosine4(vecs(q), v), id) }
+          .sortBy { case (sim, id) => (-sim, id) }
+          .take(5).map(_._2).toSet
+      val truth = (0L until 10L).map(q => q -> exactTop5(q)).toMap
+
+      def recallOf(key: String): (Double, Double) = {
+        LlmOps.release(s) // cold: the wall includes model/bucket build
+        val (out, t) = timed(SparkEntry.queries(key)(s, dir).collect())
+        val byQ = out.groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val recalls = truth.map { case (q, want) =>
+          want.count(byQ.getOrElse(q, Set.empty[Long]).contains) / 5.0 }
+        (recalls.sum / recalls.size, t)
+      }
+      val (rC, tC) = recallOf("q7C_ann_simhash")
+      val (rG, tG) = recallOf("q7G_ann_ivf")
+      val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7G run
+      val nprobe = LlmOps.ivfNProbe(k)
+      println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+        f""""q7C_recall":$rC%.2f,"q7C_sec":$tC%.1f,""" +
+        f""""q7G_recall":$rG%.2f,"q7G_sec":$tG%.1f,""" +
+        f""""ivf_k":$k,"nprobe":$nprobe,""" +
+        f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
+        f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
+      LlmOps.release(s)
+    }
+  }
+
   private def hub(s: SparkSession): Unit = {
     for (leaves <- Seq(100000L, 1000000L)) {
       val edges = s.range(1, leaves + 1)
@@ -179,6 +252,7 @@ object Scale {
       case "openvocab" => openvocab(s, big = args.contains("big"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
+      case "ann"       => ann(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()

@@ -858,9 +858,10 @@ object LlmOps {
     // MLlib-KMeans-style: centroids live on the driver as model metadata,
     // so cell assignment is a per-row in-row argmax against a literal
     // centroid array — no crossJoin, no assignment shuffle anywhere.
-    // Queries probe their nprobe=3 nearest cells (picked in-row the same
-    // way), candidates meet by EQUI-join on cell id, and only cell-mates
-    // get the exact cosine rerank — never a cross join over the corpus.
+    // Queries probe their ~√K nearest cells ([[ivfNProbe]], picked
+    // in-row the same way), candidates meet by EQUI-join on cell id, and
+    // only cell-mates get the exact cosine rerank — never a cross join
+    // over the corpus. K itself is data-driven ≈√n (see [[ivfModel]]).
     // Centroid-construction-specific output → rows-only check; exactness
     // of reported sims + recall@5 vs the exact 5-NN are asserted in
     // AnnSpec.
@@ -874,7 +875,7 @@ object LlmOps {
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nsq").as("qn"),
           explode(slice(reverse(array_sort(ivfScored(cents, col("e")))),
-            1, IvfNProbe)).as("pc"))
+            1, ivfNProbe(cents.size))).as("pc"))
         .select(col("q_id"), col("qe"), col("qn"), (-col("pc.ncid")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       // each candidate lives in exactly one cell, so a (q, n) pair can
@@ -1207,9 +1208,15 @@ object LlmOps {
       .orderBy("rep")
   }
 
-  private val IvfK = 16
   private val IvfLloydSteps = 2
-  private val IvfNProbe = 3
+
+  /** nprobe scales ~√K, clamped to [3, 64]: as the data-driven K grows
+    * with the corpus, each cell shrinks ~n/K, so probing √K cells keeps
+    * the scanned FRACTION falling (√K·(n/K)/n = 1/√K → 0) while recall
+    * decays far slower than a fixed 3-cell probe would at large K.
+    */
+  private[graft] def ivfNProbe(k: Int): Int =
+    math.max(3, math.min(64, math.round(math.sqrt(k.toDouble)).toInt))
 
   /** One IVF centroid. `cnsq` = ‖ce‖² so assignment only needs a dot. */
   case class IvfCent(cid: Int, ce: Seq[Double], cnsq: Double)
@@ -1248,16 +1255,16 @@ object LlmOps {
     * cached value is K·dim doubles.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String, Long), Seq[IvfCent]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int), Seq[IvfCent]]
 
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
     def index(cents: Seq[IvfCent]): DataFrame =
       v.select(ivfCid(cents, col("e")).as("cid"),
         col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
-    // the effective sample budget is part of the cache key: a spec (or a
-    // server session) that retunes the conf must get a retrained model,
-    // not the previous budget's centroids
+    // every conf the model depends on is part of the cache key: a spec
+    // (or a server session) that retunes any of them must get a
+    // retrained model, not the previous tuning's centroids
     val sampleLimit =
       s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
     // a non-positive budget would make the within-budget probe false and
@@ -1265,7 +1272,21 @@ object LlmOps {
     // an opaque failure later in ivfCid. Fail here, naming the conf.
     require(sampleLimit > 0,
       s"spark.graft.ivf.trainSampleLimit must be positive, got $sampleLimit")
-    val cached = ivfCache.get((sessionKey(s), d, sampleLimit))
+    // K is DATA-DRIVEN by default (spark.graft.ivf.k=0): ≈√n cells, so
+    // both the expected cell size (n/K) and the probed share of the
+    // corpus (nprobe·n/K ≈ √K·√n) grow only as √n — a fixture trains
+    // ~20 cells and a 10⁹-vector corpus ~31k, capped by
+    // spark.graft.ivf.maxK because assignment cost is K·dim mults per
+    // row against the driver-resident literal (the declared trade of
+    // the flat MLlib-KMeans coarse quantizer; past the cap, cells grow
+    // linearly again and the next notch is a hierarchical quantizer).
+    // An explicit spark.graft.ivf.k pins K for reproducibility/specs.
+    val kConf = s.conf.get("spark.graft.ivf.k", "0").toInt
+    val maxK = s.conf.get("spark.graft.ivf.maxK", "4096").toInt
+    require(kConf >= 0, s"spark.graft.ivf.k must be >= 0 (0 = auto), got $kConf")
+    require(maxK > 0, s"spark.graft.ivf.maxK must be positive, got $maxK")
+    val cacheKey = (sessionKey(s), d, sampleLimit, kConf, maxK)
+    val cached = ivfCache.get(cacheKey)
     if (cached.isDefined) return (cached.get, index(cached.get))
     // Training input: the full corpus while it fits the sample budget;
     // above it, a deterministic ~sampleLimit-row sample keyed by q7J's
@@ -1277,19 +1298,26 @@ object LlmOps {
     // count: CollectLimit stops scanning once budget+1 ids have been
     // seen, so the within-budget case (every fixture; any corpus small
     // enough to train on fully) never pays a full-corpus pass just to
-    // learn it is small. Only a genuinely over-budget corpus pays the
-    // full count that sizes the sampling fraction — there, training
-    // itself dwarfs it. The SERVING index below always assigns the full
-    // corpus.
-    val within = sampleLimit >= Int.MaxValue ||
-      v.select("vec_id").limit(sampleLimit.toInt + 1).count() <= sampleLimit
+    // learn it is small — and because the probe count IS the exact
+    // corpus size in that case, auto-K needs no extra job. Only a
+    // genuinely over-budget corpus pays the full count that sizes the
+    // sampling fraction and auto-K — there, training itself dwarfs it.
+    // The SERVING index below always assigns the full corpus.
+    val probeN =
+      if (sampleLimit >= Int.MaxValue) v.select("vec_id").count()
+      else v.select("vec_id").limit(sampleLimit.toInt + 1).count()
+    val within = probeN <= sampleLimit
+    val n = if (within) probeN else v.select("vec_id").count()
+    val k = math.max(1L, math.min(n,
+      if (kConf > 0) kConf.toLong
+      else math.min(maxK.toLong,
+        math.max(4L, math.round(math.sqrt(n.toDouble)))))).toInt
     val train =
       if (within) v
       else {
         // keep rows whose 31-bit LCG key falls in the first
         // sampleLimit/n fraction of the key space (expected sample size
         // ≈ sampleLimit; exact size is irrelevant to training)
-        val n = v.select("vec_id").count()
         val cut = math.max(1L,
           (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
         v.filter(expr("pmod(pmod(vec_id, 2147483648) * 1103515245 + 12345," +
@@ -1300,7 +1328,7 @@ object LlmOps {
     // collect (K rows)
     var cents: Seq[IvfCent] = train.select(col("vec_id"), col("e"))
       .withColumn("h", expr("xxhash64(vec_id)"))
-      .orderBy("h", "vec_id").limit(IvfK)
+      .orderBy("h", "vec_id").limit(k)
       .collect().toSeq.zipWithIndex.map { case (r, i) =>
         val e = r.getSeq[Double](1)
         IvfCent(i + 1, e, e.map(x => x * x).sum)
@@ -1316,7 +1344,7 @@ object LlmOps {
         IvfCent(cid, ce, ce.map(x => x * x).sum)
       }.sortBy(_.cid)
     }
-    ivfCache.put((sessionKey(s), d, sampleLimit), cents)
+    ivfCache.put(cacheKey, cents)
     (cents, index(cents))
   }
 

@@ -79,19 +79,41 @@ class AnnSpec extends AnyFunSuite {
     assert(avg >= 0.45, s"avg recall@5 = $avg (measured 0.52 at pin time)")
   }
 
-  test("q7G IVF quantizer leaves no empty cells and no mega-cell") {
-    // Lloyd steps can empty a cell (its members all reassign); an empty
-    // cell silently shrinks K and a mega-cell degrades probe cost toward
-    // a linear scan. Both are index-quality regressions, pinned here via
-    // the shared index builder.
-    val idx = graft.operators.LlmOps.ivfModel(spark, sf0001)._2
-      .groupBy("cid").count().collect()
+  test("q7G IVF quantizer: data-driven K ≈ √n, healthy occupancy, no mega-cell") {
+    // K comes from the corpus size now (≈√n, conf-capped): the fixture's
+    // ~500 vectors must train ~22 cells, every model cell must serve
+    // vectors (an unserved cell wastes probes), and no cell may hold
+    // half the corpus (a mega-cell degrades probing toward a linear
+    // scan). All index-quality regressions, pinned via the shared
+    // builder.
+    val (cents, indexDf) = graft.operators.LlmOps.ivfModel(spark, sf0001)
+    val n = vecs.size
+    val wantK = math.round(math.sqrt(n.toDouble)).toInt
+    assert(math.abs(cents.size - wantK) <= wantK / 4,
+      s"auto K = ${cents.size}, expected ≈√$n = $wantK")
+    val idx = indexDf.groupBy("cid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(idx.keySet == (1 to 16).toSet,
-      s"empty cells: ${(1 to 16).toSet -- idx.keySet}")
-    val n = idx.values.sum.toDouble
-    assert(idx.values.max <= n / 2,
+    assert(idx.keySet == cents.map(_.cid).toSet,
+      s"cells without vectors: ${cents.map(_.cid).toSet -- idx.keySet}")
+    assert(idx.values.max <= n / 2.0,
       s"mega-cell holds ${idx.values.max} of $n vectors")
+  }
+
+  test("q7G recall floor holds at a second, explicitly pinned K") {
+    // the data-driven default (~22 cells on this fixture) is covered by
+    // the floor test above; spark.graft.ivf.k pins a DIFFERENT quantizer
+    // size, which must retrain (cache keys on the conf) and still clear
+    // the same recall floor — the accuracy contract is K-independent
+    val key = "spark.graft.ivf.k"
+    val autoCents = graft.operators.LlmOps.ivfModel(spark, sf0001)._1
+    spark.conf.set(key, "8")
+    try {
+      val pinnedCents = graft.operators.LlmOps.ivfModel(spark, sf0001)._1
+      assert(pinnedCents.size <= 8 && pinnedCents.size != autoCents.size,
+        s"conf-pinned K not honored: got ${pinnedCents.size} cells")
+      val avg = avgRecall("q7G_ann_ivf")
+      assert(avg >= 0.45, s"K=8 avg recall@5 = $avg")
+    } finally spark.conf.unset(key)
   }
 
   test("q7G IVF sample-trained quantizer: recall floor holds on the sampled branch") {
