@@ -170,6 +170,31 @@ case class SortedIntersectGe(first: Expression, second: Expression,
 }
 
 object SortedIntersect {
+
+  /** JVM twin of [[SortedIntersectGe]] over SORTED, DISTINCT Long
+    * arrays — the S13 in-stream verify kernel, where the shingle sets
+    * live in flatMapGroupsWithState state as 64-bit hashes (8 bytes per
+    * shingle instead of a UTF8 string) rather than in a Column. Same
+    * threshold algebra, same early exit, same exact-count-on-pass
+    * contract; kept next to the Expression so the α derivation lives in
+    * ONE file.
+    */
+  def isectGeSortedLongs(a: Array[Long], b: Array[Long],
+      num: Int, den: Int): Int = {
+    val n = a.length
+    val m = b.length
+    val alpha = (num.toLong * (n.toLong + m) + num + den - 1) / (num + den)
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+      if (c.toLong + math.min(n - i, m - j) < alpha) return -1
+    }
+    if (c >= alpha) c else -1
+  }
   /** Idempotently registers the two verify kernels (same defensive
     * pattern as [[DotProduct.register]] — Verify/Bench build their own
     * sessions). The `_sorted` suffix in the REGISTERED names carries the

@@ -25,6 +25,18 @@ case class DocBand(band: Int, bh: Long, doc_id: Long,
 /** One streaming near-dup CANDIDATE pair (S12), id_a < id_b. */
 case class CandPair(id_a: Long, id_b: Long)
 
+/** One bucket observation carrying the doc's sorted shingle-hash set
+  * (S13 — the verify needs the exact sets, not just ids).
+  */
+case class ShingleBand(band: Int, bh: Long, doc_id: Long,
+    sh: Array[Long], ts_t: java.sql.Timestamp)
+
+/** One VERIFIED streaming near-dup pair (S13), id_a < id_b, `jac_bp` the
+  * exact Jaccard in basis points — the same output row as q7N's batch
+  * pair table.
+  */
+case class SurvivorPair(id_a: Long, id_b: Long, jac_bp: Long)
+
 /** S2–S6, S9–S10 — the streaming transforms (SURVEY.md §2.11).
   *
   * Every transform is a plain `DataFrame => DataFrame` applied identically
@@ -234,6 +246,111 @@ object StreamOps {
             // arrival" — hence max(stored, batch).
             val maxTs = math.max(seenMaxTs, batch.map(_.ts_t.getTime).max)
             state.update((maxTs, seen ++ fresh))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out
+          }
+      }
+  }
+
+  /** S13 — STREAMING near-dup SURVIVORS: S12's candidate detection with
+    * the exact-Jaccard verify moved INTO the stream, so an ingest
+    * pipeline gets drop verdicts at arrival instead of candidate pairs
+    * it must re-check in batch. Each bucket's state carries, besides the
+    * ids, every member doc's sorted shingle-HASH set (xxhash64 per
+    * 3-shingle — 8 bytes/shingle instead of a string; two sets' hashed
+    * Jaccard equals their exact Jaccard absent a 64-bit collision inside
+    * one pair's union, odds ~|union|²/2⁶⁴); when a fresh doc lands in a
+    * bucket with history, the candidate pairs verify IN-STATE with
+    * [[graft.functions.SortedIntersect.isectGeSortedLongs]] — the same
+    * threshold-aware early-exit walk as q7N's batch kernel, same τ = 3/5
+    * and integer jac_bp — and only SURVIVORS are emitted.
+    *
+    * Emission is AT-LEAST-ONCE per pair: a surviving pair verifies once
+    * per bucket lifetime per colliding band (a true near-dup collides in
+    * most of the 32 bands). Verified pairs are rare by the near-dup
+    * premise, and every sink in this engine already absorbs replays via
+    * idempotent keyed MERGE — consumers dedup by (id_a, id_b), exactly
+    * as the S12 scaladoc prescribes for candidates. (A once-globally
+    * emission would need cross-bucket coordination — a second stateful
+    * stage Spark does not allow after flatMapGroupsWithState, or
+    * min-band election that silently LOSES pairs when the elected band's
+    * bucket evicts before a hot sibling bucket pairs them.)
+    *
+    * Same watermark/TTL contract as [[nearDupCandidates]]: state is
+    * O(docs in active buckets within the horizon) — each doc's shingle
+    * set is held once per band bucket, the declared memory trade for
+    * in-stream verification; a doc arriving after its twin's bucket
+    * expired is not flagged, and the batch q7N sweep remains the
+    * exhaustive pass. Parity vs q7N's batch pairs, TTL eviction, and
+    * RocksDB are pinned in StreamingParitySpec.
+    */
+  def nearDupSurvivors(docs: DataFrame,
+      horizonMs: Long = 3600L * 1000): Dataset[SurvivorPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.MinHash.register(spark)
+    val nBands = graft.functions.MinHash.K / 2
+    val banded = docs
+      .select(col("doc_id"), col("ts_t"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ts_t"),
+        expr(graft.operators.LlmOps.ShingleSql).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("ts_t"),
+        // hash each shingle; re-sort and re-distinct because xxhash64
+        // does not preserve the strings' order (and could collide)
+        expr("array_sort(array_distinct(transform(shingles, x -> xxhash64(x))))")
+          .as("sh"),
+        expr("graft_minhash_row(shingles)").as("sig"))
+      .select(col("doc_id"), col("ts_t"), col("sh"),
+        explode(expr(graft.operators.LlmOps.bandSql(nBands))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("doc_id"), col("sh"), col("ts_t"))
+      .as[ShingleBand]
+    banded.groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[ShingleBand],
+            state: GroupState[(Long, Array[Long], Array[Array[Long]])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray
+            val (seenMaxTs, seenIds, seenSh) = state.getOption
+              .getOrElse((Long.MinValue, Array.empty[Long],
+                Array.empty[Array[Long]]))
+            val seenSet = seenIds.toSet
+            // one row per doc per bucket key by construction; replays of
+            // an already-seen id are dropped like S12's
+            val fresh = batch.filterNot(b => seenSet(b.doc_id))
+              .groupBy(_.doc_id).map(_._2.head).toArray.sortBy(_.doc_id)
+            // fresh×seen plus fresh×fresh — the S12 enumeration (linear
+            // in history per fresh doc, never a rescan of all pairs) —
+            // but each pair VERIFIES before it may emit
+            def verified(aId: Long, aSh: Array[Long],
+                bId: Long, bSh: Array[Long]): Option[SurvivorPair] = {
+              val inter = graft.functions.SortedIntersect
+                .isectGeSortedLongs(aSh, bSh, 3, 5)
+              if (inter < 0) None
+              else {
+                val uni = aSh.length.toLong + bSh.length - inter
+                Some(SurvivorPair(math.min(aId, bId), math.max(aId, bId),
+                  inter.toLong * 10000 / uni))
+              }
+            }
+            val out = (for {
+              f <- fresh.iterator
+              k <- seenIds.indices.iterator
+              p <- verified(f.doc_id, f.sh, seenIds(k), seenSh(k)).iterator
+            } yield p) ++ (for {
+              i <- fresh.indices.iterator
+              j <- (i + 1 until fresh.length).iterator
+              p <- verified(fresh(i).doc_id, fresh(i).sh,
+                fresh(j).doc_id, fresh(j).sh).iterator
+            } yield p)
+            // TTL re-arms off the bucket's RUNNING max event time — the
+            // same never-lower-an-armed-timeout rule as S12
+            val maxTs = math.max(seenMaxTs, batch.map(_.ts_t.getTime).max)
+            state.update((maxTs, seenIds ++ fresh.map(_.doc_id),
+              seenSh ++ fresh.map(_.sh)))
             state.setTimeoutTimestamp(maxTs + horizonMs)
             out
           }

@@ -200,12 +200,13 @@ class StreamingParitySpec extends AnyFunSuite {
     checkRunningBalance("s9")
   }
 
-  test("S9+S10+S12 under the RocksDB state store (the 100 TB keyed-state posture)") {
+  test("S9+S10+S12+S13 under the RocksDB state store (the 100 TB keyed-state posture)") {
     StreamOps.useRocksDBStateStore(spark)
     try {
       checkRunningBalance("s9rocks")
       checkMonotonic("s10rocks")
       checkNearDupTtl("s12rocks")
+      checkSurvivorTtl("s13rocks")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -309,6 +310,68 @@ class StreamingParitySpec extends AnyFunSuite {
 
   test("S12: bucket state is watermark-bounded — expired buckets stop pairing") {
     checkNearDupTtl("s12ttl")
+  }
+
+  test("S13: streaming near-dup SURVIVORS ≡ q7N's batch pair table, exact jac_bp") {
+    // the ingest-time dedup story end-to-end: candidates verify IN the
+    // stream and only true near-dups (τ = 3/5, exact integer jac_bp)
+    // come out — the set must equal what the batch PPJoin+verify (q7N)
+    // computes over the same corpus, basis points included
+    val dir = tmpDir("graft-s13")
+    stageDocs(dir, 4)
+    val wide = 10L * 365 * 86400 * 1000 // horizon >> fixture span
+    val got = runStream("s13",
+      StreamOps.nearDupSurvivors(readDocs(dir), wide).toDF, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "q7N finds no pairs at sf0.001 — precondition broken")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  /** S13's eviction scenario: same staging as [[checkNearDupTtl]], but
+    * the stream emits VERIFIED pairs (the duplicate docs are identical,
+    * Jaccard 10000 bp) — eviction must behave identically with the
+    * shingle-carrying state.
+    */
+  private def checkSurvivorTtl(name: String): Unit = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = tmpDir(s"graft-$name")
+    val H = 3600L * 1000000L
+    def drop(id: Long, text: String, tsUs: Long): Unit = {
+      Seq((id, text, tsUs)).toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val dup = "alpha beta gamma delta epsilon"
+    drop(1, dup, H)
+    val stream = StreamOps.nearDupSurvivors(readDocs(dir),
+      horizonMs = 3600L * 1000).toDF
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop(2, "omega psi chi phi upsilon", 4 * H)
+      q.processAllAvailable()
+      drop(3, "one two three four five", 4 * H + 60000000L)
+      q.processAllAvailable() // doc-1 buckets evict here
+      drop(4, dup, 4 * H + 120000000L)
+      q.processAllAvailable()
+      drop(5, dup, 4 * H + 180000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L),
+      "pair across the expired horizon — shingle state not evicted")
+    assert(got.contains((4L, 5L, 10000L)),
+      "in-horizon identical twin not verified at 10000 bp")
+  }
+
+  test("S13: survivor state is watermark-bounded — expired buckets stop verifying") {
+    checkSurvivorTtl("s13ttl")
   }
 
   test("S11: stream-stream click→purchase interval join — stream == batch") {
