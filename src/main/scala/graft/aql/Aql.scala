@@ -269,14 +269,14 @@ object Aql {
   }
 
   // ---------- lowering ----------
-  private val envelope =
+  private[aql] val envelope =
     Set("event_id", "ts", "ts_us", "user_id", "event_type", "value", "props", "tags")
 
-  private def isJsonPath(e: Expr): Boolean = e match {
+  private[aql] def isJsonPath(e: Expr): Boolean = e match {
     case Path(parts) => parts.nonEmpty && !envelope.contains(parts.head)
     case _ => false
   }
-  private def isNumeric(e: Expr): Boolean = e match {
+  private[aql] def isNumeric(e: Expr): Boolean = e match {
     case NumLit(_, _) => true
     case Bin(op, l, r) if "+-*/".contains(op) => isNumeric(l) || isNumeric(r)
     case Un("-", x) => isNumeric(x)
@@ -422,12 +422,12 @@ object Aql {
   }
 
   // ---------- subQuery lowering ----------
-  private def conjuncts(e: Expr): Seq[Expr] = e match {
+  private[aql] def conjuncts(e: Expr): Seq[Expr] = e match {
     case Bin("&", l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
   }
 
-  private def hasSub(e: Expr): Boolean = e match {
+  private[aql] def hasSub(e: Expr): Boolean = e match {
     case SubQuery(_) => true
     case Bin(_, l, r) => hasSub(l) || hasSub(r)
     case Un(_, x) => hasSub(x)
@@ -437,7 +437,7 @@ object Aql {
     case _ => false
   }
 
-  private val cmpOps = Set("=", "!=", ">", ">=", "<", "<=")
+  private[aql] val cmpOps = Set("=", "!=", ">", ">=", "<", "<=")
 
   private def cmp(op: String)(l: Column, r: Column): Column = op match {
     case "=" => l === r

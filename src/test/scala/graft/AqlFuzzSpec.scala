@@ -1,9 +1,7 @@
 package graft
 
-import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 import graft.aql.Aql
-import graft.aql.Aql._
 
 /** Property fuzz for the AQL front-end: render a random well-typed AST to
   * text, parse it back, and require the identical AST (the renderer
@@ -12,156 +10,12 @@ import graft.aql.Aql._
   * analysis to succeed; and require that mangled inputs fail with the
   * parser's own IllegalArgumentException, never anything else.
   * Deterministic: fixed seed (pinned-seed convention, round 2).
+  * Generators/renderer live in [[AqlGen]], shared with the cross-engine
+  * differential (AqlOracleSpec).
   */
 class AqlFuzzSpec extends AnyFunSuite {
   import SparkTestBase._
-
-  // ---------- generators (well-typed by construction) ----------
-  private val tagG: Gen[String] =
-    Gen.oneOf("purchase", "signup", "error", "click", "big", "all")
-
-  private def tagExprG(depth: Int): Gen[TagExpr] =
-    if (depth <= 0) Gen.oneOf(tagG.map(Tag), Gen.const(AllEvents))
-    else Gen.frequency(
-      3 -> tagG.map(Tag),
-      1 -> Gen.const(AllEvents),
-      2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagAnd(l, r)),
-      2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagOr(l, r)))
-
-  private val numPathG: Gen[Expr] = Gen.oneOf(
-    Path(Seq("value")), Path(Seq("user_id")), Path(Seq("event_id")))
-  private val jsonPathG: Gen[Expr] = Gen.oneOf(Path(Seq("k")), Path(Seq("x", "y")))
-  private val numLitG: Gen[Expr] = Gen.chooseNum(-500, 500).map(n => NumLit(n.toDouble, isInt = true))
-
-  private def numExprG(depth: Int): Gen[Expr] =
-    if (depth <= 0) Gen.oneOf(numPathG, numLitG)
-    else Gen.frequency(
-      3 -> numPathG,
-      2 -> numLitG,
-      2 -> (for {
-        op <- Gen.oneOf("+", "-", "*", "/")
-        l <- numExprG(depth - 1); r <- numExprG(depth - 1)
-      } yield Bin(op, l, r)),
-      1 -> (for { p <- jsonPathG; f <- numLitG } yield Bin("??", p, f)))
-
-  private def boolExprG(depth: Int): Gen[Expr] =
-    if (depth <= 0)
-      for {
-        op <- Gen.oneOf("=", "!=", ">", ">=", "<", "<=")
-        l <- numExprG(1); r <- numExprG(1)
-      } yield Bin(op, l, r)
-    else Gen.frequency(
-      3 -> boolExprG(0),
-      1 -> (for { t <- tagG } yield Bin("=", Path(Seq("event_type")), StrLit(t))),
-      2 -> (for {
-        op <- Gen.oneOf("&", "|")
-        l <- boolExprG(depth - 1); r <- boolExprG(depth - 1)
-      } yield Bin(op, l, r)),
-      1 -> boolExprG(depth - 1).map(Un("!", _)))
-
-  private val aggG: Gen[Expr] = Gen.oneOf(
-    Gen.oneOf("SUM", "MIN", "MAX", "AVG").flatMap(f => numPathG.map(p => Call(f, Seq(p)))),
-    Gen.const(Call("COUNT", Seq(Path(Nil)))))
-
-  // CASE arms share one value type (mixed string/numeric arms would be an
-  // analysis error, and the generator stays well-typed by construction)
-  private val templatePartG: Gen[String] = Gen.oneOf("alpha ", " beta", "x: ", "")
-  private val caseG: Gen[Expr] =
-    Gen.oneOf(true, false).flatMap { numeric =>
-      val vg: Gen[Expr] =
-        if (numeric) numExprG(1)
-        else Gen.oneOf("lo", "mid", "hi").map(StrLit(_))
-      Gen.chooseNum(1, 3).flatMap { n =>
-        Gen.listOfN(n, boolExprG(1).flatMap(p => vg.map(v => (p, v))))
-          .flatMap { arms =>
-            Gen.oneOf(true, false).map { dflt =>
-              Case(if (dflt) arms :+ ((BoolLit(true): Expr, arms.head._2)) else arms)
-            }
-          }
-      }
-    }
-  private val interpG: Gen[Expr] = for {
-    p0 <- templatePartG; p1 <- templatePartG; p2 <- templatePartG
-    h0 <- Gen.oneOf(numPathG, jsonPathG)
-    h1 <- numExprG(0)
-  } yield Interp(Seq(p0, p1, p2), Seq(h0, h1))
-
-  // subQuery filters: the two supported shapes (scalar-compare and IN)
-  private val subFilterG: Gen[Expr] = Gen.oneOf(
-    for {
-      op <- Gen.oneOf(">", "<", ">=", "<=")
-      lhs <- numPathG
-      fn <- Gen.oneOf("AVG", "MIN", "MAX", "SUM")
-      from <- tagExprG(1)
-    } yield Bin(op, lhs,
-      SubQuery(Query(from, None, Nil, Seq(Call(fn, Seq(Path(Seq("value")))))))),
-    for {
-      from <- tagExprG(1)
-      f <- Gen.option(boolExprG(0))
-    } yield Bin("IN", Path(Seq("user_id")),
-      SubQuery(Query(from, f, Seq(Path(Seq("user_id"))), Nil))))
-
-  private val queryG: Gen[Query] = for {
-    from <- tagExprG(2)
-    filter <- Gen.option(Gen.frequency(
-      4 -> boolExprG(2),
-      1 -> subFilterG,
-      1 -> (for { b <- boolExprG(1); s <- subFilterG } yield Bin("&", b, s))))
-    n <- Gen.chooseNum(0, 3)
-    sels <- Gen.listOfN(n, Gen.frequency(
-      3 -> numExprG(1), 2 -> jsonPathG, 1 -> caseG, 1 -> interpG))
-    m <- Gen.chooseNum(0, 2)
-    aggs <- if (sels.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
-    // BY only with AGGREGATE (parse rule); keys drawn name-distinct
-    by <- if (aggs.isEmpty) Gen.const(Nil: List[Expr])
-          else Gen.someOf(Path(Seq("event_type")), Path(Seq("user_id")))
-            .map(_.toList: List[Expr])
-    lim <- Gen.option(Gen.chooseNum(1, 500))
-  } yield Query(from, filter, sels, aggs, by, lim)
-
-  // ---------- renderer (fully parenthesized → unambiguous) ----------
-  private def renderTag(t: TagExpr): String = t match {
-    case AllEvents => "allEvents"
-    case Tag(n) => s"'$n'"
-    case TagAnd(l, r) => s"(${renderTag(l)} & ${renderTag(r)})"
-    case TagOr(l, r) => s"(${renderTag(l)} | ${renderTag(r)})"
-  }
-  private def render(e: Expr): String = e match {
-    case Path(Nil) => "_"
-    case Path(parts) => "_." + parts.mkString(".")
-    case OuterPath(parts) => "^." + parts.mkString(".")
-    case NumLit(v, true) => v.toLong.toString
-    case NumLit(v, false) => v.toString
-    case StrLit(s) => s"'$s'"
-    case BoolLit(b) => if (b) "TRUE" else "FALSE"
-    case Un(op, x) => s"$op(${render(x)})"
-    case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
-    case Call(f, Nil) => s"$f()"
-    case Call(f, args) => s"$f(${args.map(render).mkString(", ")})"
-    case Case(arms) =>
-      arms.map { case (p, v) => s"CASE ${render(p)} => ${render(v)}" }
-        .mkString(" ") + " ENDCASE"
-    case Interp(parts, holes) =>
-      parts.zipAll(holes.map(h => "{" + render(h) + "}"), "", "")
-        .map { case (p, h) => p + h }.mkString("`", "", "`")
-    case SubQuery(q) => s"subQuery(${render(q)})"
-  }
-  private def render(q: Query): String = {
-    val b = new StringBuilder("FROM " + renderTag(q.from))
-    q.filter.foreach(f => b.append(" FILTER ").append(render(f)))
-    if (q.select.nonEmpty) b.append(" SELECT ").append(q.select.map(render).mkString(", "))
-    if (q.aggregate.nonEmpty) b.append(" AGGREGATE ").append(q.aggregate.map(render).mkString(", "))
-    if (q.by.nonEmpty) b.append(" BY ").append(q.by.map(render).mkString(", "))
-    q.limit.foreach(n => b.append(" LIMIT ").append(n))
-    b.toString
-  }
-
-  private def samples(n: Int): Seq[Query] = {
-    val params = Gen.Parameters.default
-    (0 until n).map { i =>
-      queryG.pureApply(params, org.scalacheck.rng.Seed(20260812L + i))
-    }
-  }
+  import AqlGen.{render, samples}
 
   test("render → parse round-trips the AST (200 random queries)") {
     samples(200).foreach { q =>
