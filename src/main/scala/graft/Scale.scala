@@ -25,6 +25,9 @@ import graft.operators.LlmOps
   *  - `ann` — q7C/q7G recall@5 + wall on clustered synthetic embeddings
   *    at 1× and 10×, plus the data-driven IVF geometry (K, nprobe,
   *    vectors/cell) backing the bounded-cell claim.
+  *  - `clique` — q7R's contraction on the densest plausible pair graph
+  *    (the closed-vocab 100× regime's 100-member cliques), built
+  *    directly so the measurement isolates the cluster step.
   */
 object Scale {
 
@@ -233,6 +236,32 @@ object Scale {
     }
   }
 
+  /** `clique` — the cluster step on the DENSEST plausible pair graph:
+    * the closed-vocabulary regime at 100× yields ~100-member near-dup
+    * cliques (closed10x's construction with 100 replicas per base doc),
+    * whose survivor pair table is ~4,950 edges per clique. closed10x
+    * measured q7N end-to-end and showed the VERIFY stage is output-bound
+    * there; what stays unmeasured at 100× is q7R's contraction on the
+    * resulting graph — so build that graph directly (5,000 cliques ×
+    * `members`, all intra-clique pairs) and measure rounds + wall.
+    */
+  private def clique(s: SparkSession): Unit = {
+    for ((mult, members) <- Seq((10, 10), (100, 100))) {
+      val ids = s.range(0, 5000L * members)
+        .select((col("id") / members).cast("long").as("c"), col("id"))
+      val edges = ids.as("a").join(ids.as("b"),
+          col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("u"), col("b.id").as("v"))
+      val nEdges = 5000L * members * (members - 1) / 2
+      val ((stars, rounds), t) =
+        timed(LlmOps.connectedComponentsWithRounds(edges))
+      val n = stars.count()
+      stars.unpersist()
+      println(f"""{"mode":"clique","mult":$mult,"members":$members,""" +
+        f""""edges":$nEdges,"rounds":$rounds,"star_edges":$n,"sec":$t%.1f}""")
+    }
+  }
+
   private def hub(s: SparkSession): Unit = {
     for (leaves <- Seq(100000L, 1000000L)) {
       val edges = s.range(1, leaves + 1)
@@ -253,6 +282,7 @@ object Scale {
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
       case "ann"       => ann(s)
+      case "clique"    => clique(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()
