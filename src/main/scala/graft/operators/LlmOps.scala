@@ -34,6 +34,7 @@ object LlmOps {
     */
   private def vectors(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s)
+    graft.functions.IvfTop.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -868,15 +869,15 @@ object LlmOps {
     "q7G_ann_ivf" -> ((s, d) => {
       val v = vectors(s, d)
       val (cents, index) = ivfModel(s, d)
-      // probes: per-query top-nprobe cells picked IN-ROW from the scored
-      // literal centroid array (reverse(array_sort) on (cs, -cid) structs
-      // = cs desc, cid asc) — no crossJoin, no window exchange
+      // probes: per-query top-nprobe cells picked IN-ROW by the codegen'd
+      // graft_ivf_top kernel (cs desc, cid asc on ties) — no crossJoin,
+      // no window exchange
       val probes = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nsq").as("qn"),
-          explode(slice(reverse(array_sort(ivfScored(cents, col("e")))),
-            1, ivfNProbe(cents.size))).as("pc"))
-        .select(col("q_id"), col("qe"), col("qn"), (-col("pc.ncid")).as("cid"))
+          explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
+        .select(col("q_id"), col("qe"), col("qn"),
+          cidOfIdx(cents, col("pidx")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       // each candidate lives in exactly one cell, so a (q, n) pair can
       // meet at most once — no distinct needed (unlike q7C's bands)
@@ -1221,21 +1222,25 @@ object LlmOps {
   /** One IVF centroid. `cnsq` = ‖ce‖² so assignment only needs a dot. */
   case class IvfCent(cid: Int, ce: Seq[Double], cnsq: Double)
 
-  /** Per-cell (similarity, -cid) scores of vector column `e` against the
-    * LITERAL centroid array: `array_max`/`array_sort` over these structs
-    * order by cs first, then by -cid — i.e. best cell, smallest cid on
-    * ties. In-row, so assignment and probing shuffle nothing.
+  /** Top-p cell INDICES for vector column `e` against the driver-resident
+    * centroid model, via the codegen'd [[graft.functions.IvfTop]] kernel
+    * (ranked by dot/‖c‖ desc, smaller cid on ties — the centroid list is
+    * cid-ascending so index order is cid order). In-row: assignment and
+    * probing shuffle nothing, and the kernel keeps the K-way loop inside
+    * whole-stage codegen at any K — the r8 `transform()` spelling was
+    * CodegenFallback (K interpreted dots per row), which the data-driven
+    * K made measurable (see the kernel's scaladoc for the numbers).
     */
-  private def ivfScored(cents: Seq[IvfCent], e: Column): Column =
-    transform(typedLit(cents), c =>
-      // the cast names the lambda-struct fields (aliases don't survive
-      // inside HOF lambdas — they come out col1/col2)
-      struct(call_function("graft_dot", e, c.getField("ce"))
-        / sqrt(c.getField("cnsq")), -c.getField("cid"))
-        .cast("struct<cs:double,ncid:int>"))
+  private def ivfTopIdx(cents: Seq[IvfCent], e: Column, p: Int): Column =
+    call_function("graft_ivf_top", e,
+      typedLit(cents.map(_.ce)), typedLit(cents.map(_.cnsq)), lit(p))
+
+  /** Maps a 0-based kernel index back to the model's cell id. */
+  private def cidOfIdx(cents: Seq[IvfCent], idx: Column): Column =
+    element_at(typedLit(cents.map(_.cid)), idx + 1)
 
   private def ivfCid(cents: Seq[IvfCent], e: Column): Column =
-    -array_max(ivfScored(cents, e)).getField("ncid")
+    cidOfIdx(cents, ivfTopIdx(cents, e, 1).getItem(0))
 
   /** IVF coarse quantizer shared by q7G and AnnSpec's occupancy property:
     * K deterministic hash-min seeds, then `IvfLloydSteps` Lloyd

@@ -57,6 +57,46 @@ class KernelSpec extends AnyFunSuite {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("graft_ivf_top matches brute-force ranking and tie-breaks toward the smaller index") {
+    graft.functions.IvfTop.register(spark)
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    val dim = 16
+    val k = 23
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    val cnsqs = cents.map(c => refDot(c, c))
+    def model(e: Seq[Double], p: Int): Seq[Int] =
+      cents.indices
+        .map(i => (refDot(e, cents(i)) / math.sqrt(cnsqs(i)), i))
+        // stable sort by score desc — equal scores keep index order,
+        // the kernel's declared tie rule
+        .sortBy { case (cs, _) => -cs }
+        .take(p).map(_._2)
+    val vg: Gen[List[Double]] = Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0))
+    val vecs = (0 until 100).map(i =>
+      vg.pureApply(params, org.scalacheck.rng.Seed(100 + i)))
+    for (p <- Seq(1, 3, 7, k, k + 5)) {
+      val got = vecs.map(v => (v, model(v, p)))
+        .toDF("e", "want")
+        .withColumn("got", call_function("graft_ivf_top", col("e"),
+          typedLit(cents), typedLit(cnsqs), lit(p)))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](2) == r.getSeq[Int](1), s"p=$p e=${r.getSeq[Double](0).take(3)}")
+      }
+    }
+    // a DUPLICATED centroid forces exact score ties: both copies must
+    // appear with the earlier index first
+    val dup = cents.head
+    val tied = Seq((Seq.fill(dim)(1.0), Seq.empty[Int])).toDF("e", "want")
+      .withColumn("got", call_function("graft_ivf_top", col("e"),
+        typedLit(Seq(dup, dup)), typedLit(Seq(refDot(dup, dup), refDot(dup, dup))),
+        lit(2)))
+      .collect()
+    assert(tied.head.getSeq[Int](2) == Seq(0, 1))
+  }
+
   test("graft_isect_sorted equals set-intersection size on random sorted sets") {
     SortedIntersect.register(spark)
     import spark.implicits._
