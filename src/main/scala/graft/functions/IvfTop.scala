@@ -58,8 +58,12 @@ case class IvfTop(first: Expression, second: Expression,
       var d = 0
       while (d < dim) { dot += e.getDouble(d) * c.getDouble(d); d += 1 }
       val cs = dot / math.sqrt(cnsq.getDouble(i))
+      // Double.compare, not >: NaN (an all-zero centroid gives 0/0)
+      // must rank as LARGEST under a total order, matching the
+      // replaced reverse(array_sort(...)) spelling — a bare > is not
+      // total under NaN and makes the result arrival-order dependent
       var pos = filled
-      while (pos > 0 && cs > bs(pos - 1)) pos -= 1
+      while (pos > 0 && java.lang.Double.compare(cs, bs(pos - 1)) > 0) pos -= 1
       if (pos < p) {
         val end = math.min(filled, p - 1)
         var m = end
@@ -104,7 +108,7 @@ case class IvfTop(first: Expression, second: Expression,
          |  }
          |  final double $cs = $dot / java.lang.Math.sqrt($cnsq.getDouble($i));
          |  int $pos = $filled;
-         |  while ($pos > 0 && $cs > $bs[$pos - 1]) { $pos--; }
+         |  while ($pos > 0 && java.lang.Double.compare($cs, $bs[$pos - 1]) > 0) { $pos--; }
          |  if ($pos < $p) {
          |    final int $end = java.lang.Math.min($filled, $p - 1);
          |    for (int $m = $end; $m > $pos; $m--) {

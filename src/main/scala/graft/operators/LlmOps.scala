@@ -144,19 +144,35 @@ object LlmOps {
     * DIFFERENT session's (or sfDir's) access to the same cache (ADVICE
     * r8: the previous per-cache lock was a liveness regression for
     * multi-session servers). Losing `putIfAbsent` racers discard an
-    * UN-evaluated thunk, so nothing is ever persisted without a handle
-    * in the map.
+    * UN-evaluated thunk, and a holder invalidated before its first
+    * build starts refuses to persist (the `dead` tombstone), so nothing
+    * is ever left persisted without a handle in the map.
     */
-  private final class Cached(build: () => DataFrame) {
+  private[graft] final class Cached(build: () => DataFrame) {
     private var built: Option[DataFrame] = None
+    private var dead = false
     def get: DataFrame = synchronized {
-      built.getOrElse { val df = build(); built = Some(df); df }
+      built match {
+        case Some(df) => df
+        case None =>
+          val df = build()
+          // A release() can race the FIRST access: remove-from-map then
+          // invalidate() can both run before the winner of putIfAbsent
+          // reaches get, and the build would then persist a DataFrame no
+          // handle can ever unpersist. invalidate() leaves a tombstone
+          // for exactly that window; a post-mortem build hands the
+          // caller a correct but unpersisted result and caches nothing.
+          if (dead) df.unpersist(blocking = false) else built = Some(df)
+          df
+      }
     }
     /** Blocks until any in-flight build lands, then unpersists it — the
       * release-vs-first-access invariant the old per-cache lock gave,
-      * now scoped to this key alone.
+      * now scoped to this key alone. Also marks the holder dead so a
+      * build that has not STARTED yet cannot leak its persist (see get).
       */
     def invalidate(): Unit = synchronized {
+      dead = true
       built.foreach(_.unpersist(blocking = true)); built = None
     }
   }

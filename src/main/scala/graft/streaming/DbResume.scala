@@ -77,9 +77,19 @@ object DbResume {
     } finally c.close()
   }
 
-  /** JDBC rows flushed per executeBatch while advancing the OffsetMap —
-    * bounds the statement batch, not correctness (the whole advance still
-    * commits once; a crash mid-advance replays it idempotently).
+  /** JDBC rows merged+committed per chunk while advancing the OffsetMap.
+    * Committing PER CHUNK (not once at the end) is a liveness
+    * requirement, not a tuning knob: `maxes` is a toLocalIterator, so
+    * pulling it runs Spark jobs — and a recomputed `fresh` partition
+    * (cached block lost) re-runs the lazy JDBC scan of OFFSETS, which
+    * would wait on rows an in-flight MERGE has X-locked while the driver
+    * waits on that very job: a guaranteed Derby lock-wait timeout. The
+    * advance therefore alternates strictly: drain a chunk from the
+    * iterator with NO open statement work, then merge+commit it before
+    * the next pull — the lock window never overlaps a job. A crash
+    * mid-advance leaves some streams advanced and some not; replays
+    * re-deliver only the un-advanced streams' rows and the keyed sink
+    * MERGE absorbs them (offsets are monotonic maxes).
     */
   private val AdvanceChunk = 10000
 
@@ -94,16 +104,18 @@ object DbResume {
            |WHEN MATCHED THEN UPDATE SET last_off = ?
            |WHEN NOT MATCHED THEN INSERT (stream_id, last_off) VALUES (?, ?)""".stripMargin)
       try {
-        var pending = 0
-        maxes.foreach { case (sid, off) =>
-          ps.setLong(1, sid); ps.setLong(2, off)
-          ps.setLong(3, sid); ps.setLong(4, off)
-          ps.addBatch()
-          pending += 1
-          if (pending >= AdvanceChunk) { ps.executeBatch(); pending = 0 }
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](AdvanceChunk)
+        while (maxes.hasNext) {
+          buf.clear()
+          while (maxes.hasNext && buf.size < AdvanceChunk) buf += maxes.next()
+          buf.foreach { case (sid, off) =>
+            ps.setLong(1, sid); ps.setLong(2, off)
+            ps.setLong(3, sid); ps.setLong(4, off)
+            ps.addBatch()
+          }
+          ps.executeBatch()
+          c.commit()
         }
-        if (pending > 0) ps.executeBatch()
-        c.commit()
       } finally ps.close()
     } finally c.close()
   }

@@ -35,6 +35,26 @@ object DerbySink {
 
   def connect(url: String): Connection = DriverManager.getConnection(url)
 
+  /** One writer at a time per EMBEDDED database. Concurrent MERGE
+    * connections into one embedded Derby can hang, not just error: the
+    * index-statistics daemon's mid-recompile failure (the XJ001/NPE
+    * family the chunked retry below absorbs) can unwind a writer while
+    * it holds a page LATCH, and a leaked latch never times out — every
+    * later writer parks in `BasePage.setExclusive` forever, which no
+    * statement-level retry can recover (observed under a 4-task
+    * foreachPartition MERGE of 30k rows). Embedded Derby is single-JVM
+    * by definition, so a JVM-wide lock per database URL is sufficient
+    * and costs a cluster nothing: a real deployment points at a
+    * server-mode RDBMS (`jdbc:derby://host/…` or any other driver) whose
+    * own lock manager handles concurrent writers — those URLs skip the
+    * lock entirely and partitions write in parallel as designed.
+    */
+  private val embeddedWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withWriteLock[T](url: String)(body: => T): T =
+    if (url.startsWith("jdbc:derby://")) body
+    else embeddedWriteLocks.computeIfAbsent(url, _ => new Object).synchronized(body)
+
   /** CREATE TABLE if absent (Derby has no IF NOT EXISTS; X0Y32 = exists). */
   def ensureTable(url: String): Unit = {
     val c = connect(url)
@@ -143,10 +163,12 @@ object DerbySink {
     val otherIdx = others.map(names.indexOf).toArray // once, not per row
     val rows = batch.dropDuplicates(key)
     rows.foreachPartition { it: Iterator[Row] =>
-      if (it.hasNext) {
+      if (it.hasNext) withWriteLock(url) {
         var c = connect(url)
-        c.setAutoCommit(false)
         try {
+          // inside the try: a session-severity error between connect and
+          // setAutoCommit would otherwise leak the connection
+          c.setAutoCommit(false)
           // Rows are buffered in 500-row chunks and each chunk's MERGE is
           // committed and RETRIED on transient failure: embedded Derby
           // invalidates prepared MERGE plans when its background index-

@@ -193,6 +193,14 @@ object StreamOps {
     *
     * Engine surface, not a registry entry (`queries` stays batch-only,
     * SURVEY §2.0); parity + eviction pinned in StreamingParitySpec.
+    *
+    * STATE SCHEMA v2 (r9): bucket state is `(maxEventMs, ids)` — the r8
+    * shape was bare `Array[Long]`. Spark's state-store schema check
+    * rejects a v1 checkpoint on restart; an upgrading deployment must
+    * start this query from a FRESH checkpointLocation (the horizon
+    * re-warms within one TTL; the batch q7A/q7N sweep covers the gap),
+    * the same operational rule Spark itself applies to stateful-operator
+    * schema changes.
     */
   def nearDupCandidates(docs: DataFrame,
       horizonMs: Long = 3600L * 1000): Dataset[CandPair] = {

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions` deployment path: a session built with
+  * [[GraftExtensions]] must expose every codegen kernel in SQL TEXT with
+  * no `register(spark)` call — the cluster posture where sessions are
+  * created by a platform, not by this library.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** Builds a NEW session (sharing the test JVM's SparkContext) with the
+    * extension installed, runs `body`, and restores the shared session:
+    * `getOrCreate` returns the active session unless it is cleared first.
+    */
+  private def withExtendedSession[T](body: SparkSession => T): T = {
+    val base = SparkTestBase.spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      body(s)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("every kernel resolves and computes in SQL text without register()") {
+    withExtendedSession { s =>
+      // one SQL probe per injected kernel, each with a known answer
+      val row = s.sql(
+        """SELECT
+          |  graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dot,
+          |  size(graft_minhash_row(array('a b c', 'd e f'))) AS sig_len,
+          |  graft_isect_sorted(array('a', 'b', 'c'), array('b', 'c', 'd')) AS isect,
+          |  graft_isect_ge_sorted(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS ge,
+          |  graft_ivf_top(array(1.0D, 0.0D),
+          |                array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+          |                array(1.0D, 1.0D), 1) AS top
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 32.0)
+      assert(row.getInt(1) == graft.functions.MinHash.K)
+      assert(row.getInt(2) == 2)
+      assert(row.getInt(3) == 2) // jac = 2/4 ≥ 1/2 → the exact |∩|
+      assert(row.getSeq[Int](4) == Seq(0))
+    }
+  }
+
+  test("the injected list covers the full kernel surface (no kernel left session-only)") {
+    // every graft_* temp function the library registers per-session,
+    // minus the declared UDAF exception, must be injectable
+    val s = SparkTestBase.spark.newSession()
+    graft.functions.MinHash.register(s)
+    graft.functions.DotProduct.register(s)
+    graft.functions.SortedIntersect.register(s)
+    graft.functions.IvfTop.register(s)
+    val sessionRegistered = s.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_")).toSet
+    val injected = GraftExtensions.kernels.map(_._1).toSet
+    assert(sessionRegistered -- injected == Set("graft_minhash"),
+      "a new session-registered kernel must also join GraftExtensions.kernels")
+  }
+}

@@ -95,6 +95,23 @@ class KernelSpec extends AnyFunSuite {
         lit(2)))
       .collect()
     assert(tied.head.getSeq[Int](2) == Seq(0, 1))
+    // a ZERO centroid scores 0/0 = NaN; the total order must rank NaN
+    // LARGEST (matching reverse(array_sort(..)) semantics) regardless of
+    // arrival position — a bare `>` descent would drop the best finite
+    // cell when NaN sits mid-array (review r9)
+    val zc = Seq.fill(dim)(0.0)
+    val c5 = cents(5); val c9 = cents(9)
+    val e = Seq.fill(dim)(1.0)
+    val expectFinite =
+      if (refDot(e, c5) / math.sqrt(refDot(c5, c5)) >=
+          refDot(e, c9) / math.sqrt(refDot(c9, c9))) 1 else 3
+    val nan = Seq((e, 0)).toDF("e", "z")
+      .withColumn("got", call_function("graft_ivf_top", col("e"),
+        typedLit(Seq(zc, c5, zc, c9)),
+        typedLit(Seq(0.0, refDot(c5, c5), 0.0, refDot(c9, c9))),
+        lit(3)))
+      .collect()
+    assert(nan.head.getSeq[Int](2) == Seq(0, 2, expectFinite))
   }
 
   test("graft_isect_sorted equals set-intersection size on random sorted sets") {

@@ -43,4 +43,36 @@ class SessionCacheSpec extends AnyFunSuite {
       LlmOps.release(spark)
     }
   }
+
+  test("a release racing a first access never leaks a persisted DataFrame") {
+    import org.apache.spark.storage.StorageLevel
+    // The exact interleaving the r9 review flagged, replayed
+    // deterministically at the holder level: release() removes the
+    // holder from the map and invalidate()s it BEFORE the putIfAbsent
+    // winner reaches get — the invalidate finds nothing built, and
+    // without the dead-tombstone the subsequent build would persist a
+    // DataFrame no handle can ever unpersist.
+    val df = spark.range(10).toDF("n")
+    var builds = 0
+    val holder = new LlmOps.Cached({ () =>
+      builds += 1; df.persist(StorageLevel.MEMORY_AND_DISK)
+    })
+    holder.invalidate() // the racing release lands first
+    val out = holder.get // post-mortem first access still answers…
+    assert(out.collect().length == 10)
+    assert(builds == 1)
+    assert(df.storageLevel == StorageLevel.NONE,
+      "a build after invalidate() must not stay persisted")
+    // …and the orphaned holder caches nothing: a second get re-builds
+    holder.get
+    assert(builds == 2)
+    df.unpersist(blocking = true)
+
+    // the normal lifecycle is unchanged: build persists, release unpersists
+    val df2 = spark.range(5).toDF("n")
+    val h2 = new LlmOps.Cached(() => df2.persist(StorageLevel.MEMORY_AND_DISK))
+    assert(h2.get.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    h2.invalidate()
+    assert(df2.storageLevel == StorageLevel.NONE)
+  }
 }

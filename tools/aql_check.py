@@ -77,16 +77,24 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}\n  sql: {sql}")
             n_fail += 1
             continue
+        def row_eq(wr, gr):
+            return len(wr) == len(gr) and all(eqv(w, g) for w, g in zip(wr, gr))
+        # sort_key rounds floats to 6 decimals while eqv compares at 1e-9
+        # relative: within-tolerance values straddling a rounding boundary
+        # can sort apart and zip against the wrong partners — re-match the
+        # residue as a multiset with the tolerant compare first
+        residue = [(wr, gr) for wr, gr in zip(want, got) if not row_eq(wr, gr)]
+        w_res = [wr for wr, _ in residue]
         bad = None
-        for r, (wr, gr) in enumerate(zip(want, got)):
-            if not (len(wr) == len(gr)
-                    and all(eqv(w, g) for w, g in zip(wr, gr))):
-                bad = (r, wr, gr)
+        for _, gr in residue:
+            j = next((i for i, wr in enumerate(w_res) if row_eq(wr, gr)), -1)
+            if j < 0:
+                bad = gr
                 break
-        if bad:
-            r, w, g = bad
-            print(f"FAIL {name}: row {r} (cols {sorted(wcols)})\n"
-                  f"  oracle: {w}\n  spark : {g}\n  sql: {sql}")
+            del w_res[j]
+        if bad is not None:
+            print(f"FAIL {name}: unmatched row (cols {sorted(wcols)})\n"
+                  f"  spark : {bad}\n  near  : {w_res[:3]}\n  sql: {sql}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(want)} rows)")
