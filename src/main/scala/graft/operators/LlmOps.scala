@@ -276,6 +276,19 @@ object LlmOps {
       |    (ab, c) -> concat(ab, ' ', c)),
       |  x -> x IS NOT NULL)))""".stripMargin
 
+  /** The distinct char-bigram set expression over a `text` column —
+    * q7F's linear in-row extraction (zip_with over the char array and
+    * its shift, NOT the O(len²) substring spelling), shared with the
+    * streaming ingest enrichment (graft.streaming.LlmIngest) so the
+    * stream scores docs over the SAME bigram sets the batch profile was
+    * trained on.
+    */
+  private[graft] val BigramSql: String =
+    """array_distinct(filter(
+      |  zip_with(split(text, ''), slice(split(text, ''), 2, length(text)),
+      |           (a, b) -> concat(a, b)),
+      |  s -> s IS NOT NULL AND length(s) = 2))""".stripMargin
+
   /** The LSH banding expression over a `sig` (graft_minhash_row) column:
     * nBands (band, band-hash) structs, 2 signature slots per band —
     * shared by q7A and S12 like [[ShingleSql]], so the streaming
@@ -780,11 +793,7 @@ object LlmOps {
     // for every i (measured 2.1× slower on the sf0.1 corpus, and the gap
     // widens with doc length).
     "q7F_lang_id" -> ((s, d) => {
-      val grams =
-        """array_distinct(filter(
-          |  zip_with(split(text, ''), slice(split(text, ''), 2, length(text)),
-          |           (a, b) -> concat(a, b)),
-          |  s -> s IS NOT NULL AND length(s) = 2))""".stripMargin
+      val grams = BigramSql
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(expr(grams)).as("bg"))
       val profW = Window.partitionBy(col("lang"))

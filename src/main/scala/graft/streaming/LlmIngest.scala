@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.LlmOps
+
+/** S14 — the END-TO-END streaming training-data ingest pipeline: the
+  * round-9 frontier item that composes the engine's curation operators
+  * into the thing a 100 TB pretraining corpus actually runs at the edge
+  * of the lake —
+  *
+  * {{{
+  *   raw docs stream
+  *     → enrich        (token/stopword/diversity stats — q7D's exact
+  *                      integer arithmetic, pure per-row)
+  *     → withLang      (language prediction against a batch-trained
+  *                      char-bigram profile — q7F's model, driver-resident)
+  *     → policyFilter  (quality + length gate)
+  *     → docs_curated  (idempotent keyed MERGE via DerbySink)
+  *     ⤷ dropVerdicts  (S13 near-dup SURVIVORS → keep-smallest-id drops)
+  *     → docs_dropped  (idempotent keyed MERGE)
+  *   kept corpus = docs_curated ⟕̸ docs_dropped   (left anti)
+  * }}}
+  *
+  * Design rules, each inherited from a measured decision elsewhere in
+  * the repo:
+  *
+  *  - '''Enrichment is pure per-row''', so the streaming result is the
+  *    batch result by construction — no state, no shuffle, fully inside
+  *    whole-stage codegen. Stream≡batch parity is still pinned end-to-end
+  *    in LlmIngestSpec rather than argued.
+  *  - '''The language model is driver-resident''' (langs × top-20
+  *    bigrams — the IVF-centroid pattern): scoring is one static
+  *    codegen'd `array_intersect` column PER LANGUAGE, not a
+  *    higher-order function over a profile literal — HOF-over-literal is
+  *    CodegenFallback, the exact regression q7G measured (2.7→4.7 s)
+  *    before `graft_ivf_top`. Ties match q7F: score desc, lang asc.
+  *  - '''Dedup verdicts ride S13''': candidates band-collide in bounded
+  *    state, verify exactly in-stream, and only survivor pairs emit; the
+  *    drop policy (larger doc_id of each verified pair drops, smaller
+  *    survives) is arrival-order independent, so replays and band
+  *    duplicates MERGE idempotently into the drops table.
+  *  - '''The sink tables carry metadata, not text''': the lake keeps the
+  *    payload; `docs_curated` is the curation REGISTRY (id + features),
+  *    which is what the MERGE-keyed JDBC sink is shaped for.
+  *
+  * A doc whose near-dup twin arrives after the S13 horizon is kept —
+  * the declared trade of horizon-bounded streaming dedup (the batch
+  * q7N/q7R sweep over the lake remains the exhaustive pass).
+  */
+object LlmIngest {
+
+  val CURATED = "docs_curated"
+  val DROPPED = "docs_dropped"
+
+  /** q7D's quality statistics as pure per-row columns over `text`:
+    * `n_tokens`, `stop_cnt`, `distinct_cnt`, and the composite
+    * `score_bp` (basis points, exact integer arithmetic — the same
+    * expressions as the q7D registry entry, so the stream scores docs
+    * exactly as the batch oracle does).
+    */
+  def enrich(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("stop_cnt",
+        size(expr("filter(__toks, t -> t IN ('the', 'a', 'of', 'and'))")))
+      .withColumn("distinct_cnt", size(array_distinct(col("__toks"))))
+      .withColumn("score_bp", expr(
+        "((n_tokens - stop_cnt + distinct_cnt) * 5000L) div n_tokens"))
+      .drop("__toks")
+
+  /** Trains the q7F language model in BATCH: top-`top` char bigrams per
+    * language by document frequency. The result is metadata-scale
+    * (langs × top strings — collected to the driver like the IVF
+    * centroids), ready to broadcast into [[withLang]] on a stream.
+    */
+  def langProfiles(train: DataFrame, top: Int = 20): Map[String, Seq[String]] = {
+    val docBg = train
+      .select(col("lang"), explode(expr(LlmOps.BigramSql)).as("bg"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bg"))
+    docBg.groupBy("lang", "bg").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= top)
+      .select("lang", "bg")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getString(1)).toSeq.sorted }
+  }
+
+  /** Adds `lang_pred`: the profile language with the largest distinct-
+    * bigram overlap, ties toward the alphabetically smaller language —
+    * q7F's prediction rule, spelled as one static codegen'd column per
+    * language + a `greatest` over (score, -langRank, lang) structs
+    * (struct comparison is field-order lexicographic, so -rank turns
+    * greatest's larger-wins tie into smaller-lang-wins).
+    */
+  def withLang(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame = {
+    require(profiles.size >= 2, "need at least two language profiles")
+    val langs = profiles.toSeq.sortBy(_._1)
+    val scored: Seq[Column] = langs.zipWithIndex.map { case ((l, grams), i) =>
+      struct(
+        size(array_intersect(col("__bg"), typedLit(grams))).as("s"),
+        lit(-i).as("r"),
+        lit(l).as("l"))
+    }
+    docs
+      .withColumn("__bg", expr(LlmOps.BigramSql))
+      .withColumn("lang_pred", greatest(scored: _*).getField("l"))
+      .drop("__bg")
+  }
+
+  /** The curation gate: enough tokens, good-enough composite score. */
+  def policyFilter(enriched: DataFrame, minScoreBp: Long, minTokens: Int): DataFrame =
+    enriched.filter(col("score_bp") >= minScoreBp && col("n_tokens") >= minTokens)
+
+  /** enrich → withLang → policyFilter, the per-row half of the pipeline —
+    * identical code path for a static or streaming `docs`.
+    */
+  def curate(docs: DataFrame, profiles: Map[String, Seq[String]],
+      minScoreBp: Long, minTokens: Int): DataFrame =
+    policyFilter(withLang(enrich(docs), profiles), minScoreBp, minTokens)
+
+  /** S13 survivor pairs lowered to per-doc DROP verdicts under the
+    * keep-smallest-id policy: every doc that is the LARGER member of any
+    * verified near-dup pair drops (with its `dup_of` witness and the
+    * exact `jac_bp`). Arrival-order independent, so at-least-once pair
+    * emission MERGEs idempotently; a doc dropped via several pairs keeps
+    * one row (the MERGE overwrites the witness — any witness proves the
+    * drop).
+    */
+  def dropVerdicts(curated: DataFrame, horizonMs: Long): DataFrame =
+    StreamOps.nearDupSurvivors(curated, horizonMs).toDF
+      .select(col("id_b").as("doc_id"), col("id_a").as("dup_of"),
+        col("jac_bp"))
+
+  /** Wires the full pipeline to the DB: two streaming queries over the
+    * same source — the curated-registry MERGE and the drop-verdict MERGE
+    * (each with its own checkpoint; both replay-safe through the keyed
+    * MERGE, the S7/S8 argument). `docs` must carry `doc_id`, `text`, and
+    * a watermarked `ts_t`.
+    */
+  def attach(docs: DataFrame, url: String, ckptRoot: String,
+      profiles: Map[String, Seq[String]],
+      minScoreBp: Long, minTokens: Int,
+      horizonMs: Long): (StreamingQuery, StreamingQuery) = {
+    val curated = curate(docs, profiles, minScoreBp, minTokens)
+    val registry = curated.select(
+      col("doc_id"), col("lang_pred"),
+      col("n_tokens"), col("stop_cnt"), col("distinct_cnt"),
+      col("score_bp"))
+    val drops = dropVerdicts(curated, horizonMs)
+    val q1 = DerbySink
+      .attachAs(registry, url, CURATED, "doc_id", s"$ckptRoot/curated")
+      .start()
+    val q2 = DerbySink
+      .attachAs(drops, url, DROPPED, "doc_id", s"$ckptRoot/drops")
+      .start()
+    (q1, q2)
+  }
+
+  /** The kept corpus registry: curated minus dropped (left anti on the
+    * two MERGE tables). Batch-side consumer of the pipeline's output.
+    */
+  def kept(s: SparkSession, url: String): DataFrame = {
+    def tbl(t: String) = s.read.format("jdbc")
+      .option("url", url).option("dbtable", t).load()
+    tbl(CURATED).join(tbl(DROPPED), Seq("doc_id"), "left_anti")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase._
+
+/** S14 end-to-end: the streaming ingest pipeline's final KEPT registry
+  * must equal the batch computation of the same policy on the same
+  * corpus — enrichment, language prediction, quality gate, and the
+  * keep-smallest-id near-dup drop all included, THROUGH the Derby MERGE
+  * tables (not a memory sink), so the replay/idempotence machinery is in
+  * the loop too.
+  */
+class LlmIngestSpec extends AnyFunSuite {
+
+  /** Same staging recipe as StreamingParitySpec: fixture docs as
+    * time-ordered chunks with fabricated ingest µs (base offset keeps
+    * doc 0 off the epoch-0 initial watermark).
+    */
+  private def stageDocs(dir: String, chunks: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+    val bucketed = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"),
+        (lit(86400000000L) + col("doc_id") * 1000000L).as("ts"))
+      .withColumn("__bucket", ntile(chunks).over(w))
+      .cache()
+    try (1 to chunks).foreach { b =>
+      bucketed.filter(col("__bucket") === b).drop("__bucket")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    } finally bucketed.unpersist()
+  }
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDocs(dir: String): DataFrame =
+    spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(col("ts")))
+      .withWatermark("ts_t", "10 minutes")
+
+  private def readDocsBatch(dir: String): DataFrame =
+    spark.read.schema(docSchema).parquet(dir)
+      .withColumn("ts_t", timestamp_micros(col("ts")))
+
+  test("S14: streamed kept registry ≡ batch curation + keep-smallest near-dup policy") {
+    val dir = tmpDir("graft-s14")
+    stageDocs(dir, 4)
+    val url = s"jdbc:derby:${tmpDir("graft-s14-db")}/db;create=true"
+    val profiles =
+      LlmIngest.langProfiles(graft.sources.Tables.documents(spark, sf0001))
+    assert(profiles.size == 5 && profiles.values.forall(_.size == 20))
+    // thresholds chosen so the gate BITES on the fixture (some docs
+    // filtered, most kept) — asserted below so drift can't silently turn
+    // this into a pass-through test
+    val (minScore, minTokens) = (6200L, 20) // ≈10th pctile of each on the fixture
+    val wide = 10L * 365 * 86400 * 1000 // horizon >> fixture span
+
+    val (q1, q2) = LlmIngest.attach(readDocs(dir), url,
+      tmpDir("graft-s14-ckpt"), profiles, minScore, minTokens, wide)
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+
+    // batch expectation, computed through the SAME operators on a static
+    // read (flatMapGroupsWithState executes batch-mode with ephemeral
+    // state — the established S12/S13 parity pattern)
+    val curatedB =
+      LlmIngest.curate(readDocsBatch(dir), profiles, minScore, minTokens)
+    val allIds = readDocsBatch(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val curatedIds = curatedB.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curatedIds.nonEmpty && curatedIds.size < allIds.size,
+      s"gate must bite: ${curatedIds.size} of ${allIds.size} pass")
+    val dropIds = LlmIngest.dropVerdicts(curatedB, wide)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropIds.nonEmpty, "fixture has no verified near-dups — precondition broken")
+    val wantKept = curatedIds -- dropIds
+
+    val keptDf = LlmIngest.kept(spark, url)
+    val gotKept = keptDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotKept == wantKept,
+      s"missing=${(wantKept -- gotKept).take(5)} extra=${(gotKept -- wantKept).take(5)}")
+
+    // the registry carries the curation features, and they match the
+    // batch enrichment row-for-row
+    val gotRows = keptDf
+      .select("doc_id", "lang_pred", "n_tokens", "stop_cnt", "distinct_cnt", "score_bp")
+      .collect().map(_.toSeq).toSet
+    val wantRows = curatedB
+      .filter(col("doc_id").isin(wantKept.toSeq: _*))
+      .select("doc_id", "lang_pred", "n_tokens", "stop_cnt", "distinct_cnt", "score_bp")
+      .collect().map(_.toSeq).toSet
+    assert(gotRows == wantRows)
+
+    // restart idempotence: re-attach over the same source + FRESH
+    // checkpoints (a full replay — every batch re-MERGEs); the kept
+    // registry must not change
+    val (r1, r2) = LlmIngest.attach(readDocs(dir), url,
+      tmpDir("graft-s14-ckpt2"), profiles, minScore, minTokens, wide)
+    try { r1.processAllAvailable(); r2.processAllAvailable() }
+    finally { r1.stop(); r2.stop() }
+    val replayed = LlmIngest.kept(spark, url)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == wantKept, "full replay must be a MERGE no-op")
+  }
+
+  test("S14: lang_pred agrees with q7F's prediction rule on the training corpus") {
+    // the in-row greatest(struct...) spelling must reproduce the batch
+    // operator's join+window argmax (score desc, lang asc) — compare
+    // against an independently-computed expectation built the q7F way
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val profiles = LlmIngest.langProfiles(docs)
+    val got = LlmIngest.withLang(docs, profiles)
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val docBg = docs.select(col("doc_id"),
+      explode(expr(graft.operators.LlmOps.BigramSql)).as("bg"))
+    import spark.implicits._
+    val prof = profiles.toSeq.flatMap { case (l, gs) => gs.map((l, _)) }
+      .toDF("cand", "bg")
+    val predW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    val want = docBg.join(prof, "bg")
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(predW))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // join-based argmax loses docs with ZERO profile overlap; greatest
+    // assigns them the first lang — compare on the join's domain and pin
+    // the fallback separately
+    assert(want.nonEmpty && want.forall { case (id, l) => got(id) == l })
+    val first = profiles.keys.min
+    (got.keySet -- want.keySet).foreach { id => assert(got(id) == first) }
+  }
+}
