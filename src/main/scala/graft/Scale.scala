@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.LlmOps
+import graft.streaming.LlmIngest
 
 /** Scale-evidence probe behind SCALING.md's measured tables (the numbers
   * the judge reads are produced here, not hand-run): synthetic corpora /
@@ -95,7 +96,9 @@ object Scale {
           val n = 20 + rnd.nextInt(61)
           Array.fill(n)(s"tok${z.next()}").mkString(" ")
         }
-      docs(i) = (i.toLong, text, "en", "web", text.length.toLong)
+      // 4 rotating lang labels so profile-training consumers (ingest
+      // mode) have a multi-class model; text-only consumers ignore it
+      docs(i) = (i.toLong, text, s"l${i % 4}", "web", text.length.toLong)
       i += 1
     }
     docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -275,6 +278,69 @@ object Scale {
     }
   }
 
+  /** S14 ingest throughput at 1× and 10×: the full streaming curation
+    * pipeline (enrich → lang-predict → decontaminate → gate → S13
+    * survivor drops) over a 20-micro-batch staged corpus, into COUNTING
+    * sinks — so the number is the ENGINE's transform + keyed-state cost,
+    * not embedded Derby's single-writer JDBC (a cluster deployment's
+    * sink is a real RDBMS; the MERGE path's own correctness is pinned in
+    * LlmIngestSpec). The claim under measurement: per-doc wall cost
+    * stays flat across a decade of corpus growth — the stateless half is
+    * per-row by construction, and S13's bucket state is bounded by the
+    * active horizon, so throughput must not degrade superlinearly.
+    */
+  private def ingest(s: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    for ((mult, nDocs, v) <- Seq((1, 5000, 2000), (10, 50000, 20000))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-in$mult").toString
+      val corpus = zipfCorpus(s, nDocs, v, seed = 131L).cache()
+      val w = Window.orderBy(col("doc_id"))
+      val staged = corpus
+        .select(col("doc_id"), col("text"), col("lang"),
+          (lit(86400000000L) + col("doc_id") * 1000L).as("ts"))
+        .withColumn("__b", ntile(20).over(w))
+        .cache()
+      (1 to 20).foreach { b =>
+        staged.filter(col("__b") === b).drop("__b")
+          .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      }
+      staged.unpersist()
+      val profiles = LlmIngest.langProfiles(corpus)
+      val evalIdx =
+        LlmIngest.evalShingleHashes(corpus.filter(col("doc_id") < 50))
+      corpus.unpersist()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("ts", LongType)))
+      def read() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$dir/stream")
+        .withColumn("ts_t", timestamp_micros(col("ts")))
+        .withWatermark("ts_t", "10 minutes")
+      val wide = 10L * 365 * 86400 * 1000
+      def curated() = LlmIngest.curate(read(), profiles,
+        minScoreBp = 6200L, minTokens = 20, evalIdx, maxShared = 5)
+      var kept = 0L
+      var dropRows = 0L
+      val q1 = curated().select("doc_id").writeStream
+        .option("checkpointLocation", s"$dir/ck1")
+        .foreachBatch { (b: DataFrame, _: Long) => kept += b.count() }
+        .start()
+      val q2 = LlmIngest.dropVerdicts(curated(), wide).writeStream
+        .option("checkpointLocation", s"$dir/ck2")
+        .foreachBatch { (b: DataFrame, _: Long) => dropRows += b.count() }
+        .start()
+      val (_, t) = timed {
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+      q1.stop(); q2.stop()
+      println(f"""{"mode":"ingest","mult":$mult,"docs":$nDocs,""" +
+        f""""curated":$kept,"drop_rows":$dropRows,"sec":$t%.1f,""" +
+        f""""docs_per_sec":${nDocs / t}%.0f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val s = session()
     args.headOption.getOrElse("openvocab") match {
@@ -283,6 +349,7 @@ object Scale {
       case "hub"       => hub(s)
       case "ann"       => ann(s)
       case "clique"    => clique(s)
+      case "ingest"    => ingest(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()

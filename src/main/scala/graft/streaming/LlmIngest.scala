@@ -18,6 +18,8 @@ import graft.operators.LlmOps
   *                      integer arithmetic, pure per-row)
   *     → withLang      (language prediction against a batch-trained
   *                      char-bigram profile — q7F's model, driver-resident)
+  *     → decontaminate (optional: q7P's contamination statistic against a
+  *                      driver-resident eval-suite shingle index, in-row)
   *     → policyFilter  (quality + length gate)
   *     → docs_curated  (idempotent keyed MERGE via DerbySink)
   *     ⤷ dropVerdicts  (S13 near-dup SURVIVORS → keep-smallest-id drops)
@@ -117,12 +119,57 @@ object LlmIngest {
   def policyFilter(enriched: DataFrame, minScoreBp: Long, minTokens: Int): DataFrame =
     enriched.filter(col("score_bp") >= minScoreBp && col("n_tokens") >= minTokens)
 
-  /** enrich → withLang → policyFilter, the per-row half of the pipeline —
-    * identical code path for a static or streaming `docs`.
+  /** The eval-suite contamination index: every distinct word-3-shingle
+    * of the eval docs, xxhash64'd, collected sorted. Driver-resident by
+    * the same argument as the language profiles and the IVF centroids —
+    * an eval suite is metadata-scale next to the corpus (the thing being
+    * decontaminated is 100 TB; the thing it must not contain is a few
+    * benchmarks). A suite too big for a literal uses the batch q7P
+    * broadcast-join sweep instead; this index exists so the STREAM can
+    * decontaminate per-row, statelessly.
+    */
+  def evalShingleHashes(evalDocs: DataFrame): Array[Long] =
+    evalDocs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(LlmOps.ShingleSql)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Adds `n_eval_shared`: how many of the doc's distinct shingles
+    * appear anywhere in the eval suite — q7P's contamination statistic
+    * against the UNION index, spelled as one in-row codegen'd
+    * `array_intersect` with the driver-resident literal (stateless, so
+    * it runs identically on stream and batch; no streaming aggregation,
+    * no watermark coupling).
+    */
+  def withContamination(docs: DataFrame, evalHashes: Array[Long]): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " ")) // ShingleSql reads `w`
+      .withColumn("n_eval_shared", size(array_intersect(
+        expr(s"transform(${LlmOps.ShingleSql}, x -> xxhash64(x))"),
+        typedLit(evalHashes.toSeq))))
+      .drop("w")
+
+  /** Drops docs sharing ≥ `maxShared` shingles with the eval suite. */
+  def decontaminate(docs: DataFrame, evalHashes: Array[Long],
+      maxShared: Int): DataFrame =
+    withContamination(docs, evalHashes)
+      .filter(col("n_eval_shared") < maxShared)
+
+  /** enrich → withLang → [decontaminate →] policyFilter, the per-row
+    * half of the pipeline — identical code path for a static or
+    * streaming `docs`. An empty `evalHashes` skips decontamination.
     */
   def curate(docs: DataFrame, profiles: Map[String, Seq[String]],
-      minScoreBp: Long, minTokens: Int): DataFrame =
-    policyFilter(withLang(enrich(docs), profiles), minScoreBp, minTokens)
+      minScoreBp: Long, minTokens: Int,
+      evalHashes: Array[Long] = Array.empty,
+      maxShared: Int = 1): DataFrame = {
+    val enriched = withLang(enrich(docs), profiles)
+    val clean =
+      if (evalHashes.isEmpty) enriched
+      else decontaminate(enriched, evalHashes, maxShared)
+    policyFilter(clean, minScoreBp, minTokens)
+  }
 
   /** S13 survivor pairs lowered to per-doc DROP verdicts under the
     * keep-smallest-id policy: every doc that is the LARGER member of any
@@ -146,8 +193,11 @@ object LlmIngest {
   def attach(docs: DataFrame, url: String, ckptRoot: String,
       profiles: Map[String, Seq[String]],
       minScoreBp: Long, minTokens: Int,
-      horizonMs: Long): (StreamingQuery, StreamingQuery) = {
-    val curated = curate(docs, profiles, minScoreBp, minTokens)
+      horizonMs: Long,
+      evalHashes: Array[Long] = Array.empty,
+      maxShared: Int = 1): (StreamingQuery, StreamingQuery) = {
+    val curated =
+      curate(docs, profiles, minScoreBp, minTokens, evalHashes, maxShared)
     val registry = curated.select(
       col("doc_id"), col("lang_pred"),
       col("n_tokens"), col("stop_cnt"), col("distinct_cnt"),

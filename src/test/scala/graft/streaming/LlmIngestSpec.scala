@@ -113,6 +113,50 @@ class LlmIngestSpec extends AnyFunSuite {
     assert(replayed == wantKept, "full replay must be a MERGE no-op")
   }
 
+  test("S14: in-stream decontamination matches the q7P join statistic, stream ≡ batch") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val eval = docs.filter(col("doc_id") < 50)
+    val train = docs.filter(col("doc_id") >= 50)
+    val idx = LlmIngest.evalShingleHashes(eval)
+    assert(idx.nonEmpty)
+
+    // expectation built the q7P way: explode + join against the eval
+    // union index, distinct shared shingles per train doc
+    val shingleOf = (df: DataFrame) => df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(graft.operators.LlmOps.ShingleSql)).as("g"))
+    val evalG = shingleOf(eval).select(col("g")).distinct()
+    val want = shingleOf(train).join(evalG, "g")
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    assert(want.valuesIterator.exists(_ > 0),
+      "fixture has no eval contamination — precondition broken")
+
+    val got = LlmIngest.withContamination(train, idx)
+      .select("doc_id", "n_eval_shared")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got.size == train.count())
+    got.foreach { case (id, n) => assert(n == want(id), s"doc $id") }
+
+    // the same stage on a STREAM produces the same rows (stateless ⇒
+    // parity by construction, pinned anyway)
+    val dir = tmpDir("graft-s14-decon")
+    stageDocs(dir, 3)
+    val q = LlmIngest.withContamination(readDocs(dir), idx)
+      .select("doc_id", "n_eval_shared")
+      .writeStream.format("memory").queryName("s14decon")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("s14decon")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = LlmIngest.withContamination(readDocsBatch(dir), idx)
+      .select("doc_id", "n_eval_shared")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("S14: lang_pred agrees with q7F's prediction rule on the training corpus") {
     // the in-row greatest(struct...) spelling must reproduce the batch
     // operator's join+window argmax (score desc, lang asc) — compare
