@@ -280,7 +280,8 @@ object Scale {
 
   /** S14 ingest throughput at 1× and 10×: the full streaming curation
     * pipeline (enrich → lang-predict → decontaminate → gate → S13
-    * survivor drops) over a 20-micro-batch staged corpus, into COUNTING
+    * survivor drops) over a staged corpus of 20 files read 2 per
+    * trigger (10 micro-batches per query), into COUNTING
     * sinks — so the number is the ENGINE's transform + keyed-state cost,
     * not embedded Derby's single-writer JDBC (a cluster deployment's
     * sink is a real RDBMS; the MERGE path's own correctness is pinned in

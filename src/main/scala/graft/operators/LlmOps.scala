@@ -289,6 +289,38 @@ object LlmOps {
       |           (a, b) -> concat(a, b)),
       |  s -> s IS NOT NULL AND length(s) = 2))""".stripMargin
 
+  /** q7D's quality statistics over a split-words column `toks`, appended
+    * as `n_tokens` / `stop_cnt` / `distinct_cnt` / `score_bp` — all in
+    * EXACT integer arithmetic, `score/10000 = ((1 − stop_ratio) +
+    * distinct_ratio) / 2` as basis points via integer division. Shared
+    * with the S14 streaming enrichment (graft.streaming.LlmIngest) like
+    * [[BigramSql]], so the stream scores docs with the batch operator's
+    * exact expressions BY CONSTRUCTION, not by parallel maintenance.
+    */
+  private[graft] def withQualityStats(docs: DataFrame, toks: String): DataFrame =
+    docs
+      .withColumn("n_tokens", size(col(toks)))
+      .withColumn("stop_cnt",
+        size(expr(s"filter($toks, t -> t IN ('the', 'a', 'of', 'and'))")))
+      .withColumn("distinct_cnt", size(array_distinct(col(toks))))
+      .withColumn("score_bp", expr(
+        "((n_tokens - stop_cnt + distinct_cnt) * 5000L) div n_tokens"))
+
+  /** q7F's language-profile model over exploded `(lang, bg)` rows: the
+    * top-`top` bigrams per language by document frequency, ties toward
+    * the smaller bigram. Shared with S14's batch trainer
+    * (graft.streaming.LlmIngest.langProfiles) so the stream's
+    * driver-resident model and the batch operator's profile are the SAME
+    * construction — one tie rule, one cutoff, no drift.
+    */
+  private[graft] def langProfileTop(docBg: DataFrame, top: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bg"))
+    docBg.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= top)
+      .select("lang", "bg")
+  }
+
   /** The LSH banding expression over a `sig` (graft_minhash_row) column:
     * nBands (band, band-hash) structs, 2 signature slots per band —
     * shared by q7A and S12 like [[ShingleSql]], so the streaming
@@ -691,15 +723,10 @@ object LlmOps {
     // 4-decimal-rounded ratios lands exactly on .xxxx5 halves, which the
     // two engines round apart (SURVEY.md §7.4.3).
     "q7D_text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_cnt",
-          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")))
-        .withColumn("distinct_cnt", size(array_distinct(col("toks"))))
-        // score/10000 = ((1 - stop_ratio) + distinct_ratio) / 2
-        .withColumn("score_bp", expr(
-          "((n_tokens - stop_cnt + distinct_cnt) * 5000L) div n_tokens"))
+      withQualityStats(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        "toks")
         .select("doc_id", "n_tokens", "stop_cnt", "distinct_cnt", "score_bp")
         .orderBy(col("score_bp").desc, col("doc_id"))
         .limit(25)),
@@ -796,12 +823,7 @@ object LlmOps {
       val grams = BigramSql
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(expr(grams)).as("bg"))
-      val profW = Window.partitionBy(col("lang"))
-        .orderBy(col("cnt").desc, col("bg"))
-      val prof = docBg
-        .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(profW))
-        .filter(col("rn") <= 20)
+      val prof = langProfileTop(docBg, 20)
         .select(col("lang").as("cand"), col("bg"))
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -60,19 +59,14 @@ object LlmIngest {
 
   /** q7D's quality statistics as pure per-row columns over `text`:
     * `n_tokens`, `stop_cnt`, `distinct_cnt`, and the composite
-    * `score_bp` (basis points, exact integer arithmetic — the same
-    * expressions as the q7D registry entry, so the stream scores docs
-    * exactly as the batch oracle does).
+    * `score_bp` — [[LlmOps.withQualityStats]], the q7D registry entry's
+    * OWN expressions, so the stream scores docs exactly as the batch
+    * oracle does by construction (editing the batch stoplist or score
+    * formula cannot silently leave the stream behind).
     */
   def enrich(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("__toks")))
-      .withColumn("stop_cnt",
-        size(expr("filter(__toks, t -> t IN ('the', 'a', 'of', 'and'))")))
-      .withColumn("distinct_cnt", size(array_distinct(col("__toks"))))
-      .withColumn("score_bp", expr(
-        "((n_tokens - stop_cnt + distinct_cnt) * 5000L) div n_tokens"))
+    LlmOps.withQualityStats(
+      docs.withColumn("__toks", split(col("text"), " ")), "__toks")
       .drop("__toks")
 
   /** Trains the q7F language model in BATCH: top-`top` char bigrams per
@@ -83,11 +77,7 @@ object LlmIngest {
   def langProfiles(train: DataFrame, top: Int = 20): Map[String, Seq[String]] = {
     val docBg = train
       .select(col("lang"), explode(expr(LlmOps.BigramSql)).as("bg"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bg"))
-    docBg.groupBy("lang", "bg").agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= top)
-      .select("lang", "bg")
+    LlmOps.langProfileTop(docBg, top) // q7F's own model construction
       .collect()
       .groupBy(_.getString(0))
       .map { case (l, rows) => l -> rows.map(_.getString(1)).toSeq.sorted }
@@ -203,13 +193,15 @@ object LlmIngest {
       col("n_tokens"), col("stop_cnt"), col("distinct_cnt"),
       col("score_bp"))
     val drops = dropVerdicts(curated, horizonMs)
-    val q1 = DerbySink
+    // build BOTH writers (each attachAs runs its CREATE TABLE) before
+    // starting either query: an embedded-Derby CREATE racing a running
+    // query's in-flight MERGE would be a second concurrent connection
+    // outside DerbySink's write lock — the documented page-latch hazard
+    val w1 = DerbySink
       .attachAs(registry, url, CURATED, "doc_id", s"$ckptRoot/curated")
-      .start()
-    val q2 = DerbySink
+    val w2 = DerbySink
       .attachAs(drops, url, DROPPED, "doc_id", s"$ckptRoot/drops")
-      .start()
-    (q1, q2)
+    (w1.start(), w2.start())
   }
 
   /** The kept corpus registry: curated minus dropped (left anti on the

@@ -157,6 +157,21 @@ class LlmIngestSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("S14: enrich reproduces the q7D registry operator row-for-row") {
+    // the shared-expression contract (LlmOps.withQualityStats) made the
+    // stream's statistics the batch operator's by construction; this pin
+    // protects the remaining wiring (projection, column names) so a
+    // refactor of either side surfaces here, not in a silent drift
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = LlmIngest.enrich(docs)
+      .select("doc_id", "n_tokens", "stop_cnt", "distinct_cnt", "score_bp")
+      .orderBy(col("score_bp").desc, col("doc_id")).limit(25)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.SparkEntry.queries("q7D_text_quality")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.size == 25 && got == want)
+  }
+
   test("S14: lang_pred agrees with q7F's prediction rule on the training corpus") {
     // the in-row greatest(struct...) spelling must reproduce the batch
     // operator's join+window argmax (score desc, lang asc) — compare
