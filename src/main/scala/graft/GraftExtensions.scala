@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, IvfTop, MinHashSig, SortedIntersect, SortedIntersectGe}
+import graft.functions.{DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedIntersect, SortedIntersectGe, VecSub}
 
 /** Cluster-wide registration of the graft codegen kernels via the
   * standard Spark extension point:
@@ -25,7 +25,7 @@ import graft.functions.{DotProduct, IvfTop, MinHashSig, SortedIntersect, SortedI
   * CLONES from, so `spark.sql("SELECT graft_dot(a, b) …")` works in SQL
   * text with no Scala imports at all.
   *
-  * Injected here are the five Catalyst `Expression` kernels (all
+  * Injected here are the eight Catalyst `Expression` kernels (all
   * codegen'd, all whole-stage-codegen friendly):
   *
   *  - `graft_dot(a, b)` — double-array dot product (q76/q77/q78/q7C).
@@ -33,7 +33,13 @@ import graft.functions.{DotProduct, IvfTop, MinHashSig, SortedIntersect, SortedI
   *  - `graft_isect_sorted(a, b)` — sorted-distinct intersection size.
   *  - `graft_isect_ge_sorted(a, b, num, den)` — threshold-aware
   *    early-exit intersection test (q7N's verify).
-  *  - `graft_ivf_top(e, cents, cnsqs, p)` — IVF cell scoring (q7G).
+  *  - `graft_ivf_top(e, cents, cnsqs, p)` — IVF cell scoring (q7G/q7S).
+  *  - `graft_pq_enc(e, codebooks, cnsqs, ks)` — product-quantization
+  *    encoding (q7S's compressed index).
+  *  - `graft_pq_adc(qe, codes, codebooks)` — asymmetric-distance
+  *    approximate inner product over PQ codes (q7S's candidate ranking).
+  *  - `graft_vec_sub(a, b)` — element-wise difference (q7S's IVF-ADC
+  *    residual at index-build time).
   *
   * The one non-Expression function, the `graft_minhash` UDAF (the
   * explode-based aggregation spelling kept for parity testing), stays
@@ -66,5 +72,11 @@ object GraftExtensions {
     ("graft_isect_ge_sorted", classOf[SortedIntersectGe],
       args => SortedIntersectGe(args.head, args(1), args(2), args(3))),
     ("graft_ivf_top", classOf[IvfTop],
-      args => IvfTop(args.head, args(1), args(2), args(3))))
+      args => IvfTop(args.head, args(1), args(2), args(3))),
+    ("graft_pq_enc", classOf[PqEncode],
+      args => PqEncode(args.head, args(1), args(2), args(3))),
+    ("graft_pq_adc", classOf[PqAdc],
+      args => PqAdc(args.head, args(1), args(2))),
+    ("graft_vec_sub", classOf[VecSub],
+      args => VecSub(args.head, args(1))))
 }

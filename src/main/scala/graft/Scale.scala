@@ -180,63 +180,101 @@ object Scale {
     * geometry (K, nprobe, vectors/cell) so SCALING.md can show the
     * per-cell candidate count staying bounded as the corpus grows.
     */
-  private def ann(s: SparkSession): Unit = {
+  /** Clustered synthetic embeddings (seeded Gaussian centers + noise)
+    * written as an `embeddings.parquet` fixture dir; returns (dir, exact
+    * rounded-cosine 5-NN truth for queries 0–9). ANN recall is only
+    * meaningful against density structure — uniform random vectors have
+    * no true neighbors to find.
+    */
+  private def annCorpus(s: SparkSession, nVec: Int): (String, Map[Long, Set[Long]]) = {
     import s.implicits._
     val dim = 64
     val nCenters = 50
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-scale-ann$nVec").toString
+    val rnd = new scala.util.Random(1234L)
+    val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+    val rows = (0 until nVec).map { i =>
+      val c = centers(rnd.nextInt(nCenters))
+      val e = Array.tabulate(dim)(j => (c(j) + 0.5 * rnd.nextGaussian()).toFloat)
+      (i.toLong, s"c${i % nCenters}", e.toSeq)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // exact rounded-cosine 5-NN per query id (the engines' rounding
+    // convention, so recall compares like against like)
+    val vecs = rows.map { case (id, _, e) =>
+      id -> e.map(_.toDouble).toArray }.toMap
+    def cosine4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def exactTop5(q: Long): Set[Long] =
+      vecs.view.filterKeys(_ != q).toSeq
+        .map { case (id, v) => (cosine4(vecs(q), v), id) }
+        .sortBy { case (sim, id) => (-sim, id) }
+        .take(5).map(_._2).toSet
+    (dir, (0L until 10L).map(q => q -> exactTop5(q)).toMap)
+  }
+
+  private def recallRun(s: SparkSession, dir: String,
+      truth: Map[Long, Set[Long]], key: String): (Double, Double) = {
+    val (out, t) = timed(SparkEntry.queries(key)(s, dir).collect())
+    val byQ = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (q, want) =>
+      want.count(byQ.getOrElse(q, Set.empty[Long]).contains) / 5.0 }
+    (recalls.sum / recalls.size, t)
+  }
+
+  private def ann(s: SparkSession): Unit = {
     for ((mult, nVec) <- Seq((1, 5000), (10, 50000))) {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-scale-ann$mult").toString
-      val rnd = new scala.util.Random(1234L)
-      val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
-      val rows = (0 until nVec).map { i =>
-        val c = centers(rnd.nextInt(nCenters))
-        val e = Array.tabulate(dim)(j => (c(j) + 0.5 * rnd.nextGaussian()).toFloat)
-        (i.toLong, s"c${i % nCenters}", e.toSeq)
-      }
-      rows.toDF("vec_id", "label", "embedding")
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-
-      // exact rounded-cosine 5-NN per query id (the engines' rounding
-      // convention, so recall compares like against like)
-      val vecs = rows.map { case (id, _, e) =>
-        id -> e.map(_.toDouble).toArray }.toMap
-      def cosine4(a: Array[Double], b: Array[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        BigDecimal(dot / math.sqrt(na * nb))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
-      def exactTop5(q: Long): Set[Long] =
-        vecs.view.filterKeys(_ != q).toSeq
-          .map { case (id, v) => (cosine4(vecs(q), v), id) }
-          .sortBy { case (sim, id) => (-sim, id) }
-          .take(5).map(_._2).toSet
-      val truth = (0L until 10L).map(q => q -> exactTop5(q)).toMap
-
+      val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
         LlmOps.release(s) // cold: the wall includes model/bucket build
-        val (out, t) = timed(SparkEntry.queries(key)(s, dir).collect())
-        val byQ = out.groupBy(_.getLong(0))
-          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val recalls = truth.map { case (q, want) =>
-          want.count(byQ.getOrElse(q, Set.empty[Long]).contains) / 5.0 }
-        (recalls.sum / recalls.size, t)
+        recallRun(s, dir, truth, key)
       }
       val (rC, tC) = recallOf("q7C_ann_simhash")
       val (rG, tG) = recallOf("q7G_ann_ivf")
+      val (rS, tS) = recallOf("q7S_ann_ivfpq")
       val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7G run
       val nprobe = LlmOps.ivfNProbe(k)
+      val pq = LlmOps.pqModel(s, dir) // cached from the q7S run
       println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
         f""""q7C_recall":$rC%.2f,"q7C_sec":$tC%.1f,""" +
         f""""q7G_recall":$rG%.2f,"q7G_sec":$tG%.1f,""" +
+        f""""q7S_recall":$rS%.2f,"q7S_sec":$tS%.1f,""" +
         f""""ivf_k":$k,"nprobe":$nprobe,""" +
+        f""""pq_m":${pq.m},"pq_ks":${pq.ks},""" +
         f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
         f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
       LlmOps.release(s)
     }
+  }
+
+  /** `pqsweep` — q7S recall@5 vs the rerank depth R on the 10× clustered
+    * corpus: R is PQ's recall/cost dial (quantization noise reorders
+    * candidates whose true sims are close, so the exact rerank must look
+    * deeper than the final k). Models train ONCE (no release between
+    * points — the sweep isolates R), so the wall deltas are pure
+    * query-side cost.
+    */
+  private def pqsweep(s: SparkSession): Unit = {
+    val (dir, truth) = annCorpus(s, 50000)
+    for (r <- Seq(32, 64, 128, 256)) {
+      s.conf.set("spark.graft.pq.rerank", r.toString)
+      try {
+        val (rec, t) = recallRun(s, dir, truth, "q7S_ann_ivfpq")
+        println(f"""{"mode":"pqsweep","vectors":50000,"rerank":$r,""" +
+          f""""q7S_recall":$rec%.2f,"sec":$t%.1f}""")
+      } finally s.conf.unset("spark.graft.pq.rerank")
+    }
+    LlmOps.release(s)
   }
 
   /** `clique` — the cluster step on the DENSEST plausible pair graph:
@@ -350,6 +388,7 @@ object Scale {
       case "hub"       => hub(s)
       case "ann"       => ann(s)
       case "clique"    => clique(s)
+      case "pqsweep"   => pqsweep(s)
       case "ingest"    => ingest(s)
       case other       => sys.error(s"unknown mode $other")
     }

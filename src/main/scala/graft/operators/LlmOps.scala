@@ -35,6 +35,7 @@ object LlmOps {
   private def vectors(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s)
     graft.functions.IvfTop.register(s)
+    graft.functions.PqKernels.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -224,10 +225,11 @@ object LlmOps {
         c.remove(k).foreach(_.invalidate())
       }
     }
-    // the IVF model cache too (plain values, nothing to unpersist):
-    // Bench releases between passes so pass 2 still pays (and therefore
-    // measures) quantizer training
+    // the IVF + PQ model caches too (plain values, nothing to
+    // unpersist): Bench releases between passes so pass 2 still pays
+    // (and therefore measures) quantizer training
     ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
+    pqCache.keys.filter(_._1 == key).foreach(pqCache.remove)
   }
 
   /** documents as distinct word-3-shingle sets (the unit of near-dup
@@ -938,6 +940,64 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // IVF-PQ ANN (§2.10 q7S) — q7G's coarse quantizer + product-
+    // quantized RESIDUALS (IVF-ADC, Jégou/Douze/Schmid TPAMI 2011): the
+    // serving index stores each vector as its IVF cell + m SMALL-INT
+    // residual codes + the exact norm instead of dim floats — the 100 TB
+    // memory/IO story (64 doubles → 8 codes: the candidate join shuffles
+    // ~1/32 the bytes). Probing is q7G's in-row kernel; candidates meet
+    // by EQUI-join on cell id and rank by dot(q, centroid) — exact, one
+    // per probed cell — plus the codegen'd asymmetric-distance kernel
+    // over the residual codes (norms exact; only the residual term is
+    // approximate). The top-R shortlist alone refetches full vectors
+    // (broadcast of |q|·R rows against the corpus scan) for the exact-
+    // cosine rerank, so reported sims are EXACT and approximation
+    // affects only which candidates get reranked. Centroid/codebook-
+    // specific → rows-only check; recall + sim-exactness vs the brute-
+    // force 5-NN in AnnSpec, kernel parity in KernelSpec.
+    "q7S_ann_ivfpq" -> ((s, d) => {
+      val v = vectors(s, d)
+      val (cents, _) = ivfModel(s, d)
+      val pq = pqModel(s, d)
+      val cbLit = typedLit(pq.cb)
+      val centsLit = typedLit(cents.map(_.ce))
+      val index = pqIndex(s, d)
+      val probes = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nsq").as("qn"),
+          explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
+        .select(col("q_id"), col("qe"), col("qn"),
+          cidOfIdx(cents, col("pidx")).as("cid"),
+          call_function("graft_dot", col("qe"),
+            element_at(centsLit, col("pidx") + 1)).as("qdotc"))
+      val wA = Window.partitionBy(col("q_id"))
+        .orderBy(col("asim").desc, col("n_id"))
+      // each candidate lives in exactly one cell (q7G's argument), so no
+      // distinct; ADC sims are deterministic → rank ties break on n_id.
+      // dot(q, x) = dot(q, c_cell) + dot(q, residual) — the first term
+      // is exact per (query, cell), the second is the ADC approximation
+      val short = probes.join(index, "cid")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("asim",
+          (col("qdotc") +
+            call_function("graft_pq_adc", col("qe"), col("codes"), cbLit)) /
+            sqrt(col("qn") * col("nn")))
+        .withColumn("ar", row_number().over(wA))
+        .filter(col("ar") <= pqRerank(s, cents.size))
+        .select("q_id", "qe", "qn", "n_id")
+      val exact = v.select(col("vec_id").as("n_id"),
+        col("e").as("ne"), col("nsq").as("nn"))
+      val w5 = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      broadcast(short).join(exact, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine("qe", "ne", "qn", "nn").as("sim"))
+        .withColumn("rn", row_number().over(w5))
+        .filter(col("rn") <= 5)
+        .select("q_id", "n_id", "sim", "rn")
+        .orderBy("q_id", "rn")
+    }),
+
     // deterministic train/val/test split (§2.10 q7J) — every training
     // pipeline's first op after dedup. The bucket comes from an
     // engine-portable LCG on doc_id (NOT xxhash64: the oracle engine must
@@ -1309,6 +1369,32 @@ object LlmOps {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int), Seq[IvfCent]]
 
+  /** Training input under the sample budget: `(corpus size n, training
+    * frame)`. The LIMIT-probe avoids a full-corpus count in the
+    * within-budget case (see the ivfModel comment above the call site);
+    * over budget, the kept rows are the first `sampleLimit/n` fraction
+    * of q7J's engine-portable 31-bit LCG key space (expected sample size
+    * ≈ sampleLimit; exact size is irrelevant to training). Shared by the
+    * IVF coarse quantizer and the q7S PQ subquantizers so both train
+    * under the same budget policy.
+    */
+  private def trainCorpus(v: DataFrame, sampleLimit: Long): (Long, DataFrame) = {
+    val probeN =
+      if (sampleLimit >= Int.MaxValue) v.select("vec_id").count()
+      else v.select("vec_id").limit(sampleLimit.toInt + 1).count()
+    val within = probeN <= sampleLimit
+    val n = if (within) probeN else v.select("vec_id").count()
+    val train =
+      if (within) v
+      else {
+        val cut = math.max(1L,
+          (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
+        v.filter(expr("pmod(pmod(vec_id, 2147483648) * 1103515245 + 12345," +
+          s" 2147483648) < ${cut}L"))
+      }
+    (n, train)
+  }
+
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
     def index(cents: Seq[IvfCent]): DataFrame =
@@ -1355,26 +1441,11 @@ object LlmOps {
     // genuinely over-budget corpus pays the full count that sizes the
     // sampling fraction and auto-K — there, training itself dwarfs it.
     // The SERVING index below always assigns the full corpus.
-    val probeN =
-      if (sampleLimit >= Int.MaxValue) v.select("vec_id").count()
-      else v.select("vec_id").limit(sampleLimit.toInt + 1).count()
-    val within = probeN <= sampleLimit
-    val n = if (within) probeN else v.select("vec_id").count()
+    val (n, train) = trainCorpus(v, sampleLimit)
     val k = math.max(1L, math.min(n,
       if (kConf > 0) kConf.toLong
       else math.min(maxK.toLong,
         math.max(4L, math.round(math.sqrt(n.toDouble)))))).toInt
-    val train =
-      if (within) v
-      else {
-        // keep rows whose 31-bit LCG key falls in the first
-        // sampleLimit/n fraction of the key space (expected sample size
-        // ≈ sampleLimit; exact size is irrelevant to training)
-        val cut = math.max(1L,
-          (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
-        v.filter(expr("pmod(pmod(vec_id, 2147483648) * 1103515245 + 12345," +
-          s" 2147483648) < ${cut}L"))
-      }
     // seeds: the K smallest xxhash64(vec_id) vectors of the TRAINING
     // set — deterministic, data-independent spread; metadata-scale
     // collect (K rows)
@@ -1398,6 +1469,172 @@ object LlmOps {
     }
     ivfCache.put(cacheKey, cents)
     (cents, index(cents))
+  }
+
+  /** q7S's product-quantization model: `cb` holds the `m·ks` codewords
+    * flattened (codeword `j` of subspace `mi` at index `mi·ks + j`, each
+    * of `dim/m` doubles), `cnsq` their squared norms — the driver-resident
+    * literal shape both PQ kernels take.
+    */
+  case class PqModel(m: Int, ks: Int,
+      cb: Seq[Seq[Double]], cnsq: Seq[Double])
+
+  private val PqLloydSteps = 2
+  /** Exact-rerank shortlist size per query (q7S,
+    * `spark.graft.pq.rerank`, 0 = auto): the top-R by approximate ADC
+    * cosine refetch full vectors for the exact pass. R is the PQ
+    * recall/cost dial — quantization noise reorders candidates whose
+    * true sims are close, so recall@5 rises with R (measured on the 10×
+    * clustered Scale corpus: 0.32/0.44/0.58/0.76 at R=32/64/128/256)
+    * while the query-side wall stays flat and the refetch join's build
+    * side stays a metadata-scale |queries|·R rows. Auto picks
+    * `clamp(64, K, 1024)` — with the data-driven K ≈ √n the average
+    * cell holds ≈ n/K ≈ K vectors, so auto-R reranks about one cell's
+    * worth of candidates and GROWS with the corpus like the cells do.
+    */
+  private def pqRerank(s: SparkSession, k: Int): Int = {
+    val r = s.conf.get("spark.graft.pq.rerank", "0").toInt
+    require(r == 0 || r >= 5,
+      s"spark.graft.pq.rerank must be 0 (auto) or >= 5, got $r")
+    if (r > 0) r else math.max(64, math.min(1024, k))
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, String, Long, Int, Int, Int, Int, Int), PqModel]
+
+  /** The IVF-ADC residual column: `e − cents(pidx)` through the
+    * codegen'd `graft_vec_sub` kernel, where `pidx` is the row's
+    * already-computed nearest-cell 0-based INDEX. Shared by PQ training,
+    * the q7S serving index, and AnnSpec so every consumer quantizes the
+    * same vector.
+    */
+  private[graft] def residCol(cents: Seq[IvfCent], e: Column,
+      pidx: Column): Column =
+    call_function("graft_vec_sub", e,
+      element_at(typedLit(cents.map(_.ce)), pidx + 1))
+
+  /** Trains the q7S product quantizer (Jégou/Douze/Schmid, TPAMI 2011)
+    * on coarse-cell RESIDUALS — the paper's IVF-ADC scheme. Quantizing
+    * raw vectors fails on clustered data: cell-mates share their cell
+    * center, so global codewords spend their resolution separating
+    * CELLS (which the coarse index already separates exactly) while the
+    * within-cell differences that decide the top-k drown in quantization
+    * error — measured recall@5 collapsed to 0.08 on the 10× clustered
+    * Scale corpus before the residual change (vs q7G's 1.00). Residuals
+    * are centered near zero, so the one shared codebook set spends all
+    * its resolution on exactly the within-cell structure the shortlist
+    * ranking needs.
+    *
+    * The residual splits into `spark.graft.pq.m` contiguous subspaces,
+    * each with its own `ks`-codeword codebook trained by the SAME
+    * deterministic seed + Lloyd recipe as the IVF coarse quantizer —
+    * seeds are the `ks` smallest-xxhash64 training vectors' residual
+    * subslices, then `PqLloydSteps` refinements where assignment is the
+    * in-row codegen'd `graft_pq_enc` against the driver-resident
+    * codebooks and the update is ONE corpus scan feeding a map-side
+    * partially aggregated `(subspace, code, dim)` mean — `ks·dim`
+    * groups, metadata-scale. `ks` is data-driven ≈√n like the IVF K
+    * (capped by `spark.graft.pq.maxKs`, default 256 = byte codes, pinned
+    * by `spark.graft.pq.ks` for reproducibility), and training reuses
+    * the IVF sample budget ([[trainCorpus]]). An empty `(mi, j)` cell
+    * keeps its previous codeword (harmless: never nearest, never chosen).
+    */
+  def pqModel(s: SparkSession, d: String): PqModel = {
+    val v = vectors(s, d)
+    // m=8: 8-dim residual subvectors on the 64-dim fixture, 8 codes per
+    // vector — the classic FAISS-style PQ8 shape, and the measured best
+    // among {2,4,8,16} on recall-per-byte (see AnnSpec's pinned floor)
+    val mConf = s.conf.get("spark.graft.pq.m", "8").toInt
+    val ksConf = s.conf.get("spark.graft.pq.ks", "0").toInt
+    val maxKs = s.conf.get("spark.graft.pq.maxKs", "256").toInt
+    require(mConf > 0, s"spark.graft.pq.m must be positive, got $mConf")
+    require(ksConf >= 0,
+      s"spark.graft.pq.ks must be >= 0 (0 = auto), got $ksConf")
+    require(maxKs > 1, s"spark.graft.pq.maxKs must be > 1, got $maxKs")
+    val sampleLimit =
+      s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
+    require(sampleLimit > 0,
+      s"spark.graft.ivf.trainSampleLimit must be positive, got $sampleLimit")
+    // the residuals (and so the codebooks) depend on the coarse model:
+    // every conf the IVF cache keys on joins the PQ cache key too, so a
+    // session that retunes the coarse quantizer retrains the PQ
+    val ivfK = s.conf.get("spark.graft.ivf.k", "0").toInt
+    val ivfMaxK = s.conf.get("spark.graft.ivf.maxK", "4096").toInt
+    val cacheKey =
+      (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs, ivfK, ivfMaxK)
+    val cached = pqCache.get(cacheKey)
+    if (cached.isDefined) return cached.get
+    val (cents, _) = ivfModel(s, d)
+    val (n, raw) = trainCorpus(v, sampleLimit)
+    // IVF-ADC: quantize the residual vs the row's coarse centroid, not
+    // the raw vector (see the scaladoc for the measured collapse)
+    val train = raw.select(col("vec_id"),
+      residCol(cents, col("e"),
+        ivfTopIdx(cents, col("e"), 1).getItem(0)).as("e"))
+    val ks = math.max(2L, math.min(n,
+      if (ksConf > 0) ksConf.toLong
+      else math.min(maxKs.toLong,
+        math.max(8L, math.round(math.sqrt(n.toDouble)))))).toInt
+    // dim from one row (LIMIT 1 driver action); subspaces must tile it
+    val dim = train.select(size(col("e"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(sys.error(s"pqModel: no vectors under $d"))
+    require(dim % mConf == 0,
+      s"spark.graft.pq.m=$mConf must divide the embedding dim $dim")
+    val sub = dim / mConf
+    val seeds = train.select(col("vec_id"), col("e"))
+      .withColumn("h", expr("xxhash64(vec_id)"))
+      .orderBy("h", "vec_id").limit(ks)
+      .collect().map(_.getSeq[Double](1))
+    var cb: Array[Array[Double]] = Array.tabulate(mConf * ks) { i =>
+      val (mi, j) = (i / ks, i % ks)
+      // fewer training rows than ks (tiny fixture): reuse seeds cyclically
+      seeds(j % seeds.length).slice(mi * sub, (mi + 1) * sub).toArray
+    }
+    for (_ <- 1 to PqLloydSteps) {
+      val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+      val cnsqLit = typedLit(cb.map(_.map(x => x * x).sum).toSeq)
+      val means = train
+        .select(col("e"), posexplode(call_function("graft_pq_enc",
+          col("e"), cbLit, cnsqLit, lit(ks))).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          posexplode(expr(s"slice(e, mi * $sub + 1, $sub)")).as(Seq("dim", "x")))
+        .groupBy("mi", "code", "dim").agg(avg("x").as("mu"))
+        .collect()
+      val next = cb.map(_.clone())
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((mi, j), rows) =>
+          val w = new Array[Double](sub)
+          rows.foreach(r => w(r.getInt(2)) = r.getDouble(3))
+          next(mi * ks + j) = w
+      }
+      cb = next
+    }
+    val model = PqModel(mConf, ks,
+      cb.map(_.toSeq).toSeq, cb.map(_.map(x => x * x).sum).toSeq)
+    pqCache.put(cacheKey, model)
+    model
+  }
+
+  /** q7S's compressed serving index: one row per corpus vector —
+    * `(cid, n_id, codes, nn)`, where `codes` quantizes the row's
+    * IVF-ADC residual and `nn` is the EXACT squared norm (the sim
+    * denominator is never approximated). The assignment `pidx` is
+    * computed once and feeds both the cell id and the residual. Shared
+    * with AnnSpec so the well-formedness pins cover the registry path's
+    * own encoding.
+    */
+  private[graft] def pqIndex(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val (cents, _) = ivfModel(s, d)
+    val pq = pqModel(s, d)
+    v.select(col("vec_id").as("n_id"), col("nsq").as("nn"), col("e"),
+        ivfTopIdx(cents, col("e"), 1).getItem(0).as("pidx"))
+      .select(col("n_id"), col("nn"),
+        cidOfIdx(cents, col("pidx")).as("cid"),
+        call_function("graft_pq_enc",
+          residCol(cents, col("e"), col("pidx")),
+          typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -146,6 +146,53 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("q7S IVF-PQ reported similarities are exact and per-query ranks are dense") {
+    // the exact rerank refetches full vectors for the ADC shortlist, so
+    // approximation decides WHICH candidates are reranked, never the
+    // reported numbers
+    val out = SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        val want = cosine(vecs(q), vecs(r.getLong(1)))
+        assert(r.getDouble(2) == want, s"q=$q n=${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("q7S IVF-PQ recall@5 vs exact 5-NN holds its measured floor") {
+    // same probed cells as q7G, candidates ranked by residual PQ codes
+    // instead of full vectors, exact rerank of the auto-R shortlist —
+    // measured 0.56 on this fixture at m=8 (vs q7G's 0.52 with
+    // full-vector ranking), so the 32× candidate compression costs
+    // nothing here. Deterministic regression pin: a halving fails
+    // loudly.
+    val avg = avgRecall("q7S_ann_ivfpq")
+    assert(avg >= 0.45, s"avg recall@5 = $avg (measured 0.56 at pin time)")
+  }
+
+  test("q7S PQ model: data-driven ks, codes tile the embedding, every code in range") {
+    val pq = graft.operators.LlmOps.pqModel(spark, sf0001)
+    val n = vecs.size
+    val wantKs = math.round(math.sqrt(n.toDouble)).toInt
+    assert(math.abs(pq.ks - wantKs) <= wantKs / 4,
+      s"auto ks = ${pq.ks}, expected ≈√$n = $wantKs")
+    assert(pq.cb.size == pq.m * pq.ks)
+    val dim = vecs.values.head.length
+    assert(pq.cb.forall(_.size == dim / pq.m))
+    // the registry path's own serving index (residual encoding included):
+    // compressed rows must be well-formed
+    val codes = graft.operators.LlmOps.pqIndex(spark, sf0001)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == pq.m && c.forall(j => j >= 0 && j < pq.ks)))
+    // the quantizer must actually discriminate: more than one distinct
+    // code used per subspace on a 500-vector corpus
+    (0 until pq.m).foreach { mi =>
+      assert(codes.map(_(mi)).distinct.size > 1, s"subspace $mi collapsed")
+    }
+  }
+
   test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
     val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
       .collect().map(_.getLong(0)).toSet

@@ -42,13 +42,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_isect_ge_sorted(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS ge,
           |  graft_ivf_top(array(1.0D, 0.0D),
           |                array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
-          |                array(1.0D, 1.0D), 1) AS top
+          |                array(1.0D, 1.0D), 1) AS top,
+          |  graft_pq_enc(array(1.0D, 0.0D),
+          |               array(array(1.0D), array(0.0D), array(0.0D), array(1.0D)),
+          |               array(1.0D, 0.0D, 0.0D, 1.0D), 2) AS codes,
+          |  graft_pq_adc(array(1.0D, 2.0D), array(0, 1),
+          |               array(array(3.0D), array(4.0D), array(5.0D), array(6.0D))) AS adc,
+          |  graft_vec_sub(array(5.0D, 3.0D), array(2.0D, 4.0D)) AS vsub
           |""".stripMargin).head()
       assert(row.getDouble(0) == 32.0)
       assert(row.getInt(1) == graft.functions.MinHash.K)
       assert(row.getInt(2) == 2)
       assert(row.getInt(3) == 2) // jac = 2/4 ≥ 1/2 → the exact |∩|
       assert(row.getSeq[Int](4) == Seq(0))
+      // m=2, ks=2, sub=1: both subspaces pick their distance-0 codeword
+      assert(row.getSeq[Int](5) == Seq(0, 0))
+      assert(row.getDouble(6) == 1.0 * 3.0 + 2.0 * 6.0)
+      assert(row.getSeq[Double](7) == Seq(3.0, -1.0))
     }
   }
 
@@ -60,6 +70,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.functions.DotProduct.register(s)
     graft.functions.SortedIntersect.register(s)
     graft.functions.IvfTop.register(s)
+    graft.functions.PqKernels.register(s)
     val sessionRegistered = s.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val injected = GraftExtensions.kernels.map(_._1).toSet

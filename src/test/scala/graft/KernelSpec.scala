@@ -265,6 +265,101 @@ class KernelSpec extends AnyFunSuite {
     assert(out(3).getInt(0) == -1)
   }
 
+  test("graft_pq_enc picks the L2-nearest subspace codeword; ties toward the smaller index") {
+    graft.functions.PqKernels.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val mCount = 4; val ks = 7; val sub = 4; val dim = mCount * sub
+    val cb = Seq.fill(mCount * ks)(Seq.fill(sub)(rnd.nextGaussian()))
+    val cnsq = cb.map(c => refDot(c, c))
+    // reference mirrors the kernel's algebra exactly — argmax of
+    // (dot − ‖c‖²/2), first max wins — so FP rounding cannot diverge
+    def enc(e: Seq[Double]): Seq[Int] =
+      (0 until mCount).map { mi =>
+        val s = e.slice(mi * sub, (mi + 1) * sub)
+        var best = Double.NegativeInfinity; var bestJ = 0
+        for (j <- 0 until ks) {
+          val score = refDot(s, cb(mi * ks + j)) - 0.5 * cnsq(mi * ks + j)
+          if (java.lang.Double.compare(score, best) > 0) { best = score; bestJ = j }
+        }
+        bestJ
+      }
+    val rows = (0 until 100).map { _ =>
+      val e = Seq.fill(dim)(rnd.nextGaussian() * 3)
+      (e, enc(e))
+    }
+    rows.toDF("e", "want")
+      .withColumn("got", call_function("graft_pq_enc",
+        col("e"), typedLit(cb), typedLit(cnsq), lit(ks)))
+      .collect().foreach { r =>
+        assert(r.getSeq[Int](2) == r.getSeq[Int](1))
+        // brute-force L2 cross-check on the first subspace (the algebra
+        // IS the L2 argmin, not just self-consistent)
+        val e = r.getSeq[Double](0)
+        val gotJ = r.getSeq[Int](2).head
+        val d2 = (j: Int) => e.take(sub).zip(cb(j))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        assert((0 until ks).forall(j => d2(gotJ) <= d2(j) + 1e-9))
+      }
+    // a DUPLICATED codeword forces an exact tie → smaller index wins.
+    // The probe's first subspace IS codeword 1, so the winner is
+    // provably in {1, 3} (score = (‖e‖² − ‖e−c‖²)/2 is uniquely
+    // maximal at distance 0) and the tie rule decides
+    val dupCb = cb.updated(3, cb(1)) // subspace 0: codeword 3 := codeword 1
+    val eTie = cb(1) ++ rows.head._1.drop(sub)
+    val tied = Seq((eTie, 0)).toDF("e", "z")
+      .withColumn("got", call_function("graft_pq_enc",
+        col("e"), typedLit(dupCb),
+        typedLit(dupCb.map(c => refDot(c, c))), lit(ks)))
+      .collect().head.getSeq[Int](2)
+    assert(tied.head == 1,
+      s"tie must break toward the smaller duplicate index: $tied")
+  }
+
+  test("graft_vec_sub equals element-wise difference over the common prefix") {
+    graft.functions.PqKernels.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 60).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      val a = Seq.fill(n)(rnd.nextGaussian() * 3)
+      val b = Seq.fill(n)(rnd.nextGaussian() * 3)
+      (a, b, a.zip(b).map { case (x, y) => x - y })
+    }
+    rows.toDF("a", "b", "want")
+      .withColumn("got", call_function("graft_vec_sub", col("a"), col("b")))
+      .collect().foreach(r =>
+        assert(r.getSeq[Double](3) == r.getSeq[Double](2)))
+    // length mismatch → common prefix (the graft_dot convention)
+    val mis = Seq((Seq(1.0, 2.0, 9.0), Seq(0.5, 1.0), 0))
+      .toDF("a", "b", "z")
+      .withColumn("got", call_function("graft_vec_sub", col("a"), col("b")))
+      .collect().head.getSeq[Double](3)
+    assert(mis == Seq(0.5, 1.0))
+  }
+
+  test("graft_pq_adc equals the reference accumulation over selected codewords") {
+    graft.functions.PqKernels.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val mCount = 4; val ks = 5; val sub = 4; val dim = mCount * sub
+    val cb = Seq.fill(mCount * ks)(Seq.fill(sub)(rnd.nextGaussian()))
+    val rows = (0 until 80).map { _ =>
+      val qe = Seq.fill(dim)(rnd.nextGaussian() * 2)
+      val codes = Seq.fill(mCount)(rnd.nextInt(ks))
+      // one running accumulator in the kernel's exact term order — FP
+      // equality must be bit-for-bit
+      var want = 0.0
+      for (mi <- 0 until mCount; t <- 0 until sub)
+        want += qe(mi * sub + t) * cb(mi * ks + codes(mi))(t)
+      (qe, codes, want)
+    }
+    rows.toDF("qe", "codes", "want")
+      .withColumn("got",
+        call_function("graft_pq_adc", col("qe"), col("codes"), typedLit(cb)))
+      .collect().foreach(r => assert(r.getDouble(3) == r.getDouble(2)))
+  }
+
   test("interpreted eval matches codegen path") {
     // nullSafeEval is exercised directly (the non-codegen fallback)
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashjoin") || p.contains("HashJoin"), p)
   }
 
+  test("q7S: IVF-PQ candidates meet on a cell-id equi-join; the exact " +
+    "rerank broadcasts the shortlist — no cartesian, no nested loop") {
+    val p = plan("q7S_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the |queries|·R shortlist is the BUILD side against the corpus scan
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q7N: df annotation is broadcast; candidates meet on an equi-join, " +
     "never a cartesian") {
     val p = plan("q7N_dedup_jaccard")
