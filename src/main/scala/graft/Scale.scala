@@ -242,7 +242,9 @@ object Scale {
       val (rC, tC) = recallOf("q7C_ann_simhash")
       val (rG, tG) = recallOf("q7G_ann_ivf")
       val (rS, tS) = recallOf("q7S_ann_ivfpq")
-      val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7G run
+      val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7S run
+      // (recallOf released before q7S, which retrained both models —
+      // training is deterministic, so this is the same model q7G used)
       val nprobe = LlmOps.ivfNProbe(k)
       val pq = LlmOps.pqModel(s, dir) // cached from the q7S run
       println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
@@ -266,6 +268,8 @@ object Scale {
     */
   private def pqsweep(s: SparkSession): Unit = {
     val (dir, truth) = annCorpus(s, 50000)
+    LlmOps.pqModel(s, dir) // warm coarse+PQ models UNtimed: every point
+    // below is then pure query-side cost, including the first
     for (r <- Seq(32, 64, 128, 256)) {
       s.conf.set("spark.graft.pq.rerank", r.toString)
       try {

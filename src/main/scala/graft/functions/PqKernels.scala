@@ -117,7 +117,12 @@ case class PqEncode(first: Expression, second: Expression,
     val e = eAny.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
     val cnsq = cnsqAny.asInstanceOf[ArrayData]
-    val ks = ksAny.asInstanceOf[Int]
+    // this is cluster-injected SQL surface: clamp degenerate ks into
+    // [1, |cb|] (the IvfTop p = min(p, k) convention) and return an
+    // empty code array for an empty codebook, never a raw
+    // ArithmeticException out of a query
+    if (cb.numElements() == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])
+    val ks = math.min(math.max(ksAny.asInstanceOf[Int], 1), cb.numElements())
     val mCount = cb.numElements() / ks
     val sub = e.numElements() / mCount
     val codes = new Array[Int](mCount)
@@ -158,9 +163,11 @@ case class PqEncode(first: Expression, second: Expression,
       val t = ctx.freshName("t")
       val score = ctx.freshName("score")
       s"""
-         |final int $ks = $ksIn;
+         |final int $ks = java.lang.Math.min(
+         |  java.lang.Math.max($ksIn, 1),
+         |  java.lang.Math.max($cb.numElements(), 1));
          |final int $mCount = $cb.numElements() / $ks;
-         |final int $sub = $e.numElements() / $mCount;
+         |final int $sub = $mCount == 0 ? 0 : $e.numElements() / $mCount;
          |final int[] $codes = new int[$mCount];
          |for (int $m = 0; $m < $mCount; $m++) {
          |  double $best = java.lang.Double.NEGATIVE_INFINITY;
@@ -219,6 +226,9 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
     val codes = codesAny.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
     val mCount = codes.numElements()
+    // cluster-injected SQL surface: an empty code array or codebook is
+    // a zero-term sum, not an ArithmeticException
+    if (mCount == 0 || cb.numElements() == 0) return 0.0
     val ks = cb.numElements() / mCount
     val sub = qe.numElements() / mCount
     var adc = 0.0
@@ -245,10 +255,10 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
       val t = ctx.freshName("t")
       s"""
          |final int $mCount = $codes.numElements();
-         |final int $ks = $cb.numElements() / $mCount;
-         |final int $sub = $qe.numElements() / $mCount;
+         |final int $ks = $mCount == 0 ? 0 : $cb.numElements() / $mCount;
+         |final int $sub = $mCount == 0 ? 0 : $qe.numElements() / $mCount;
          |double $adc = 0.0;
-         |for (int $m = 0; $m < $mCount; $m++) {
+         |for (int $m = 0; $m < $mCount && $cb.numElements() > 0; $m++) {
          |  final org.apache.spark.sql.catalyst.util.ArrayData $c =
          |    $cb.getArray($m * $ks + $codes.getInt($m));
          |  final int $dim = java.lang.Math.min($sub, $c.numElements());

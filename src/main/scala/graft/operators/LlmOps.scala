@@ -230,6 +230,7 @@ object LlmOps {
     // (and therefore measures) quantizer training
     ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
     pqCache.keys.filter(_._1 == key).foreach(pqCache.remove)
+    trainNCache.keys.filter(_._1 == key).foreach(trainNCache.remove)
   }
 
   /** documents as distinct word-3-shingle sets (the unit of near-dup
@@ -1378,14 +1379,23 @@ object LlmOps {
     * IVF coarse quantizer and the q7S PQ subquantizers so both train
     * under the same budget policy.
     */
-  private def trainCorpus(v: DataFrame, sampleLimit: Long): (Long, DataFrame) = {
-    val probeN =
-      if (sampleLimit >= Int.MaxValue) v.select("vec_id").count()
-      else v.select("vec_id").limit(sampleLimit.toInt + 1).count()
-    val within = probeN <= sampleLimit
-    val n = if (within) probeN else v.select("vec_id").count()
+  /** The probe is 1–2 driver-blocking jobs; memoized per (session, dir,
+    * budget) so a cold q7S build (coarse model, then PQ model, same
+    * budget) pays it once, not twice. Cleared in [[release]].
+    */
+  private val trainNCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Long), Long]
+
+  private def trainCorpus(s: SparkSession, d: String, v: DataFrame,
+      sampleLimit: Long): (Long, DataFrame) = {
+    val n = trainNCache.getOrElseUpdate((sessionKey(s), d, sampleLimit), {
+      val probeN =
+        if (sampleLimit >= Int.MaxValue) v.select("vec_id").count()
+        else v.select("vec_id").limit(sampleLimit.toInt + 1).count()
+      if (probeN <= sampleLimit) probeN else v.select("vec_id").count()
+    })
     val train =
-      if (within) v
+      if (n <= sampleLimit) v
       else {
         val cut = math.max(1L,
           (BigInt(sampleLimit) * 2147483648L / BigInt(n)).toLong)
@@ -1441,7 +1451,7 @@ object LlmOps {
     // genuinely over-budget corpus pays the full count that sizes the
     // sampling fraction and auto-K — there, training itself dwarfs it.
     // The SERVING index below always assigns the full corpus.
-    val (n, train) = trainCorpus(v, sampleLimit)
+    val (n, train) = trainCorpus(s, d, v, sampleLimit)
     val k = math.max(1L, math.min(n,
       if (kConf > 0) kConf.toLong
       else math.min(maxK.toLong,
@@ -1565,7 +1575,7 @@ object LlmOps {
     val cached = pqCache.get(cacheKey)
     if (cached.isDefined) return cached.get
     val (cents, _) = ivfModel(s, d)
-    val (n, raw) = trainCorpus(v, sampleLimit)
+    val (n, raw) = trainCorpus(s, d, v, sampleLimit)
     // IVF-ADC: quantize the residual vs the row's coarse centroid, not
     // the raw vector (see the scaladoc for the measured collapse)
     val train = raw.select(col("vec_id"),
@@ -1575,9 +1585,9 @@ object LlmOps {
       if (ksConf > 0) ksConf.toLong
       else math.min(maxKs.toLong,
         math.max(8L, math.round(math.sqrt(n.toDouble)))))).toInt
-    // dim from one row (LIMIT 1 driver action); subspaces must tile it
-    val dim = train.select(size(col("e"))).limit(1)
-      .collect().headOption.map(_.getInt(0))
+    // dim comes free from the coarse model already on the driver (a
+    // centroid IS a corpus vector's shape) — no extra LIMIT-1 job
+    val dim = cents.headOption.map(_.ce.size)
       .getOrElse(sys.error(s"pqModel: no vectors under $d"))
     require(dim % mConf == 0,
       s"spark.graft.pq.m=$mConf must divide the embedding dim $dim")
