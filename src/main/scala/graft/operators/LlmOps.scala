@@ -1634,17 +1634,30 @@ object LlmOps {
     * with AnnSpec so the well-formedness pins cover the registry path's
     * own encoding.
     */
+  /** The IVF-PQ encode projection over ANY `(vec_id, e, nsq)` frame —
+    * one stateless in-row pass (nearest cell → residual → codes), so it
+    * runs identically on a static read or a STREAM (S15's index
+    * maintenance). Caller must have the kernels registered
+    * ([[graft.functions.PqKernels.register]] etc. — [[vectors]] does).
+    */
+  private[graft] def pqEncodeRows(df: DataFrame,
+      cents: Seq[IvfCent], pq: PqModel): DataFrame =
+    df.select(col("vec_id"), col("nsq"), col("e"),
+        ivfTopIdx(cents, col("e"), 1).getItem(0).as("pidx"))
+      .select(col("vec_id"),
+        cidOfIdx(cents, col("pidx")).as("cid"),
+        call_function("graft_pq_enc",
+          residCol(cents, col("e"), col("pidx")),
+          typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"),
+        col("nsq"))
+
   private[graft] def pqIndex(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val (cents, _) = ivfModel(s, d)
     val pq = pqModel(s, d)
-    v.select(col("vec_id").as("n_id"), col("nsq").as("nn"), col("e"),
-        ivfTopIdx(cents, col("e"), 1).getItem(0).as("pidx"))
-      .select(col("n_id"), col("nn"),
-        cidOfIdx(cents, col("pidx")).as("cid"),
-        call_function("graft_pq_enc",
-          residCol(cents, col("e"), col("pidx")),
-          typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"))
+    pqEncodeRows(v, cents, pq)
+      .select(col("cid"), col("vec_id").as("n_id"),
+        col("codes"), col("nsq").as("nn"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.LlmOps
+
+/** S15 — STREAMING vector-index maintenance: arriving embeddings are
+  * IVF-PQ-encoded per-row and MERGEd into the `vec_index` registry, so
+  * the q7S serving index stays fresh at ARRIVAL time instead of waiting
+  * for a batch rebuild of the lake.
+  *
+  * The whole transform is stateless — the S14 pattern applied to q7S's
+  * models: the coarse centroids and PQ codebooks are batch-trained,
+  * driver-resident literals (the MLlib-KMeans model shape), so encoding
+  * is one in-row pass through the codegen'd kernels (`graft_ivf_top` →
+  * `graft_vec_sub` → `graft_pq_enc`) with no state, no shuffle, and no
+  * watermark coupling. Stream ≡ batch by construction, pinned anyway in
+  * VecIngestSpec.
+  *
+  * The 8 codes bit-pack into ONE BIGINT (`codes_packed`, big-endian by
+  * subspace: code `i` in bits `8·(m−1−i)…`): Derby has no array type,
+  * and a real serving index stores exactly this — m bytes per vector,
+  * the q7S compression made literal in the sink schema. Packing
+  * requires `m ≤ 8` and `ks ≤ 256` (the conf defaults; a wider model
+  * needs a wider registry schema, enforced loudly here).
+  *
+  * Declared trade (the S13-horizon argument's model-drift twin): the
+  * stream encodes with the models as of attach time. Vectors from a
+  * distribution the quantizers never saw still land in their nearest
+  * cell — recall degrades gracefully, correctness never breaks (the
+  * rerank is exact) — and a periodic batch retrain + re-encode of the
+  * lake (q7S's own build) refreshes the registry.
+  */
+object VecIngest {
+
+  val TABLE = "vec_index"
+
+  /** One BIGINT per vector: codes packed big-endian by subspace. */
+  private def packCodes(codes: org.apache.spark.sql.Column) =
+    aggregate(codes, lit(0L), (acc, c) => acc * lit(256L) + c)
+
+  /** The per-row encode projection over a `(vec_id, embedding)` frame
+    * (float or double array): `(vec_id, cid, codes_packed, nsq)`.
+    * Identical code path for a static or streaming input.
+    */
+  def encoded(vecs: DataFrame, cents: Seq[LlmOps.IvfCent],
+      pq: LlmOps.PqModel): DataFrame = {
+    require(pq.m <= 8 && pq.ks <= 256,
+      s"vec_index packs codes into one BIGINT: needs m <= 8 and ks <= 256, " +
+        s"got m=${pq.m} ks=${pq.ks}")
+    val s = vecs.sparkSession
+    graft.functions.DotProduct.register(s)
+    graft.functions.IvfTop.register(s)
+    graft.functions.PqKernels.register(s)
+    val prepped = vecs
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("nsq", expr("graft_dot(e, e)"))
+      .select("vec_id", "e", "nsq")
+    LlmOps.pqEncodeRows(prepped, cents, pq)
+      .select(col("vec_id"), col("cid"),
+        packCodes(col("codes")).as("codes_packed"), col("nsq"))
+  }
+
+  /** Wires the streaming MERGE: models train in BATCH from the lake at
+    * `d` (cached per session like every q7G/q7S consumer), the stream
+    * encodes per-row and upserts keyed by `vec_id` — replay-safe
+    * through the idempotent MERGE (the S7/S8 argument).
+    */
+  def attach(vecs: DataFrame, url: String, ckpt: String,
+      s: SparkSession, d: String): StreamingQuery = {
+    val (cents, _) = LlmOps.ivfModel(s, d)
+    val pq = LlmOps.pqModel(s, d)
+    DerbySink.attachAs(encoded(vecs, cents, pq), url, TABLE, "vec_id", ckpt)
+      .start()
+  }
+}

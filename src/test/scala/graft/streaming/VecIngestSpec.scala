@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase._
+import graft.operators.LlmOps
+
+/** S15: the streamed vec_index registry must equal q7S's batch serving
+  * index row-for-row (cell id, bit-packed residual codes, exact norm) —
+  * THROUGH the Derby MERGE table, so the replay machinery is in the
+  * loop — because the encode is stateless and both paths share
+  * LlmOps.pqEncodeRows and the same driver-resident models.
+  */
+class VecIngestSpec extends AnyFunSuite {
+
+  /** The sf0.001 embeddings staged as 4 time-ordered parquet chunks. */
+  private def stageVecs(dir: String, chunks: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("vec_id"))
+    val bucketed = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__bucket", ntile(chunks).over(w))
+      .cache()
+    try (1 to chunks).foreach { b =>
+      bucketed.filter(col("__bucket") === b).drop("__bucket")
+        .coalesce(1).write.mode("append").parquet(dir)
+    } finally bucketed.unpersist()
+  }
+
+  private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private def readVecs(dir: String): DataFrame =
+    spark.readStream.schema(vecSchema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Batch expectation: q7S's own serving index with codes re-packed
+    * the registry way.
+    */
+  private def wantRows(): Map[Long, (Int, Long, Double)] =
+    LlmOps.pqIndex(spark, sf0001).collect().map { r =>
+      val packed = r.getSeq[Int](r.fieldIndex("codes"))
+        .foldLeft(0L)((acc, c) => acc * 256L + c)
+      r.getLong(r.fieldIndex("n_id")) ->
+        ((r.getInt(r.fieldIndex("cid")), packed,
+          r.getDouble(r.fieldIndex("nn"))))
+    }.toMap
+
+  test("S15: streamed vec_index ≡ q7S's batch serving index, replay is a MERGE no-op") {
+    val dir = tmpDir("graft-s15")
+    stageVecs(dir, 4)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-db")}/db;create=true"
+
+    val q = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-ckpt"), spark, sf0001)
+    try q.processAllAvailable() finally q.stop()
+
+    def tableRows(): Map[Long, (Int, Long, Double)] = spark.read
+      .format("jdbc").option("url", url).option("dbtable", VecIngest.TABLE)
+      .load()
+      // Derby reports upper-cased names; analyzer resolution is
+      // case-insensitive where Row.fieldIndex is not
+      .select("vec_id", "cid", "codes_packed", "nsq")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.toMap
+
+    val want = wantRows()
+    val got = tableRows()
+    assert(got.size == want.size)
+    // exact equality including the double norm: both paths run the SAME
+    // kernels over the same cast, so even the FP bits agree
+    assert(got == want,
+      s"first diff: ${(want.keySet ++ got.keySet).toSeq.sorted
+        .find(k => want.get(k) != got.get(k))
+        .map(k => s"$k want=${want.get(k)} got=${got.get(k)}")}")
+
+    // full replay over fresh checkpoints: the keyed MERGE must no-op
+    val r2 = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-ckpt2"), spark, sf0001)
+    try r2.processAllAvailable() finally r2.stop()
+    assert(tableRows() == want, "replay must be a MERGE no-op")
+  }
+
+  test("S15: packed codes round-trip and the cell ids come from the model") {
+    val (cents, _) = LlmOps.ivfModel(spark, sf0001)
+    val pq = LlmOps.pqModel(spark, sf0001)
+    val enc = VecIngest.encoded(
+      graft.sources.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding")), cents, pq).collect()
+    val cellIds = cents.map(_.cid).toSet
+    enc.foreach { r =>
+      assert(cellIds.contains(r.getInt(1)))
+      // unpack big-endian bytes → every code in [0, ks)
+      var packed = r.getLong(2)
+      val codes = Array.fill(pq.m) {
+        val c = (packed % 256).toInt; packed /= 256; c
+      }.reverse
+      assert(packed == 0L)
+      assert(codes.forall(c => c >= 0 && c < pq.ks))
+    }
+  }
+}
