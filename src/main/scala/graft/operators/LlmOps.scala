@@ -956,48 +956,7 @@ object LlmOps {
     // affects only which candidates get reranked. Centroid/codebook-
     // specific → rows-only check; recall + sim-exactness vs the brute-
     // force 5-NN in AnnSpec, kernel parity in KernelSpec.
-    "q7S_ann_ivfpq" -> ((s, d) => {
-      val v = vectors(s, d)
-      val (cents, _) = ivfModel(s, d)
-      val pq = pqModel(s, d)
-      val cbLit = typedLit(pq.cb)
-      val centsLit = typedLit(cents.map(_.ce))
-      val index = pqIndex(s, d)
-      val probes = v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"),
-          col("nsq").as("qn"),
-          explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
-        .select(col("q_id"), col("qe"), col("qn"),
-          cidOfIdx(cents, col("pidx")).as("cid"),
-          call_function("graft_dot", col("qe"),
-            element_at(centsLit, col("pidx") + 1)).as("qdotc"))
-      val wA = Window.partitionBy(col("q_id"))
-        .orderBy(col("asim").desc, col("n_id"))
-      // each candidate lives in exactly one cell (q7G's argument), so no
-      // distinct; ADC sims are deterministic → rank ties break on n_id.
-      // dot(q, x) = dot(q, c_cell) + dot(q, residual) — the first term
-      // is exact per (query, cell), the second is the ADC approximation
-      val short = probes.join(index, "cid")
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("asim",
-          (col("qdotc") +
-            call_function("graft_pq_adc", col("qe"), col("codes"), cbLit)) /
-            sqrt(col("qn") * col("nn")))
-        .withColumn("ar", row_number().over(wA))
-        .filter(col("ar") <= pqRerank(s, cents.size))
-        .select("q_id", "qe", "qn", "n_id")
-      val exact = v.select(col("vec_id").as("n_id"),
-        col("e").as("ne"), col("nsq").as("nn"))
-      val w5 = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("n_id"))
-      broadcast(short).join(exact, "n_id")
-        .select(col("q_id"), col("n_id"),
-          cosine("qe", "ne", "qn", "nn").as("sim"))
-        .withColumn("rn", row_number().over(w5))
-        .filter(col("rn") <= 5)
-        .select("q_id", "n_id", "sim", "rn")
-        .orderBy("q_id", "rn")
-    }),
+    "q7S_ann_ivfpq" -> ((s, d) => pqSearch(s, d, pqIndex(s, d))),
 
     // deterministic train/val/test split (§2.10 q7J) — every training
     // pipeline's first op after dedup. The bucket comes from an
@@ -1650,6 +1609,61 @@ object LlmOps {
           residCol(cents, col("e"), col("pidx")),
           typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"),
         col("nsq"))
+
+  /** q7S's query pipeline over ANY `(cid, n_id, codes, nn)` serving
+    * index — the lake-built [[pqIndex]] (the registry entry) or the
+    * S15 stream-maintained JDBC registry
+    * (graft.streaming.VecIngest.search), which is the point of the
+    * extraction: the stream-kept index answers through EXACTLY this
+    * plan, so VecIngestSpec can pin result parity, not just row parity.
+    *
+    * Probing is q7G's in-row kernel; candidates rank by exact
+    * dot(q, c_cell) + the ADC residual term (dot(q, x) decomposes over
+    * the two), the auto-R shortlist alone refetches full vectors
+    * (broadcast against the corpus scan), and reported sims are exact.
+    */
+  private[graft] def pqSearch(s: SparkSession, d: String,
+      index: DataFrame): DataFrame = {
+    val v = vectors(s, d)
+    val (cents, _) = ivfModel(s, d)
+    val pq = pqModel(s, d)
+    val cbLit = typedLit(pq.cb)
+    val centsLit = typedLit(cents.map(_.ce))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nsq").as("qn"),
+        explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
+      .select(col("q_id"), col("qe"), col("qn"),
+        cidOfIdx(cents, col("pidx")).as("cid"),
+        call_function("graft_dot", col("qe"),
+          element_at(centsLit, col("pidx") + 1)).as("qdotc"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("asim").desc, col("n_id"))
+    // each candidate lives in exactly one cell (q7G's argument), so no
+    // distinct; ADC sims are deterministic → rank ties break on n_id.
+    // dot(q, x) = dot(q, c_cell) + dot(q, residual) — the first term
+    // is exact per (query, cell), the second is the ADC approximation
+    val short = probes.join(index, "cid")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("asim",
+        (col("qdotc") +
+          call_function("graft_pq_adc", col("qe"), col("codes"), cbLit)) /
+          sqrt(col("qn") * col("nn")))
+      .withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= pqRerank(s, cents.size))
+      .select("q_id", "qe", "qn", "n_id")
+    val exact = v.select(col("vec_id").as("n_id"),
+      col("e").as("ne"), col("nsq").as("nn"))
+    val w5 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(short).join(exact, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine("qe", "ne", "qn", "nn").as("sim"))
+      .withColumn("rn", row_number().over(w5))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id", "sim", "rn")
+      .orderBy("q_id", "rn")
+  }
 
   private[graft] def pqIndex(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)

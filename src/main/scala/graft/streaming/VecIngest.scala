@@ -75,4 +75,27 @@ object VecIngest {
     DerbySink.attachAs(encoded(vecs, cents, pq), url, TABLE, "vec_id", ckpt)
       .start()
   }
+
+  /** q7S's search pipeline ANSWERED BY the stream-maintained registry:
+    * the JDBC `vec_index` rows unpack back to code arrays via a static
+    * chain of codegen'd shift/mask expressions (m is model metadata, so
+    * the chain length is fixed at plan time — no HOF, no new kernel)
+    * and flow through the SAME `LlmOps.pqSearch` plan the q7S registry
+    * entry uses. At 100 TB the registry would live in a lake table
+    * rather than one RDBMS, but the plan — cell equi-join, ADC rank,
+    * broadcast shortlist rerank — is unchanged.
+    */
+  def search(s: SparkSession, d: String, url: String): DataFrame = {
+    val pq = LlmOps.pqModel(s, d)
+    val unpacked = (0 until pq.m).map(i =>
+      shiftright(col("codes_packed"), 8 * (pq.m - 1 - i))
+        .bitwiseAND(lit(255L)).cast("int"))
+    val index = s.read.format("jdbc")
+      .option("url", url).option("dbtable", TABLE).load()
+      .select(col("cid").cast("int").as("cid"),
+        col("vec_id").as("n_id"),
+        array(unpacked: _*).as("codes"),
+        col("nsq").as("nn"))
+    LlmOps.pqSearch(s, d, index)
+  }
 }

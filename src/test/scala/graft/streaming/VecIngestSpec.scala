@@ -86,6 +86,15 @@ class VecIngestSpec extends AnyFunSuite {
       tmpDir("graft-s15-ckpt2"), spark, sf0001)
     try r2.processAllAvailable() finally r2.stop()
     assert(tableRows() == want, "replay must be a MERGE no-op")
+
+    // the registry is SERVABLE: q7S's search pipeline over the
+    // stream-maintained JDBC index returns exactly the registry
+    // entry's answers (same plan, same models, row-identical)
+    val viaRegistry = VecIngest.search(spark, sf0001, url)
+      .collect().map(_.toSeq).toSeq
+    val viaLake = graft.SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaRegistry.nonEmpty && viaRegistry == viaLake)
   }
 
   test("S15: packed codes round-trip and the cell ids come from the model") {
