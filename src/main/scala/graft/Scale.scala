@@ -281,6 +281,60 @@ object Scale {
     LlmOps.release(s)
   }
 
+  /** S15 encode throughput at 1× and 10×: the streaming IVF-PQ encode
+    * (the stateless per-row kernel chain) over a 20-file staged corpus
+    * into a COUNTING sink — same counting-sink argument as `ingest`
+    * (the MERGE path's correctness is pinned in VecIngestSpec; embedded
+    * Derby's single writer is not the engine). The claim: per-vector
+    * cost is flat-to-falling across a decade of corpus growth because
+    * the transform carries no state and no shuffle — only the model
+    * (trained once, batch) grows, and only as √n.
+    */
+  private def vecingest(s: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    for ((mult, nVec) <- Seq((1, 50000), (10, 500000))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-vec$mult").toString
+      val dim = 64
+      import s.implicits._
+      val rnd = new scala.util.Random(77L)
+      val rows = (0 until nVec).map { i =>
+        (i.toLong, s"c${i % 50}",
+          Array.fill(dim)((rnd.nextGaussian() * 0.15).toFloat).toSeq)
+      }
+      val df = rows.toDF("vec_id", "label", "embedding").cache()
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val w = Window.orderBy(col("vec_id"))
+      val staged = df.withColumn("__b", ntile(20).over(w)).cache()
+      (1 to 20).foreach { b =>
+        staged.filter(col("__b") === b).select("vec_id", "embedding")
+          .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      }
+      staged.unpersist(); df.unpersist()
+      // models train in batch from the lake dir — untimed, the once-
+      // per-corpus cost the ann mode already measures
+      val (cents, _) = LlmOps.ivfModel(s, dir)
+      val pq = LlmOps.pqModel(s, dir)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val vecs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$dir/stream")
+      var n = 0L
+      val q = graft.streaming.VecIngest.encoded(vecs, cents, pq)
+        .writeStream.option("checkpointLocation", s"$dir/ck")
+        .foreachBatch { (b: DataFrame, _: Long) => n += b.count() }
+        .start()
+      val (_, t) = timed(q.processAllAvailable())
+      q.stop()
+      println(f"""{"mode":"vecingest","mult":$mult,"vectors":$nVec,""" +
+        f""""encoded":$n,"ivf_k":${cents.size},"pq_ks":${pq.ks},""" +
+        f""""sec":$t%.1f,"vec_per_sec":${nVec / t}%.0f}""")
+      LlmOps.release(s)
+    }
+  }
+
   /** `clique` — the cluster step on the DENSEST plausible pair graph:
     * the closed-vocabulary regime at 100× yields ~100-member near-dup
     * cliques (closed10x's construction with 100 replicas per base doc),
@@ -394,6 +448,7 @@ object Scale {
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s)
       case "ingest"    => ingest(s)
+      case "vecingest" => vecingest(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()

@@ -37,9 +37,16 @@ object VecIngest {
 
   val TABLE = "vec_index"
 
-  /** One BIGINT per vector: codes packed big-endian by subspace. */
+  /** One BIGINT per vector: codes packed big-endian by subspace.
+    * Spelled with shift/or, NOT `acc * 256 + c`: with ks = 256 the top
+    * byte can set the sign bit, which is a well-defined bit pattern but
+    * an ANSI-mode ARITHMETIC_OVERFLOW under multiplication. The
+    * unpackers mask with `& 255` after the (arithmetic) right shift, so
+    * a negative packed value round-trips exactly.
+    */
   private def packCodes(codes: org.apache.spark.sql.Column) =
-    aggregate(codes, lit(0L), (acc, c) => acc * lit(256L) + c)
+    aggregate(codes, lit(0L),
+      (acc, c) => shiftleft(acc, 8).bitwiseOR(c.cast("long")))
 
   /** The per-row encode projection over a `(vec_id, embedding)` frame
     * (float or double array): `(vec_id, cid, codes_packed, nsq)`.

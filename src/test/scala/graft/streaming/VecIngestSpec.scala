@@ -106,12 +106,13 @@ class VecIngestSpec extends AnyFunSuite {
     val cellIds = cents.map(_.cid).toSet
     enc.foreach { r =>
       assert(cellIds.contains(r.getInt(1)))
-      // unpack big-endian bytes → every code in [0, ks)
-      var packed = r.getLong(2)
-      val codes = Array.fill(pq.m) {
-        val c = (packed % 256).toInt; packed /= 256; c
-      }.reverse
-      assert(packed == 0L)
+      // unpack big-endian bytes (mask after the arithmetic shift — the
+      // production unpacker's spelling, sound even when byte 0 set the
+      // sign bit) → every code in [0, ks), no stray high bits
+      val packed = r.getLong(2)
+      val codes =
+        (0 until pq.m).map(i => ((packed >> (8 * (pq.m - 1 - i))) & 255L).toInt)
+      if (8 * pq.m < 64) assert((packed >>> (8 * pq.m)) == 0L)
       assert(codes.forall(c => c >= 0 && c < pq.ks))
     }
   }
