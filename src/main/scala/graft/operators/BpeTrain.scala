@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full BPE tokenizer TRAINING (q7T) — the iterative loop whose single
+  * step q7Q exposes. The published trick that makes BPE trainable at
+  * corpus scale is the shape both share: collapse the corpus to a
+  * `(word, count)` table FIRST, so every merge step runs over DISTINCT
+  * words weighted by count — a table bounded by vocabulary, never by
+  * corpus volume. 100 TB of text and 100 GB of text train at the same
+  * per-step cost once the word table is built.
+  *
+  * Each step is two Spark jobs over the vocab-bounded table: (1) count
+  * adjacent symbol pairs (in-row zip_with shift, map-side partial agg,
+  * top-1 via `TakeOrderedAndProject`'s 1-row collect — the merge
+  * decision is metadata, like an IVF centroid) and (2) apply the merge
+  * in-row via a greedy left-to-right fold. The words frame is persisted
+  * per step with a `createDataFrame(rdd, schema)` lineage cut — the q7R
+  * loop's pattern, without it the analyzer walks an N-deep expression
+  * tree by the last merge.
+  *
+  * Determinism: ties break (count desc, left asc, right asc); symbols
+  * from the fixture corpus are ASCII, where Spark's UTF8 binary order
+  * and the spec reference's Java string order agree (the q60 sort-key
+  * caveat documented in SURVEY §7.4).
+  *
+  * A word's identity (the concatenation of its symbols) never changes,
+  * so rows stay distinct across steps and no re-grouping is ever
+  * needed; a merged pair can never span two words.
+  */
+object BpeTrain {
+
+  /** Merges the q7T registry entry learns (enough to exercise multi-
+    * character tokens on the fixture while staying bench-bounded).
+    */
+  val RegistryMerges = 15
+
+  case class Merge(step: Int, left: String, right: String, cnt: Long)
+
+  /** The `(w: array<string> symbols, wc)` base table over `text`. */
+  def baseWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(split(col("word"), "").as("w"), col("wc"))
+
+  /** Adjacent symbol pairs of `w` as `(a, b)` structs (zip_with pads
+    * the shifted side with null; the filter drops the padded tail).
+    */
+  private val PairsSql =
+    """filter(zip_with(w, slice(w, 2, size(w)),
+      |              (a, b) -> struct(a, b)),
+      |       p -> p.b IS NOT NULL)""".stripMargin
+
+  /** One greedy left-to-right merge application: every non-overlapping
+    * `[left, right]` adjacency collapses to the fused token, leftmost
+    * first (after a fuse the scan continues AFTER the fused token —
+    * `aaa` under (a,a) becomes `[aa, a]`) — standard BPE apply
+    * semantics, spelled as a fold so it stays one in-row expression.
+    */
+  private def applyMerge(w: Column, left: String, right: String): Column =
+    aggregate(w, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Trains `nMerges` merges over a `(w, wc)` frame; stops early when
+    * no adjacent pair remains. Returns the learned merge table — THE
+    * tokenizer artifact, metadata-scale like every model this engine
+    * trains (one row per merge).
+    */
+  def train(s: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var cur = words.persist()
+    try {
+      for (step <- 1 to nMerges) {
+        val top = cur
+          .select(col("wc"), explode(expr(PairsSql)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) return merges.toSeq
+        val (a, b, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += Merge(step, a, b, c)
+        val next = cur.select(applyMerge(col("w"), a, b).as("w"), col("wc"))
+        val cut = s.createDataFrame(next.rdd, next.schema).persist()
+        cut.count() // materialize before dropping the parent
+        cur.unpersist()
+        cur = cut
+      }
+      merges.toSeq
+    } finally cur.unpersist()
+  }
+
+  /** The q7T registry entry: the learned merge table after
+    * [[RegistryMerges]] steps, one row per merge in training order.
+    */
+  def trained(s: SparkSession, d: String): DataFrame = {
+    val merges =
+      train(s, baseWords(graft.sources.Tables.documents(s, d)), RegistryMerges)
+    s.createDataFrame(merges)
+      .select("step", "left", "right", "cnt")
+      .orderBy("step")
+  }
+}

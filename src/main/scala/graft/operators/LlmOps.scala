@@ -1148,6 +1148,16 @@ object LlmOps {
         .limit(20)
     }),
 
+    // full BPE tokenizer TRAINING (§2.10 q7T): the iterative loop whose
+    // single step q7Q exposes — N merge decisions over the
+    // vocab-bounded (word, count) table, two jobs per step, lineage cut
+    // per step (see graft.operators.BpeTrain). Output = the learned
+    // merge table (the tokenizer artifact), deterministic under the
+    // (count desc, pair asc) tie rule → rows-only check; step-exact
+    // parity vs a reference Scala implementation and vs q7Q's top pair
+    // in BpeTrainSpec.
+    "q7T_bpe_train" -> ((s, d) => BpeTrain.trained(s, d)),
+
     // near-dup CLUSTERS (§2.10 q7R): connected components over the
     // exact Jaccard pair graph ([[jaccardPairs]]) — the step that turns
     // pairwise matches into dedup groups (keep one representative per
