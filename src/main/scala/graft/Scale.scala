@@ -305,13 +305,9 @@ object Scale {
       }
       val df = rows.toDF("vec_id", "label", "embedding").cache()
       df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      val w = Window.orderBy(col("vec_id"))
-      val staged = df.withColumn("__b", ntile(20).over(w)).cache()
-      (1 to 20).foreach { b =>
-        staged.filter(col("__b") === b).select("vec_id", "embedding")
-          .coalesce(1).write.mode("append").parquet(s"$dir/stream")
-      }
-      staged.unpersist(); df.unpersist()
+      graft.streaming.Staging.chunked(df.select("vec_id", "embedding"),
+        Seq(col("vec_id")), 20, s"$dir/stream")
+      df.unpersist()
       // models train in batch from the lake dir — untimed, the once-
       // per-corpus cost the ann mode already measures
       val (cents, _) = LlmOps.ivfModel(s, dir)
@@ -393,17 +389,10 @@ object Scale {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-in$mult").toString
       val corpus = zipfCorpus(s, nDocs, v, seed = 131L).cache()
-      val w = Window.orderBy(col("doc_id"))
-      val staged = corpus
-        .select(col("doc_id"), col("text"), col("lang"),
-          (lit(86400000000L) + col("doc_id") * 1000L).as("ts"))
-        .withColumn("__b", ntile(20).over(w))
-        .cache()
-      (1 to 20).foreach { b =>
-        staged.filter(col("__b") === b).drop("__b")
-          .coalesce(1).write.mode("append").parquet(s"$dir/stream")
-      }
-      staged.unpersist()
+      graft.streaming.Staging.chunked(
+        corpus.select(col("doc_id"), col("text"), col("lang"),
+          (lit(86400000000L) + col("doc_id") * 1000L).as("ts")),
+        Seq(col("doc_id")), 20, s"$dir/stream")
       val profiles = LlmIngest.langProfiles(corpus)
       val evalIdx =
         LlmIngest.evalShingleHashes(corpus.filter(col("doc_id") < 50))

@@ -88,7 +88,10 @@ object BpeTrain {
         merges += Merge(step, a, b, c)
         val next = cur.select(applyMerge(col("w"), a, b).as("w"), col("wc"))
         val cut = s.createDataFrame(next.rdd, next.schema).persist()
-        cut.count() // materialize before dropping the parent
+        // materialize before dropping the parent; on failure free the
+        // new block too — the finally below only knows about `cur`
+        try cut.count()
+        catch { case t: Throwable => cut.unpersist(); throw t }
         cur.unpersist()
         cur = cut
       }

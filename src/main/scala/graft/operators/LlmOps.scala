@@ -1595,14 +1595,6 @@ object LlmOps {
     model
   }
 
-  /** q7S's compressed serving index: one row per corpus vector —
-    * `(cid, n_id, codes, nn)`, where `codes` quantizes the row's
-    * IVF-ADC residual and `nn` is the EXACT squared norm (the sim
-    * denominator is never approximated). The assignment `pidx` is
-    * computed once and feeds both the cell id and the residual. Shared
-    * with AnnSpec so the well-formedness pins cover the registry path's
-    * own encoding.
-    */
   /** The IVF-PQ encode projection over ANY `(vec_id, e, nsq)` frame —
     * one stateless in-row pass (nearest cell → residual → codes), so it
     * runs identically on a static read or a STREAM (S15's index
@@ -1631,15 +1623,29 @@ object LlmOps {
     * dot(q, c_cell) + the ADC residual term (dot(q, x) decomposes over
     * the two), the auto-R shortlist alone refetches full vectors
     * (broadcast against the corpus scan), and reported sims are exact.
+    *
+    * `payload` is the frame holding the FULL vectors (`vec_id`,
+    * `embedding`) for the ids the index serves — the exact-rerank
+    * refetch source. Default = the lake at `d`. An indexed id MISSING
+    * from the payload consumes a shortlist slot but cannot be returned
+    * (the rerank is an inner join), so a caller serving a
+    * stream-maintained index must pass a payload covering the
+    * stream-fresh ids too (see graft.streaming.VecIngest.search).
     */
   private[graft] def pqSearch(s: SparkSession, d: String,
-      index: DataFrame): DataFrame = {
-    val v = vectors(s, d)
+      index: DataFrame, payload: Option[DataFrame] = None): DataFrame = {
+    val lake = vectors(s, d)
+    val v = payload.map(_
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nsq", expr("graft_dot(e, e)"))
+      ).getOrElse(lake)
     val (cents, _) = ivfModel(s, d)
     val pq = pqModel(s, d)
     val cbLit = typedLit(pq.cb)
     val centsLit = typedLit(cents.map(_.ce))
-    val probes = v.filter(col("vec_id") < 10)
+    // the QUERY set is the declared lake one (vec_id < 10) regardless
+    // of payload — payload only widens the rerank refetch source
+    val probes = lake.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nsq").as("qn"),
         explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
@@ -1675,6 +1681,14 @@ object LlmOps {
       .orderBy("q_id", "rn")
   }
 
+  /** q7S's compressed serving index over the lake at `d`: one row per
+    * corpus vector — `(cid, n_id, codes, nn)`, where `codes` quantizes
+    * the row's IVF-ADC residual and `nn` is the EXACT squared norm (the
+    * sim denominator is never approximated). The assignment `pidx` is
+    * computed once inside [[pqEncodeRows]] and feeds both the cell id
+    * and the residual. Shared with AnnSpec so the well-formedness pins
+    * cover the registry path's own encoding.
+    */
   private[graft] def pqIndex(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val (cents, _) = ivfModel(s, d)

@@ -40,26 +40,12 @@ object EventStream {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
 
   /** Splits the fixture events into `chunks` time-ordered parquet files
-    * under `stagingDir` — the micro-batch replay source. Chunks are
-    * written SEQUENTIALLY (one file each) so their modification times
-    * strictly increase: the file stream source orders same-mtime files
-    * arbitrarily, and an early chunk arriving after a later one would be
-    * watermark-dropped wholesale. Test-scale staging helper — the
-    * single-partition ntile window here is replay plumbing, not an
-    * engine operator.
+    * under `stagingDir` — the micro-batch replay source (see [[Staging]]
+    * for the mtime-ordering caveat the sequential writes absorb).
     */
-  def stage(spark: SparkSession, sfDir: String, stagingDir: String, chunks: Int): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    val bucketed = graft.sources.Tables.events(spark, sfDir)
-      .withColumn("__bucket", ntile(chunks).over(w))
-      .cache()
-    try (1 to chunks).foreach { b =>
-      bucketed.filter(col("__bucket") === b).drop("__bucket")
-        .coalesce(1).write.mode("append").parquet(stagingDir)
-      Thread.sleep(5) // distinct mtimes → deterministic pickup order
-    } finally bucketed.unpersist()
-  }
+  def stage(spark: SparkSession, sfDir: String, stagingDir: String, chunks: Int): Unit =
+    Staging.chunked(graft.sources.Tables.events(spark, sfDir),
+      Seq(col("ts"), col("event_id")), chunks, stagingDir)
 
   /** Streaming read of a staged directory, one file per trigger. */
   def read(spark: SparkSession, stagingDir: String): DataFrame =

@@ -91,8 +91,20 @@ object VecIngest {
     * entry uses. At 100 TB the registry would live in a lake table
     * rather than one RDBMS, but the plan — cell equi-join, ADC rank,
     * broadcast shortlist rerank — is unchanged.
+    *
+    * `payload` is the exact-rerank refetch source: the frame holding
+    * FULL `(vec_id, embedding)` vectors for every id the registry
+    * serves. Default = the lake at `d`, which is right only while the
+    * registry indexes exactly the lake. A STREAM-FRESH id (indexed at
+    * arrival, payload not yet compacted into the lake) is dropped by
+    * the rerank's inner join if the payload misses it — it consumes a
+    * shortlist slot and is silently never returned — so a deployment
+    * passes `lake ∪ landing-zone` here; the ingest that MERGEs the
+    * index is the same ingest that lands the payload files, so the two
+    * move together. Spec-pinned both ways in VecIngestSpec.
     */
-  def search(s: SparkSession, d: String, url: String): DataFrame = {
+  def search(s: SparkSession, d: String, url: String,
+      payload: Option[DataFrame] = None): DataFrame = {
     val pq = LlmOps.pqModel(s, d)
     val unpacked = (0 until pq.m).map(i =>
       shiftright(col("codes_packed"), 8 * (pq.m - 1 - i))
@@ -103,6 +115,6 @@ object VecIngest {
         col("vec_id").as("n_id"),
         array(unpacked: _*).as("codes"),
         col("nsq").as("nn"))
-    LlmOps.pqSearch(s, d, index)
+    LlmOps.pqSearch(s, d, index, payload)
   }
 }

@@ -19,20 +19,12 @@ class LlmIngestSpec extends AnyFunSuite {
     * time-ordered chunks with fabricated ingest µs (base offset keeps
     * doc 0 off the epoch-0 initial watermark).
     */
-  private def stageDocs(dir: String, chunks: Int): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-    val bucketed = graft.sources.Tables.documents(spark, sf0001)
-      .select(col("doc_id"), col("text"),
-        (lit(86400000000L) + col("doc_id") * 1000000L).as("ts"))
-      .withColumn("__bucket", ntile(chunks).over(w))
-      .cache()
-    try (1 to chunks).foreach { b =>
-      bucketed.filter(col("__bucket") === b).drop("__bucket")
-        .coalesce(1).write.mode("append").parquet(dir)
-      Thread.sleep(5)
-    } finally bucketed.unpersist()
-  }
+  private def stageDocs(dir: String, chunks: Int): Unit =
+    Staging.chunked(
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"),
+          (lit(86400000000L) + col("doc_id") * 1000000L).as("ts")),
+      Seq(col("doc_id")), chunks, dir)
 
   private val docSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",

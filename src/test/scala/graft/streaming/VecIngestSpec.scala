@@ -15,19 +15,12 @@ import graft.operators.LlmOps
   */
 class VecIngestSpec extends AnyFunSuite {
 
-  /** The sf0.001 embeddings staged as 4 time-ordered parquet chunks. */
-  private def stageVecs(dir: String, chunks: Int): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("vec_id"))
-    val bucketed = graft.sources.Tables.embeddings(spark, sf0001)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("__bucket", ntile(chunks).over(w))
-      .cache()
-    try (1 to chunks).foreach { b =>
-      bucketed.filter(col("__bucket") === b).drop("__bucket")
-        .coalesce(1).write.mode("append").parquet(dir)
-    } finally bucketed.unpersist()
-  }
+  /** The sf0.001 embeddings staged as time-ordered parquet chunks. */
+  private def stageVecs(dir: String, chunks: Int): Unit =
+    Staging.chunked(
+      graft.sources.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding")),
+      Seq(col("vec_id")), chunks, dir)
 
   private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
@@ -95,6 +88,41 @@ class VecIngestSpec extends AnyFunSuite {
     val viaLake = graft.SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
     assert(viaRegistry.nonEmpty && viaRegistry == viaLake)
+  }
+
+  test("S15: a stream-fresh vector is searchable once its payload is provided") {
+    val lake = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // the fresh arrival: an exact copy of query vector 0 under a new id
+    // — by construction the UNIQUE nearest neighbor of query 0
+    // (cosine 1.0; every other pair on this corpus ranks below)
+    val freshId = 999999L
+    val fresh = lake.filter(col("vec_id") === 0)
+      .select(lit(freshId).as("vec_id"), col("embedding"))
+    val dir = tmpDir("graft-s15-fresh")
+    stageVecs(dir, 3)
+    fresh.coalesce(1).write.mode("append").parquet(dir)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-fresh-db")}/db;create=true"
+    val q = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-fresh-ckpt"), spark, sf0001)
+    try q.processAllAvailable() finally q.stop()
+
+    // WITHOUT a payload covering the fresh id: the registry row makes
+    // the shortlist but the rerank's inner join drops it — the
+    // documented trade, pinned so it can't silently change
+    val lakeOnly = VecIngest.search(spark, sf0001, url)
+      .filter(col("q_id") === 0).collect()
+    assert(lakeOnly.length == 5 &&
+      !lakeOnly.exists(_.getLong(1) == freshId))
+
+    // WITH payload = lake ∪ landing: the fresh vector is query 0's top
+    // answer at sim 1.0 — ingest-time index freshness end-to-end
+    val got = VecIngest.search(spark, sf0001, url,
+        Some(lake.union(fresh)))
+      .filter(col("q_id") === 0).collect()
+    assert(got.length == 5)
+    assert(got.head.getLong(1) == freshId, s"top=${got.head}")
+    assert(got.head.getDouble(2) == 1.0)
   }
 
   test("S15: packed codes round-trip and the cell ids come from the model") {
