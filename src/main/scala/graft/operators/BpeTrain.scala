@@ -99,14 +99,54 @@ object BpeTrain {
     } finally cur.unpersist()
   }
 
+  /** Training is deterministic, and the artifact is metadata-scale
+    * (N rows), so q7T and q7U share one run per (session, dir) — the
+    * IVF/PQ model-cache pattern. Cleared via [[release]] (hooked into
+    * LlmOps.release so Bench's between-pass release re-pays training).
+    */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, String, Int), Seq[Merge]]
+
+  def mergesFor(s: SparkSession, d: String): Seq[Merge] =
+    mergeCache.getOrElseUpdate(
+      (LlmOps.sessionKey(s), d, RegistryMerges),
+      train(s, baseWords(graft.sources.Tables.documents(s, d)),
+        RegistryMerges))
+
+  private[graft] def release(key: Long): Unit =
+    mergeCache.keys.filter(_._1 == key).foreach(mergeCache.remove)
+
   /** The q7T registry entry: the learned merge table after
     * [[RegistryMerges]] steps, one row per merge in training order.
     */
   def trained(s: SparkSession, d: String): DataFrame = {
-    val merges =
-      train(s, baseWords(graft.sources.Tables.documents(s, d)), RegistryMerges)
-    s.createDataFrame(merges)
+    s.createDataFrame(mergesFor(s, d))
       .select("step", "left", "right", "cnt")
       .orderBy("step")
+  }
+
+  /** The q7U registry entry: the corpus TOKENIZED with the trained
+    * merges — the apply half of the tokenizer lifecycle, as the top-25
+    * token frequencies. Training needs iteration (each decision depends
+    * on the state the previous one left); APPLYING does not: the merge
+    * list is known, so the final symbol table comes from ONE
+    * vocab-bounded pass chaining all N greedy folds in a single
+    * projection (N·|word| in-row work per DISTINCT word — no per-step
+    * jobs, no lineage growth). The corpus frequency profile then needs
+    * NO corpus pass at all: `wc` already carries each distinct word's
+    * corpus count, so token counts are a weighted explode of the vocab
+    * table. (Per-document tokenization at 100 TB is the same token
+    * table broadcast/equi-joined against the exploded corpus — the
+    * vocab-bounded table is the whole trick, both here and there.)
+    */
+  def tokenized(s: SparkSession, d: String): DataFrame = {
+    val merges = mergesFor(s, d)
+    baseWords(graft.sources.Tables.documents(s, d))
+      .select(col("wc"),
+        explode(merges.foldLeft(col("w"))((c, m) =>
+          applyMerge(c, m.left, m.right))).as("token"))
+      .groupBy("token").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(25)
   }
 }

@@ -231,6 +231,7 @@ object LlmOps {
     ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
     pqCache.keys.filter(_._1 == key).foreach(pqCache.remove)
     trainNCache.keys.filter(_._1 == key).foreach(trainNCache.remove)
+    BpeTrain.release(key) // the q7T/q7U shared merge list
   }
 
   /** documents as distinct word-3-shingle sets (the unit of near-dup
@@ -1157,6 +1158,16 @@ object LlmOps {
     // parity vs a reference Scala implementation and vs q7Q's top pair
     // in BpeTrainSpec.
     "q7T_bpe_train" -> ((s, d) => BpeTrain.trained(s, d)),
+
+    // BPE tokenizer APPLY (§2.10 q7U): the corpus tokenized with q7T's
+    // trained merges, as top-25 token frequencies. The merge list is
+    // cached metadata (shared with q7T per session — the q7G/q7S cache
+    // shape), so applying is ONE vocab-bounded pass: all N greedy folds
+    // chain in a single projection and token counts are a wc-weighted
+    // explode — no corpus pass, no per-step jobs (see BpeTrain.tokenized).
+    // Trainer-derived output → rows-only check; reference-tokenizer
+    // parity in BpeTrainSpec.
+    "q7U_bpe_tokenize" -> ((s, d) => BpeTrain.tokenized(s, d)),
 
     // near-dup CLUSTERS (§2.10 q7R): connected components over the
     // exact Jaccard pair graph ([[jaccardPairs]]) — the step that turns

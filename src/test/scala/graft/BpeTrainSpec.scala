@@ -72,6 +72,37 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(first.cnt == q7q.getLong(1))
   }
 
+  test("q7U: tokenized frequencies equal the reference tokenizer applied to the word table") {
+    // reference: train RegistryMerges merges, apply greedily to each
+    // distinct word, count tokens weighted by word count — exactly what
+    // the one-pass chained-fold projection must compute
+    val n = BpeTrain.RegistryMerges
+    val mergeList = refTrain(wordCounts, n).map { case (a, b, _) => (a, b) }
+    def applyAll(word: String): Vector[String] =
+      mergeList.foldLeft(word.map(_.toString).toVector) { case (s, (a, b)) =>
+        val fused = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+            fused += (a + b); i += 2
+          } else { fused += s(i); i += 1 }
+        }
+        fused.toVector
+      }
+    val wantCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wordCounts; t <- applyAll(w))
+      wantCounts(t) = wantCounts.getOrElse(t, 0L) + c
+    val want = wantCounts.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(25)
+
+    val got = SparkEntry.queries("q7U_bpe_tokenize")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the top-25 must contain a genuinely merged (multi-char) token, or
+    // the fold chain was never exercised by this pin
+    assert(got.exists(_._1.length > 1))
+  }
+
   test("q7T: registry entry returns the merge table in training order") {
     val rows = SparkEntry.queries("q7T_bpe_train")(spark, sf0001).collect()
     assert(rows.length == BpeTrain.RegistryMerges)

@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 100) // 91 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T (SURVEY.md §7.5)
+    assert(qs.size == 101) // 91 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T + q7U (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -34,7 +34,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(qs.keySet -- SparkEntry.oracleSql.keySet ==
       Set("q44_agg_approx_distinct", "q4E_agg_approx_median",
         "q7A_dedup_minhash", "q7C_ann_simhash", "q7E_doc_fingerprint",
-        "q7G_ann_ivf", "q7H_dedup_embed", "q7S_ann_ivfpq", "q7T_bpe_train"))
+        "q7G_ann_ivf", "q7H_dedup_embed", "q7S_ann_ivfpq", "q7T_bpe_train",
+        "q7U_bpe_tokenize"))
   }
 
   test("entry: flagship query returns rows") {
