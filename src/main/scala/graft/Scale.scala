@@ -291,7 +291,6 @@ object Scale {
     * (trained once, batch) grows, and only as √n.
     */
   private def vecingest(s: SparkSession): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     for ((mult, nVec) <- Seq((1, 50000), (10, 500000))) {
       val dir = java.nio.file.Files
@@ -383,7 +382,6 @@ object Scale {
     * active horizon, so throughput must not degrade superlinearly.
     */
   private def ingest(s: SparkSession): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     for ((mult, nDocs, v) <- Seq((1, 5000, 2000), (10, 50000, 20000))) {
       val dir = java.nio.file.Files

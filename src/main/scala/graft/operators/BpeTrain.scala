@@ -132,12 +132,13 @@ object BpeTrain {
     * list is known, so the final symbol table comes from ONE
     * vocab-bounded pass chaining all N greedy folds in a single
     * projection (N·|word| in-row work per DISTINCT word — no per-step
-    * jobs, no lineage growth). The corpus frequency profile then needs
-    * NO corpus pass at all: `wc` already carries each distinct word's
-    * corpus count, so token counts are a weighted explode of the vocab
-    * table. (Per-document tokenization at 100 TB is the same token
-    * table broadcast/equi-joined against the exploded corpus — the
-    * vocab-bounded table is the whole trick, both here and there.)
+    * jobs, no lineage growth). One corpus scan rebuilds the weighted
+    * `(word, count)` table; everything after it is vocab-bounded —
+    * `wc` already carries each distinct word's corpus count, so token
+    * counts are a weighted explode with no SECOND corpus pass and no
+    * per-step passes. (Per-document tokenization at 100 TB is the same
+    * token table broadcast/equi-joined against the exploded corpus —
+    * the vocab-bounded table is the whole trick, both here and there.)
     */
   def tokenized(s: SparkSession, d: String): DataFrame = {
     val merges = mergesFor(s, d)

@@ -1162,9 +1162,10 @@ object LlmOps {
     // BPE tokenizer APPLY (§2.10 q7U): the corpus tokenized with q7T's
     // trained merges, as top-25 token frequencies. The merge list is
     // cached metadata (shared with q7T per session — the q7G/q7S cache
-    // shape), so applying is ONE vocab-bounded pass: all N greedy folds
-    // chain in a single projection and token counts are a wc-weighted
-    // explode — no corpus pass, no per-step jobs (see BpeTrain.tokenized).
+    // shape), so applying is one corpus scan to rebuild the weighted
+    // word table + ONE vocab-bounded pass: all N greedy folds chain in
+    // a single projection and token counts are a wc-weighted explode —
+    // no per-step jobs (see BpeTrain.tokenized).
     // Trainer-derived output → rows-only check; reference-tokenizer
     // parity in BpeTrainSpec.
     "q7U_bpe_tokenize" -> ((s, d) => BpeTrain.tokenized(s, d)),
@@ -1647,6 +1648,10 @@ object LlmOps {
       index: DataFrame, payload: Option[DataFrame] = None): DataFrame = {
     val lake = vectors(s, d)
     val v = payload.map(_
+        // the documented payload is lake ∪ landing-zone, which OVERLAPS
+        // while a compaction window is open — without the dedup a
+        // twice-present id would claim two of the five result slots
+        .dropDuplicates("vec_id")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("nsq", expr("graft_dot(e, e)"))
       ).getOrElse(lake)

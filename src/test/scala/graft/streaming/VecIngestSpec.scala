@@ -116,11 +116,21 @@ class VecIngestSpec extends AnyFunSuite {
       !lakeOnly.exists(_.getLong(1) == freshId))
 
     // WITH payload = lake ∪ landing: the fresh vector is query 0's top
-    // answer at sim 1.0 — ingest-time index freshness end-to-end
-    val got = VecIngest.search(spark, sf0001, url,
-        Some(lake.union(fresh)))
-      .filter(col("q_id") === 0).collect()
-    assert(got.length == 5)
+    // answer at sim 1.0 — ingest-time index freshness end-to-end. The
+    // payload OVERLAPS deliberately (half the lake appears twice, the
+    // open-compaction-window shape): a twice-present id must not claim
+    // two result slots
+    val overlapping = lake.union(fresh)
+      .union(lake.filter(col("vec_id") < 250))
+    val all = VecIngest.search(spark, sf0001, url, Some(overlapping))
+      .collect()
+    all.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ids = rows.map(_.getLong(1))
+      assert(ids.distinct.length == ids.length,
+        s"q=$q duplicated neighbors: ${ids.toSeq}")
+      assert(rows.length == 5)
+    }
+    val got = all.filter(_.getLong(0) == 0).sortBy(_.getInt(3))
     assert(got.head.getLong(1) == freshId, s"top=${got.head}")
     assert(got.head.getDouble(2) == 1.0)
   }
