@@ -232,8 +232,13 @@ object Scale {
     (recalls.sum / recalls.size, t)
   }
 
-  private def ann(s: SparkSession): Unit = {
-    for ((mult, nVec) <- Seq((1, 5000), (10, 50000))) {
+  private def ann(s: SparkSession, big: Boolean): Unit = {
+    // `big` adds the 100× point — a third decade for the recall table;
+    // its ground truth is still driver-computed (10 queries × 500k
+    // rounded cosines) and its K crosses into auto-ks' 256 cap
+    val scales = Seq((1, 5000), (10, 50000)) ++
+      (if (big) Seq((100, 500000)) else Nil)
+    for ((mult, nVec) <- scales) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
         LlmOps.release(s) // cold: the wall includes model/bucket build
@@ -431,7 +436,7 @@ object Scale {
       case "openvocab" => openvocab(s, big = args.contains("big"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
-      case "ann"       => ann(s)
+      case "ann"       => ann(s, big = args.contains("big"))
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s)
       case "ingest"    => ingest(s)
