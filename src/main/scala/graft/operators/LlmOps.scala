@@ -926,7 +926,7 @@ object LlmOps {
       val probes = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nsq").as("qn"),
-          explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
+          explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
         .select(col("q_id"), col("qe"), col("qn"),
           cidOfIdx(cents, col("pidx")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -1328,6 +1328,120 @@ object LlmOps {
   private def cidOfIdx(cents: Seq[IvfCent], idx: Column): Column =
     element_at(typedLit(cents.map(_.cid)), idx + 1)
 
+  /** Driver-side grouping of the K centroids into ≈√K super-groups —
+    * the two-level (hierarchical) assignment model. The centroids are
+    * MODEL METADATA (≤ maxK·dim doubles), so grouping them is a plain
+    * Scala Lloyd over ≤ 4096 points: deterministic seeds (first √K
+    * centroids in cid order), 3 refinements, squared-L2, ties toward
+    * the smaller group; empty groups drop. Per group: the member
+    * centroid vectors/norms (nested literals for the second
+    * `graft_ivf_top` hop) and their GLOBAL 0-based indices.
+    */
+  private case class IvfHier(supers: Seq[Seq[Double]], superCnsq: Seq[Double],
+      memberCe: Seq[Seq[Seq[Double]]], memberCnsq: Seq[Seq[Double]],
+      memberIdx: Seq[Seq[Int]])
+
+  private def hierOf(cents: Seq[IvfCent]): IvfHier = {
+    val k1 = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val pts = cents.map(_.ce)
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.size, b.size)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var supers = pts.take(k1)
+    def assignAll(): Seq[Int] =
+      pts.map { p =>
+        var best = Double.MaxValue; var bj = 0; var j = 0
+        while (j < supers.size) {
+          val d = d2(p, supers(j))
+          if (d < best) { best = d; bj = j }
+          j += 1
+        }
+        bj
+      }
+    for (_ <- 1 to 3) {
+      val a = assignAll()
+      supers = supers.indices.map { j =>
+        val mine = pts.indices.filter(a(_) == j)
+        if (mine.isEmpty) supers(j)
+        else {
+          val dim = pts.head.size
+          (0 until dim).map(t => mine.map(i => pts(i)(t)).sum / mine.size)
+        }
+      }
+    }
+    val a = assignAll()
+    val groups = (0 until supers.size)
+      .map(j => j -> pts.indices.filter(a(_) == j))
+      .filter(_._2.nonEmpty)
+    IvfHier(
+      supers = groups.map { case (j, _) => supers(j) },
+      superCnsq = groups.map { case (j, _) => supers(j).map(x => x * x).sum },
+      memberCe = groups.map(_._2.map(pts)),
+      memberCnsq = groups.map(_._2.map(i => cents(i).cnsq)),
+      memberIdx = groups.map(_._2.map(identity)))
+  }
+
+  /** Whether serving assignment/probing goes two-level at this K:
+    * `spark.graft.ivf.hier` = on | off | auto (default), auto switching
+    * on above `spark.graft.ivf.hierThreshold` (default 256) cells —
+    * below it the flat K·dim scan is already cheap and exact.
+    */
+  private[graft] def hierOn(s: SparkSession, k: Int): Boolean =
+    s.conf.get("spark.graft.ivf.hier", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case "auto" =>
+        k > s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ivf.hier must be on|off|auto, got $other")
+    }
+
+  /** Serving-side top-1 cell INDEX for `e` — the CORPUS-hot path. Flat:
+    * one K-way kernel scan (K·dim mults/row). Hierarchical: two chained
+    * `graft_ivf_top` hops (√K-way over the supers, then member-way
+    * inside the chosen group — the second hop's centroid argument is an
+    * `element_at` into a nested literal, which the kernel accepts as a
+    * plain column) ≈ 2√K·dim mults/row, the notch the measured 100×
+    * index-build wall called for (SCALING.md). Approximate at group
+    * boundaries (a vector whose true cell lives in a different super
+    * lands in the probed group's best cell); recall under the
+    * approximation is spec-pinned and Scale-measured. Training stays
+    * flat and exact — it is sample-bounded, and the model must not
+    * depend on its own serving shortcut.
+    */
+  private def ivfAssignIdx(s: SparkSession, cents: Seq[IvfCent],
+      e: Column): Column =
+    if (!hierOn(s, cents.size)) ivfTopIdx(cents, e, 1).getItem(0)
+    else {
+      val h = hierOf(cents)
+      val sidx = call_function("graft_ivf_top", e,
+        typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
+      val widx = call_function("graft_ivf_top", e,
+        element_at(typedLit(h.memberCe), sidx + 1),
+        element_at(typedLit(h.memberCnsq), sidx + 1), lit(1)).getItem(0)
+      element_at(element_at(typedLit(h.memberIdx), sidx + 1), widx + 1)
+    }
+
+  /** Serving-side probe indices (array of global centroid indices) for
+    * a QUERY vector — always the FLAT top-nprobe ranking. Probing never
+    * needed the two-level notch: its cost is |queries|·K·dim (queries ≪
+    * corpus), and a measured attempt at hierarchical probing collapsed
+    * 100× clustered recall 1.00 → 0.58 — on clustered data the true
+    * nearest cells concentrate inside ONE super-group, so any per-super
+    * truncation caps the effective nprobe at a fraction of its value.
+    * The asymmetry is deliberate and load-bearing: the corpus side
+    * (assignment) is approximate-and-cheap, the query side (probing)
+    * exact-and-complete, so a boundary-misassigned vector still meets
+    * its queries as long as its assigned cell ranks within the flat
+    * top-nprobe.
+    */
+  private def ivfProbeIdx(s: SparkSession, cents: Seq[IvfCent],
+      e: Column): Column =
+    ivfTopIdx(cents, e, ivfNProbe(cents.size))
+
   private def ivfCid(cents: Seq[IvfCent], e: Column): Column =
     cidOfIdx(cents, ivfTopIdx(cents, e, 1).getItem(0))
 
@@ -1389,7 +1503,9 @@ object LlmOps {
   def ivfModel(s: SparkSession, d: String): (Seq[IvfCent], DataFrame) = {
     val v = vectors(s, d)
     def index(cents: Seq[IvfCent]): DataFrame =
-      v.select(ivfCid(cents, col("e")).as("cid"),
+      // serving index: hier-aware assignment (the corpus-hot n·K·dim
+      // path the two-level notch exists for); training below stays flat
+      v.select(cidOfIdx(cents, ivfAssignIdx(s, cents, col("e"))).as("cid"),
         col("vec_id").as("n_id"), col("e").as("ne"), col("nsq").as("nn"))
     // every conf the model depends on is part of the cache key: a spec
     // (or a server session) that retunes any of them must get a
@@ -1491,7 +1607,7 @@ object LlmOps {
   }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(Long, String, Long, Int, Int, Int, Int, Int), PqModel]
+    .empty[(Long, String, Long, Int, Int, Int, Int, Int, Boolean), PqModel]
 
   /** The IVF-ADC residual column: `e − cents(pidx)` through the
     * codegen'd `graft_vec_sub` kernel, where `pidx` is the row's
@@ -1551,17 +1667,20 @@ object LlmOps {
     // session that retunes the coarse quantizer retrains the PQ
     val ivfK = s.conf.get("spark.graft.ivf.k", "0").toInt
     val ivfMaxK = s.conf.get("spark.graft.ivf.maxK", "4096").toInt
-    val cacheKey =
-      (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs, ivfK, ivfMaxK)
+    val (cents, _) = ivfModel(s, d)
+    // the hier decision changes the training residual distribution
+    // (group-boundary assignments differ), so it joins the key too
+    val cacheKey = (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs,
+      ivfK, ivfMaxK, hierOn(s, cents.size))
     val cached = pqCache.get(cacheKey)
     if (cached.isDefined) return cached.get
-    val (cents, _) = ivfModel(s, d)
     val (n, raw) = trainCorpus(s, d, v, sampleLimit)
     // IVF-ADC: quantize the residual vs the row's coarse centroid, not
-    // the raw vector (see the scaladoc for the measured collapse)
+    // the raw vector (see the scaladoc for the measured collapse). The
+    // assignment is hier-aware to match SERVING — the codebooks must
+    // train on the same residual distribution pqEncodeRows produces
     val train = raw.select(col("vec_id"),
-      residCol(cents, col("e"),
-        ivfTopIdx(cents, col("e"), 1).getItem(0)).as("e"))
+      residCol(cents, col("e"), ivfAssignIdx(s, cents, col("e"))).as("e"))
     val ks = math.max(2L, math.min(n,
       if (ksConf > 0) ksConf.toLong
       else math.min(maxKs.toLong,
@@ -1616,7 +1735,7 @@ object LlmOps {
   private[graft] def pqEncodeRows(df: DataFrame,
       cents: Seq[IvfCent], pq: PqModel): DataFrame =
     df.select(col("vec_id"), col("nsq"), col("e"),
-        ivfTopIdx(cents, col("e"), 1).getItem(0).as("pidx"))
+        ivfAssignIdx(df.sparkSession, cents, col("e")).as("pidx"))
       .select(col("vec_id"),
         cidOfIdx(cents, col("pidx")).as("cid"),
         call_function("graft_pq_enc",
@@ -1664,7 +1783,7 @@ object LlmOps {
     val probes = lake.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nsq").as("qn"),
-        explode(ivfTopIdx(cents, col("e"), ivfNProbe(cents.size))).as("pidx"))
+        explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
       .select(col("q_id"), col("qe"), col("qn"),
         cidOfIdx(cents, col("pidx")).as("cid"),
         call_function("graft_dot", col("qe"),

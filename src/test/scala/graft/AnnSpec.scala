@@ -193,6 +193,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q7G/q7S recall floors hold with hierarchical assignment forced on") {
+    // the two-level serving path (√K supers → within-group scan) is
+    // approximate at group boundaries; at 100 TB it is the index-build
+    // notch (auto above spark.graft.ivf.hierThreshold). Forcing it ON
+    // at fixture K (~22, normally flat) must keep both recall floors
+    // and the sims-exactness contract — the rerank is hier-independent.
+    spark.conf.set("spark.graft.ivf.hier", "on")
+    try {
+      val g = avgRecall("q7G_ann_ivf")
+      assert(g >= 0.45, s"hier q7G avg recall@5 = $g")
+      val sOut = SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001).collect()
+      sOut.foreach { r =>
+        assert(r.getDouble(2) == cosine(vecs(r.getLong(0)), vecs(r.getLong(1))))
+      }
+      val sRec = avgRecall("q7S_ann_ivfpq")
+      assert(sRec >= 0.40, s"hier q7S avg recall@5 = $sRec")
+    } finally spark.conf.unset("spark.graft.ivf.hier")
+  }
+
   test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
     val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
