@@ -231,6 +231,7 @@ object LlmOps {
     ivfCache.keys.filter(_._1 == key).foreach(ivfCache.remove)
     pqCache.keys.filter(_._1 == key).foreach(pqCache.remove)
     trainNCache.keys.filter(_._1 == key).foreach(trainNCache.remove)
+    hierCache.keys.filter(_._1 == key).foreach(hierCache.remove)
     BpeTrain.release(key) // the q7T/q7U shared merge list
   }
 
@@ -926,7 +927,7 @@ object LlmOps {
       val probes = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nsq").as("qn"),
-          explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
+          explode(ivfProbeIdx(cents, col("e"))).as("pidx"))
         .select(col("q_id"), col("qe"), col("qn"),
           cidOfIdx(cents, col("pidx")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -1341,18 +1342,40 @@ object LlmOps {
       memberCe: Seq[Seq[Seq[Double]]], memberCnsq: Seq[Seq[Double]],
       memberIdx: Seq[Seq[Int]])
 
+  /** Memoized per (session, model): hierOf is a pure function of the
+    * centroids but costs a driver Lloyd over up to maxK points, and one
+    * q7S build reaches assignment from three places (coarse index, PQ
+    * training, encode). Structural-equality key (hashing K·dim doubles
+    * per lookup is cheap next to recomputing); cleared in [[release]].
+    */
+  private val hierCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Seq[IvfCent]), IvfHier]
+
+  private def hierFor(s: SparkSession, cents: Seq[IvfCent]): IvfHier =
+    hierCache.getOrElseUpdate((sessionKey(s), cents), hierOf(cents))
+
   private def hierOf(cents: Seq[IvfCent]): IvfHier = {
     val k1 = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
     val pts = cents.map(_.ce)
+    // grouping runs in the SERVING metric's space: the first hop ranks
+    // supers by dot(e, s)/‖s‖ — scale-invariant in s, direction-only —
+    // so centroids group on their UNIT vectors (spherical k-means; L2
+    // on unit vectors orders like cosine) and a super represents its
+    // group's mean direction. Grouping by raw L2 instead would let
+    // norm-heterogeneous centroid sets route vectors to the wrong super.
+    val unit = pts.map { p =>
+      val n = math.sqrt(p.map(x => x * x).sum)
+      if (n > 0) p.map(_ / n) else p
+    }
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.size, b.size)
       while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    var supers = pts.take(k1)
+    var supers = unit.take(k1)
     def assignAll(): Seq[Int] =
-      pts.map { p =>
+      unit.map { p =>
         var best = Double.MaxValue; var bj = 0; var j = 0
         while (j < supers.size) {
           val d = d2(p, supers(j))
@@ -1361,16 +1384,26 @@ object LlmOps {
         }
         bj
       }
+    def repair(sup: Seq[Seq[Double]], a: Seq[Int]): Seq[Seq[Double]] =
+      // a near-zero-norm super (mean of opposing directions) would make
+      // the kernel's dot/√cnsq score blow up or go NaN (and NaN ranks
+      // LARGEST under its total order — every row would route there):
+      // repair to the group's first member direction
+      sup.indices.map { j =>
+        val s0 = sup(j)
+        if (s0.map(x => x * x).sum > 1e-12) s0
+        else unit(a.indexOf(j).max(0))
+      }
     for (_ <- 1 to 3) {
       val a = assignAll()
-      supers = supers.indices.map { j =>
-        val mine = pts.indices.filter(a(_) == j)
+      supers = repair(supers.indices.map { j =>
+        val mine = unit.indices.filter(a(_) == j)
         if (mine.isEmpty) supers(j)
         else {
-          val dim = pts.head.size
-          (0 until dim).map(t => mine.map(i => pts(i)(t)).sum / mine.size)
+          val dim = unit.head.size
+          (0 until dim).map(t => mine.map(i => unit(i)(t)).sum / mine.size)
         }
-      }
+      }, a)
     }
     val a = assignAll()
     val groups = (0 until supers.size)
@@ -1381,7 +1414,7 @@ object LlmOps {
       superCnsq = groups.map { case (j, _) => supers(j).map(x => x * x).sum },
       memberCe = groups.map(_._2.map(pts)),
       memberCnsq = groups.map(_._2.map(i => cents(i).cnsq)),
-      memberIdx = groups.map(_._2.map(identity)))
+      memberIdx = groups.map(_._2))
   }
 
   /** Whether serving assignment/probing goes two-level at this K:
@@ -1394,7 +1427,10 @@ object LlmOps {
       case "on"  => true
       case "off" => false
       case "auto" =>
-        k > s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+        val t = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+        require(t > 0,
+          s"spark.graft.ivf.hierThreshold must be positive, got $t")
+        k > t
       case other => throw new IllegalArgumentException(
         s"spark.graft.ivf.hier must be on|off|auto, got $other")
     }
@@ -1416,7 +1452,7 @@ object LlmOps {
       e: Column): Column =
     if (!hierOn(s, cents.size)) ivfTopIdx(cents, e, 1).getItem(0)
     else {
-      val h = hierOf(cents)
+      val h = hierFor(s, cents)
       val sidx = call_function("graft_ivf_top", e,
         typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
       val widx = call_function("graft_ivf_top", e,
@@ -1438,8 +1474,7 @@ object LlmOps {
     * its queries as long as its assigned cell ranks within the flat
     * top-nprobe.
     */
-  private def ivfProbeIdx(s: SparkSession, cents: Seq[IvfCent],
-      e: Column): Column =
+  private def ivfProbeIdx(cents: Seq[IvfCent], e: Column): Column =
     ivfTopIdx(cents, e, ivfNProbe(cents.size))
 
   private def ivfCid(cents: Seq[IvfCent], e: Column): Column =
@@ -1607,7 +1642,7 @@ object LlmOps {
   }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(Long, String, Long, Int, Int, Int, Int, Int, Boolean), PqModel]
+    .empty[(Long, String, Long, Int, Int, Int, Int, Int, String, Int), PqModel]
 
   /** The IVF-ADC residual column: `e − cents(pidx)` through the
     * codegen'd `graft_vec_sub` kernel, where `pidx` is the row's
@@ -1667,13 +1702,18 @@ object LlmOps {
     // session that retunes the coarse quantizer retrains the PQ
     val ivfK = s.conf.get("spark.graft.ivf.k", "0").toInt
     val ivfMaxK = s.conf.get("spark.graft.ivf.maxK", "4096").toInt
-    val (cents, _) = ivfModel(s, d)
     // the hier decision changes the training residual distribution
-    // (group-boundary assignments differ), so it joins the key too
+    // (group-boundary assignments differ), so its RAW confs join the
+    // key — raw, not resolved, so the warm-cache hit stays a TrieMap
+    // get with no ivfModel call (the resolution is a pure function of
+    // the other key fields anyway: K is determined by them)
+    val hierMode = s.conf.get("spark.graft.ivf.hier", "auto")
+    val hierT = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
     val cacheKey = (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs,
-      ivfK, ivfMaxK, hierOn(s, cents.size))
+      ivfK, ivfMaxK, hierMode, hierT)
     val cached = pqCache.get(cacheKey)
     if (cached.isDefined) return cached.get
+    val (cents, _) = ivfModel(s, d)
     val (n, raw) = trainCorpus(s, d, v, sampleLimit)
     // IVF-ADC: quantize the residual vs the row's coarse centroid, not
     // the raw vector (see the scaladoc for the measured collapse). The
@@ -1783,7 +1823,7 @@ object LlmOps {
     val probes = lake.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nsq").as("qn"),
-        explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
+        explode(ivfProbeIdx(cents, col("e"))).as("pidx"))
       .select(col("q_id"), col("qe"), col("qn"),
         cidOfIdx(cents, col("pidx")).as("cid"),
         call_function("graft_dot", col("qe"),
