@@ -1171,6 +1171,62 @@ object LlmOps {
     // parity in BpeTrainSpec.
     "q7U_bpe_tokenize" -> ((s, d) => BpeTrain.tokenized(s, d)),
 
+    // unigram-LM quality score (§2.10 q7V): the LM-perplexity quality
+    // filter (Wenzek et al., CCNet) re-expressed with a corpus-trained
+    // unigram model — per doc, the mean cross-entropy -ln p(w) of its
+    // tokens under corpus unigram frequencies. Rare-token soup scores
+    // HIGH, boilerplate scores LOW; published pipelines keep the middle
+    // of the distribution. CCNet's KenLM 5-gram becomes the fully
+    // distributed vocab-bounded analog: token counting collapses to
+    // (doc, token, tf) FIRST (the q7O two-level shape — the exchange
+    // carries distinct pairs, never raw token volume), the frequency
+    // table is a vocab-bounded agg joined back on the token, and the
+    // corpus total is a 1-row broadcast. ROUND(…,4) on the one double
+    // aggregate per §7.4.3.
+    "q7V_quality_unigram_ce" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+      val freq = tf.groupBy("w").agg(sum(col("tf")).as("c"))
+      val total = freq.agg(sum(col("c")).as("n"))
+      tf.join(freq, "w").crossJoin(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          round(sum(col("tf") * -log(col("c") / col("n"))) /
+            sum(col("tf")), 4).as("ce_nats"))
+        .orderBy(col("ce_nats").desc, col("doc_id"))
+        .limit(25)
+    }),
+
+    // duplicated-span coverage (§2.10 q7W): the per-document substring-
+    // dedup SIGNAL (Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better") — what fraction of a doc's word-3-shingle
+    // spans also occurs in some OTHER document. q7N answers "which PAIRS
+    // are near-dups"; this answers "how much of THIS doc exists
+    // elsewhere" — the score that drops boilerplate-heavy docs even when
+    // no single pair crosses the Jaccard threshold. Reuses the cached
+    // sorted-shingle table (shared with q7A/q7N/q7P); doc frequency
+    // aggregates DISTINCT (doc, shingle) pairs (shingled() is per-doc
+    // distinct, so count(*) per shingle IS its doc frequency), and the
+    // join back is one equi-join on the shingle — never all-pairs.
+    // All-integer output (§7.4.3).
+    "q7W_dedup_spans" -> ((s, d) => {
+      val tok = shingled(s, d).filter(size(col("shingles")) >= 1)
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+      val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+      tok.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_bp", expr("(n_dup * 10000L) div n_shingles"))
+        .select("doc_id", "n_shingles", "n_dup", "dup_bp")
+        .orderBy(col("dup_bp").desc, col("doc_id"))
+        .limit(25)
+    }),
+
     // near-dup CLUSTERS (§2.10 q7R): connected components over the
     // exact Jaccard pair graph ([[jaccardPairs]]) — the step that turns
     // pairwise matches into dedup groups (keep one representative per
@@ -2119,6 +2175,33 @@ object LlmOps {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
         |SELECT rep, CAST(count(*) AS BIGINT) AS n_members FROM (
         |  SELECT id, min(r) AS rep FROM reach GROUP BY id)
-        |GROUP BY rep ORDER BY rep""".stripMargin
+        |GROUP BY rep ORDER BY rep""".stripMargin,
+    "q7V_quality_unigram_ce" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, w, count(*) AS tf FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |freq AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+        |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * -ln(c / n)) / sum(tf), 4) AS ce_nats
+        |FROM tf JOIN freq USING (w) CROSS JOIN n
+        |GROUP BY doc_id, lang
+        |ORDER BY ce_nats DESC, doc_id LIMIT 25""".stripMargin,
+    "q7W_dedup_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(3, len(t) + 1),
+        |           i -> t[i - 2] || ' ' || t[i - 1] || ' ' || t[i])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) >= 1),
+        |dfreq AS (SELECT g, count(*) AS df FROM tok GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // count(*)
+        |    AS BIGINT) AS dup_bp
+        |FROM tok JOIN dfreq USING (g)
+        |GROUP BY doc_id
+        |ORDER BY dup_bp DESC, doc_id LIMIT 25""".stripMargin
   )
 }

@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 101) // 91 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T + q7U (SURVEY.md §7.5)
+    assert(qs.size == 103) // 93 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T + q7U (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
@@ -279,5 +279,57 @@ class OperatorSpec extends AnyFunSuite {
     // in the first 50, en (weight 4/10) must dominate but not monopolize
     val en50 = got.take(50).count(_.getString(1) == "en")
     assert(en50 >= 15 && en50 <= 35, s"en in first 50: $en50")
+  }
+
+  // §2.10 q7V — per-doc cross-entropy recomputed with an independent
+  // plain-Scala unigram model over the collected corpus
+  test("q7V_quality_unigram_ce matches a plain Scala unigram model") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val freq = docs.values.flatten.toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum.toDouble
+    val got = SparkEntry.queries("q7V_quality_unigram_ce")(spark, sf0001)
+      .collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getLong(2) == toks.size.toLong)
+      val want = toks.map(w => -math.log(freq(w) / total)).sum / toks.size
+      assert(math.abs(r.getDouble(3) - want) < 1e-3,
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} vs $want")
+    }
+    val scores = got.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted(Ordering[Double].reverse),
+      "rows must arrive worst (highest CE) first")
+  }
+
+  // §2.10 q7W — duplicated-span coverage recomputed exactly (integers)
+  test("q7W_dedup_spans matches a plain Scala duplicated-shingle count") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ")
+        val sh = (0 to t.length - 3)
+          .map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+        r.getLong(0) -> sh
+      }.toMap
+    val df = docs.values.flatten.toSeq.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("q7W_dedup_spans")(spark, sf0001).collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val sh = docs(r.getLong(0))
+      val nDup = sh.count(g => df(g) >= 2).toLong
+      assert(r.getLong(1) == sh.size.toLong)
+      assert(r.getLong(2) == nDup)
+      assert(r.getLong(3) == nDup * 10000L / sh.size)
+    }
+    // and the 25 rows are exactly the true top-25 by (dup_bp desc, doc_id)
+    val want = docs.toSeq.filter(_._2.nonEmpty).map { case (id, sh) =>
+      (sh.count(g => df(g) >= 2).toLong * 10000L / sh.size, id)
+    }.sortBy { case (bp, id) => (-bp, id) }.take(25).map(_._2)
+    assert(got.map(_.getLong(0)).toSeq == want)
   }
 }
