@@ -46,20 +46,52 @@ object Bench {
     // same plans on the same data). SPARK_GRAFT_PASSES overrides.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     var failures = Set.empty[String]
-    val timed = (1 to passes).map { _ =>
+    // Per-query environment deltas alongside the wall time (VERDICT r9
+    // task 1: the full-sweep inflation must be diagnosed with data, not
+    // argued): GC time from the JVM beans (local mode — driver IS every
+    // executor, so this is total GC), persisted-storage footprint from
+    // getRDDStorageInfo, and heap-in-use. Written per PASS (not min) to
+    // target/bench_diag.json — a pass-1-vs-pass-2 asymmetry or a
+    // GC-spike-under-storage-high-water row is exactly the evidence the
+    // committed min-of-2 line hides.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0)); t
+    }
+    def storageMb: (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20)
+    }
+    def heapMb: Long =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    val diag = collection.mutable.ArrayBuffer.empty[String]
+    val timed = (1 to passes).map { pass =>
       // cold-start each pass for the q76/q77 shared persisted sim table:
       // otherwise pass 2's q76 is a cache hit and the min hides the
       // O(n²) build cost entirely
       graft.operators.LlmOps.release(spark)
       names.map { name =>
+        val gc0 = gcMs
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           failures += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (memMb, diskMb) = storageMb
+        diag += s"""{"pass":$pass,"q":"$name","sec":${math.round(sec * 1000) / 1000.0},""" +
+          s""""gc_ms":${gcMs - gc0},"store_mb":$memMb,"store_disk_mb":$diskMb,"heap_mb":$heapMb}"""
+        name -> sec
       }.toMap
+    }
+    try {
+      val dout = java.nio.file.Paths.get("target", "bench_diag.json")
+      java.nio.file.Files.createDirectories(dout.getParent)
+      java.nio.file.Files.write(dout,
+        (diag.mkString("", "\n", "\n")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] target/bench_diag.json write failed: ${e.getMessage}")
     }
     val results = names.map(n => n -> timed.map(_(n)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

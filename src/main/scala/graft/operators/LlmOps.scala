@@ -138,39 +138,64 @@ object LlmOps {
     }
   }
 
-  /** Per-key holder for a persisted DataFrame: the holder's own monitor
-    * serializes `build` against concurrent first accesses AND against
-    * [[release]]'s unpersist — a PER-(session, sfDir) lock, so one
-    * session's multi-second jaccard/cc materialization never blocks a
-    * DIFFERENT session's (or sfDir's) access to the same cache (ADVICE
-    * r8: the previous per-cache lock was a liveness regression for
-    * multi-session servers). Losing `putIfAbsent` racers discard an
-    * UN-evaluated thunk, and a holder invalidated before its first
-    * build starts refuses to persist (the `dead` tombstone), so nothing
-    * is ever left persisted without a handle in the map.
+  /** Per-key holder for a persisted DataFrame. The holder's monitor
+    * guards only the brief STATE TRANSITIONS — claim-the-build, publish,
+    * fail — never the multi-second build/materialization itself (ADVICE
+    * r9: q7N's `out.count()` ran under this monitor, so any other thread
+    * touching the same key — including [[invalidate]] — blocked for the
+    * whole Spark job; one stuck build was a liveness hazard for a
+    * multi-session server). The first caller claims `building` and runs
+    * `build` with NO lock held; later callers of the same key wait on
+    * the monitor (the work should happen once, not per caller) and are
+    * woken at publish. A FAILED build wakes waiters with `built` still
+    * empty, so the next caller retries — same retry semantics the
+    * monitor-held version had.
+    *
+    * [[invalidate]] no longer waits for an in-flight build: it marks the
+    * holder `dead` and unpersists whatever is published. A build that
+    * lands after that sees the tombstone, unpersists its own result and
+    * hands the caller a correct-but-uncached DataFrame — so nothing is
+    * ever left persisted without a handle in the map, the same
+    * no-leak invariant as before but without the blocking.
     */
   private[graft] final class Cached(build: () => DataFrame) {
     private var built: Option[DataFrame] = None
+    private var building = false
     private var dead = false
-    def get: DataFrame = synchronized {
-      built match {
+    def get: DataFrame = {
+      val ready = synchronized {
+        while (building) wait()
+        if (built.isEmpty) building = true
+        built
+      }
+      ready match {
         case Some(df) => df
         case None =>
-          val df = build()
-          // A release() can race the FIRST access: remove-from-map then
-          // invalidate() can both run before the winner of putIfAbsent
-          // reaches get, and the build would then persist a DataFrame no
-          // handle can ever unpersist. invalidate() leaves a tombstone
-          // for exactly that window; a post-mortem build hands the
-          // caller a correct but unpersisted result and caches nothing.
-          if (dead) df.unpersist(blocking = false) else built = Some(df)
-          df
+          var published: DataFrame = null
+          try {
+            val df = build()
+            synchronized {
+              building = false
+              // A release() can race the FIRST access: remove-from-map
+              // then invalidate() can both run before the winner of
+              // putIfAbsent reaches get, and the build would then persist
+              // a DataFrame no handle can ever unpersist. invalidate()
+              // leaves a tombstone for exactly that window; a post-mortem
+              // build hands the caller a correct but unpersisted result
+              // and caches nothing.
+              if (dead) df.unpersist(blocking = false) else built = Some(df)
+              notifyAll()
+            }
+            published = df
+          } finally {
+            if (published == null) synchronized { building = false; notifyAll() }
+          }
+          published
       }
     }
-    /** Blocks until any in-flight build lands, then unpersists it — the
-      * release-vs-first-access invariant the old per-cache lock gave,
-      * now scoped to this key alone. Also marks the holder dead so a
-      * build that has not STARTED yet cannot leak its persist (see get).
+    /** Unpersists the published result (if any) and marks the holder
+      * dead so a build in flight — or not yet started — cannot leak its
+      * persist (see get). Does NOT block on an in-flight build.
       */
     def invalidate(): Unit = synchronized {
       dead = true
@@ -216,10 +241,11 @@ object LlmOps {
     */
   def release(s: SparkSession): Unit = {
     val key = sessionKey(s)
-    // invalidate() takes each key's own build monitor, so a release
-    // racing a first access waits for that build to land and then
-    // unpersists it (nothing leaks until session end) — without holding
-    // any lock that another session's keys build under
+    // invalidate() marks each removed holder dead and unpersists what
+    // it published; a build still in flight sees the tombstone and
+    // unpersists its own result when it lands (nothing leaks until
+    // session end) — release never waits on a running Spark job and
+    // never holds a lock another session's keys build under
     Seq(simCache, shingleCache, jaccardCache, ccCache).foreach { c =>
       c.keys.filter(_._1 == key).foreach { k =>
         c.remove(k).foreach(_.invalidate())

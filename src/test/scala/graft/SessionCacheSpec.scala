@@ -75,4 +75,61 @@ class SessionCacheSpec extends AnyFunSuite {
     h2.invalidate()
     assert(df2.storageLevel == StorageLevel.NONE)
   }
+
+  test("the monitor is not held across a build: invalidate() stays live") {
+    import org.apache.spark.storage.StorageLevel
+    // ADVICE r9: q7N's materialization ran under the holder monitor, so
+    // a release() racing an in-flight multi-second build blocked for the
+    // whole Spark job. Replayed at the holder level: a builder parked
+    // mid-build must not hold the monitor — invalidate() returns
+    // promptly and the late-landing build cleans up after itself.
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val df = spark.range(3).toDF("n")
+    val holder = new LlmOps.Cached({ () =>
+      started.countDown()
+      assert(gate.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    })
+    @volatile var got: org.apache.spark.sql.DataFrame = null
+    val builder = new Thread(() => got = holder.get)
+    builder.start()
+    started.await()
+    val t0 = System.nanoTime()
+    holder.invalidate() // must NOT wait for the parked build
+    assert(System.nanoTime() - t0 < 5000000000L,
+      "invalidate() blocked on an in-flight build")
+    gate.countDown()
+    builder.join(30000)
+    assert(!builder.isAlive)
+    assert(got.collect().length == 3)
+    assert(df.storageLevel == StorageLevel.NONE,
+      "a build landing after invalidate() must not stay persisted")
+  }
+
+  test("a failed build wakes waiters; the next access retries once") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val holder = new LlmOps.Cached({ () =>
+      if (attempts.incrementAndGet() == 1) sys.error("first build fails")
+      spark.range(2).toDF("n")
+    })
+    intercept[RuntimeException](holder.get)
+    assert(holder.get.count() == 2)
+    assert(attempts.get == 2)
+  }
+
+  test("concurrent first accesses run the build exactly once") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val holder = new LlmOps.Cached({ () =>
+      builds.incrementAndGet(); Thread.sleep(100); spark.range(4).toDF("n")
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = holder.get.count()
+      }))
+      assert(futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).forall(_ == 4))
+      assert(builds.get == 1, "waiters must reuse the claimed build, not redo it")
+    } finally pool.shutdownNow()
+  }
 }
