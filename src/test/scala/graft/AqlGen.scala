@@ -53,9 +53,17 @@ object AqlGen {
       } yield Bin(op, l, r)),
       1 -> boolExprG(depth - 1).map(Un("!", _)))
 
-  val aggG: Gen[Expr] = Gen.oneOf(
-    Gen.oneOf("SUM", "MIN", "MAX", "AVG").flatMap(f => numPathG.map(p => Call(f, Seq(p)))),
-    Gen.const(Call("COUNT", Seq(Path(Nil)))))
+  val aggG: Gen[Expr] = Gen.frequency(
+    3 -> Gen.oneOf("SUM", "MIN", "MAX", "AVG").flatMap(f => numPathG.map(p => Call(f, Seq(p)))),
+    // aggregates over DERIVED expressions (r10 widening): both lowerings
+    // accept any numeric expr as the aggregate argument, so fuzz that —
+    // depth 1, envelope-only (aggSql rejects JSON paths in aggregates)
+    1 -> (for {
+      f <- Gen.oneOf("SUM", "MIN", "MAX", "AVG")
+      op <- Gen.oneOf("+", "-", "*")
+      l <- numPathG; r <- Gen.oneOf(numPathG, numLitG)
+    } yield Call(f, Seq(Bin(op, l, r)))),
+    1 -> Gen.const(Call("COUNT", Seq(Path(Nil)))))
 
   // CASE arms share one value type (mixed string/numeric arms would be an
   // analysis error, and the generator stays well-typed by construction)
@@ -80,7 +88,10 @@ object AqlGen {
     h1 <- numExprG(0)
   } yield Interp(Seq(p0, p1, p2), Seq(h0, h1))
 
-  // subQuery filters: the two supported shapes (scalar-compare and IN)
+  // subQuery filters: the three supported shapes — uncorrelated
+  // scalar-compare, IN, and (r10 widening) the q69 CORRELATED
+  // scalar-compare with a `^.k = _.k` conjunct (plus an optional
+  // residual inner filter), now that AqlSql renders correlation
   val subFilterG: Gen[Expr] = Gen.oneOf(
     for {
       op <- Gen.oneOf(">", "<", ">=", "<=")
@@ -93,7 +104,25 @@ object AqlGen {
       from <- tagExprG(1)
       f <- Gen.option(boolExprG(0))
     } yield Bin("IN", Path(Seq("user_id")),
-      SubQuery(Query(from, f, Seq(Path(Seq("user_id"))), Nil))))
+      SubQuery(Query(from, f, Seq(Path(Seq("user_id"))), Nil))),
+    for {
+      op <- Gen.oneOf(">", "<", ">=", "<=")
+      lhs <- numPathG
+      fn <- Gen.oneOf("AVG", "MIN", "MAX", "SUM", "COUNT")
+      from <- tagExprG(1)
+      key <- Gen.oneOf("user_id", "event_type")
+      flip <- Gen.oneOf(true, false) // both correlation spellings parse
+      residual <- Gen.option(boolExprG(0))
+    } yield {
+      val corr: Expr =
+        if (flip) Bin("=", Path(Seq(key)), OuterPath(Seq(key)))
+        else Bin("=", OuterPath(Seq(key)), Path(Seq(key)))
+      val filt = residual.fold(corr)(r => Bin("&", corr, r))
+      val agg =
+        if (fn == "COUNT") Call("COUNT", Seq(Path(Nil)))
+        else Call(fn, Seq(Path(Seq("value"))))
+      Bin(op, lhs, SubQuery(Query(from, Some(filt), Nil, Seq(agg))))
+    })
 
   val queryG: Gen[Query] = for {
     from <- tagExprG(2)
