@@ -1533,14 +1533,49 @@ object LlmOps {
   private def ivfAssignIdx(s: SparkSession, cents: Seq[IvfCent],
       e: Column): Column =
     if (!hierOn(s, cents.size)) ivfTopIdx(cents, e, 1).getItem(0)
-    else {
-      val h = hierFor(s, cents)
-      val sidx = call_function("graft_ivf_top", e,
-        typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
-      val widx = call_function("graft_ivf_top", e,
-        element_at(typedLit(h.memberCe), sidx + 1),
-        element_at(typedLit(h.memberCnsq), sidx + 1), lit(1)).getItem(0)
-      element_at(element_at(typedLit(h.memberIdx), sidx + 1), widx + 1)
+    else hierAssignIdx(s, cents, e)
+
+  /** The two-hop assignment body, shared by serving (above, behind the
+    * SERVING switch) and the Lloyd-step TRAINING assignment (behind
+    * [[trainHierOn]]'s separate switch) — same approximation, two
+    * independently-keyed decisions.
+    */
+  private def hierAssignIdx(s: SparkSession, cents: Seq[IvfCent],
+      e: Column): Column = {
+    val h = hierFor(s, cents)
+    val sidx = call_function("graft_ivf_top", e,
+      typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
+    val widx = call_function("graft_ivf_top", e,
+      element_at(typedLit(h.memberCe), sidx + 1),
+      element_at(typedLit(h.memberCnsq), sidx + 1), lit(1)).getItem(0)
+    element_at(element_at(typedLit(h.memberIdx), sidx + 1), widx + 1)
+  }
+
+  /** Whether the coarse quantizer's LLOYD STEPS assign training rows
+    * two-level: `spark.graft.ivf.trainAssign` = flat | hier | auto
+    * (default), auto switching on above the same
+    * `spark.graft.ivf.hierThreshold` as serving. This is the r10
+    * coarse-TRAINING notch the measured 100× wall called for
+    * (SCALING.md: ~95 % of the 241 s q7G wall was the flat n·K·dim
+    * Lloyd scans): a two-level step costs ≈ 2√K·dim mults/row instead
+    * of K·dim, and the mean update is unchanged (exact means of the
+    * approximate assignment — standard hierarchical k-means). A
+    * SEPARATE switch from serving on purpose: the model must be a pure
+    * function of data + TRAINING confs (all in the model cache key),
+    * never of how a given session chooses to serve it — the measured
+    * rule from the r9 probing collapse (e518a07).
+    */
+  private[graft] def trainHierOn(s: SparkSession, k: Int): Boolean =
+    s.conf.get("spark.graft.ivf.trainAssign", "auto") match {
+      case "flat" => false
+      case "hier" => true
+      case "auto" =>
+        val t = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+        require(t > 0,
+          s"spark.graft.ivf.hierThreshold must be positive, got $t")
+        k > t
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ivf.trainAssign must be flat|hier|auto, got $other")
     }
 
   /** Serving-side probe indices (array of global centroid indices) for
@@ -1580,7 +1615,7 @@ object LlmOps {
     * cached value is K·dim doubles.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int), Seq[IvfCent]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int, String, Int), Seq[IvfCent]]
 
   /** Training input under the sample budget: `(corpus size n, training
     * frame)`. The LIMIT-probe avoids a full-corpus count in the
@@ -1639,15 +1674,20 @@ object LlmOps {
     // corpus (nprobe·n/K ≈ √K·√n) grow only as √n — a fixture trains
     // ~20 cells and a 10⁹-vector corpus ~31k, capped by
     // spark.graft.ivf.maxK because assignment cost is K·dim mults per
-    // row against the driver-resident literal (the declared trade of
-    // the flat MLlib-KMeans coarse quantizer; past the cap, cells grow
-    // linearly again and the next notch is a hierarchical quantizer).
+    // row against the driver-resident literal (2√K·dim once the
+    // two-level notches engage above hierThreshold — serving r9,
+    // training r10; past the cap, cells grow linearly again).
     // An explicit spark.graft.ivf.k pins K for reproducibility/specs.
     val kConf = s.conf.get("spark.graft.ivf.k", "0").toInt
     val maxK = s.conf.get("spark.graft.ivf.maxK", "4096").toInt
     require(kConf >= 0, s"spark.graft.ivf.k must be >= 0 (0 = auto), got $kConf")
     require(maxK > 0, s"spark.graft.ivf.maxK must be positive, got $maxK")
-    val cacheKey = (sessionKey(s), d, sampleLimit, kConf, maxK)
+    // the TRAINING-assignment confs shape the centroids themselves
+    // (group-boundary assignments move means), so their RAW values join
+    // the key — same convention as pqModel's hier keying
+    val trainAssign = s.conf.get("spark.graft.ivf.trainAssign", "auto")
+    val hierT = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+    val cacheKey = (sessionKey(s), d, sampleLimit, kConf, maxK, trainAssign, hierT)
     val cached = ivfCache.get(cacheKey)
     if (cached.isDefined) return (cached.get, index(cached.get))
     // Training input: the full corpus while it fits the sample budget;
@@ -1681,8 +1721,14 @@ object LlmOps {
         IvfCent(i + 1, e, e.map(x => x * x).sum)
       }
     for (_ <- 1 to IvfLloydSteps) {
-      // per-(cell, dim) mean: one scan, map-side partial agg, K·dim groups
-      val means = train.select(ivfCid(cents, col("e")).as("cid"),
+      // per-(cell, dim) mean: one scan, map-side partial agg, K·dim groups.
+      // Assignment is two-level above the threshold (trainHierOn) — the
+      // r10 training notch: 2√K·dim instead of K·dim mults per row, the
+      // dominant term of the measured 100× wall
+      val aidx =
+        if (trainHierOn(s, cents.size)) hierAssignIdx(s, cents, col("e"))
+        else ivfTopIdx(cents, col("e"), 1).getItem(0)
+      val means = train.select(cidOfIdx(cents, aidx).as("cid"),
           posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("m"))
         .collect().toSeq
@@ -1724,7 +1770,7 @@ object LlmOps {
   }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(Long, String, Long, Int, Int, Int, Int, Int, String, Int), PqModel]
+    .empty[(Long, String, Long, Int, Int, Int, Int, Int, String, Int, String), PqModel]
 
   /** The IVF-ADC residual column: `e − cents(pidx)` through the
     * codegen'd `graft_vec_sub` kernel, where `pidx` is the row's
@@ -1791,8 +1837,10 @@ object LlmOps {
     // the other key fields anyway: K is determined by them)
     val hierMode = s.conf.get("spark.graft.ivf.hier", "auto")
     val hierT = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
+    // trainAssign reshapes the coarse centroids (and so every residual)
+    val trainAssign = s.conf.get("spark.graft.ivf.trainAssign", "auto")
     val cacheKey = (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs,
-      ivfK, ivfMaxK, hierMode, hierT)
+      ivfK, ivfMaxK, hierMode, hierT, trainAssign)
     val cached = pqCache.get(cacheKey)
     if (cached.isDefined) return cached.get
     val (cents, _) = ivfModel(s, d)

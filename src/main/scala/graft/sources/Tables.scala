@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS); Spark 4.x reads it only with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (→ LongType epoch-ns).
-    * DuckDB (the oracle) reads the same column truncated to µs TIMESTAMP,
-    * so all cross-engine logic works at µs: `ts div 1000` ≡ `epoch_us(ts)`
-    * (SURVEY.md §7.4.1). The conf is runtime-settable; it is set defensively
-    * on every load because Verify/Bench/tests each build their own session.
+  /** Fixture generations have written `events.ts` two ways: Parquet
+    * TIMESTAMP(NANOS) (rounds ≤9; Spark 4.x reads it only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` → LongType epoch-ns) and
+    * TIMESTAMP(MICROS) (the r10 driver refresh → TIMESTAMP_NTZ). The
+    * engine-wide convention stays LongType epoch-ns — [[events]]
+    * normalizes the µs generation to it at load, so every consumer keeps
+    * `ts div 1000` ≡ DuckDB's `epoch_us(ts)` (SURVEY.md §7.4.1). Both
+    * confs are runtime-settable; set defensively on every load because
+    * Verify/Bench/tests each build their own session.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,7 +40,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // NANOS read as epoch-ns
+      case _ =>
+        // µs-generation fixture (TIMESTAMP_NTZ): normalize to the engine's
+        // epoch-ns LongType convention. The cast NTZ → TIMESTAMP reads the
+        // wall time in the SESSION zone, so pin UTC first (every entry
+        // point already does; this is the same defensive pattern as the
+        // nanosAsLong set above) — then unix_micros is the exact epoch-µs
+        // integer and ·1000 the exact ns. Stays a per-row projection over
+        // the scan: pushdown/pruning on every other column is unaffected.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -212,6 +212,28 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.hier")
   }
 
+  test("q7G/q7S recall floors hold with two-level TRAINING forced on") {
+    // the r10 coarse-training notch: Lloyd steps assign rows through the
+    // √K-super two-hop instead of the flat K-way scan (auto above
+    // spark.graft.ivf.hierThreshold — the measured 100× training wall).
+    // Forcing it ON at fixture K (~22, normally flat) trains a DIFFERENT
+    // (approximately-assigned) model; the contract is that recall floors
+    // and q7S's sims-exactness survive the approximation. The trainAssign
+    // conf is part of both model cache keys, so this test exercises a
+    // genuinely retrained model, not a cache hit.
+    spark.conf.set("spark.graft.ivf.trainAssign", "hier")
+    try {
+      val g = avgRecall("q7G_ann_ivf")
+      assert(g >= 0.45, s"hier-trained q7G avg recall@5 = $g")
+      val sOut = SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001).collect()
+      sOut.foreach { r =>
+        assert(r.getDouble(2) == cosine(vecs(r.getLong(0)), vecs(r.getLong(1))))
+      }
+      val sRec = avgRecall("q7S_ann_ivfpq")
+      assert(sRec >= 0.40, s"hier-trained q7S avg recall@5 = $sRec")
+    } finally spark.conf.unset("spark.graft.ivf.trainAssign")
+  }
+
   test("q7H embedding dedup: removals are sound, recall vs exact removals is material") {
     val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
