@@ -63,9 +63,13 @@ object Filters {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 
-    // from(2024-01-08)/to(2024-01-15) bounds → row-group skipping
+    // from(2024-01-08)/to(2024-01-15) bounds → row-group skipping. The
+    // range goes through Tables.eventsRange so it lands on the RAW ts
+    // column (pushable in every fixture generation), not the normalized
+    // epoch-ns expression (PlanSpec pins the PushedFilters pair).
     "q13_filter_time_range" -> ((s, d) =>
-      ev(s, d).filter(col("ts") >= t0Ns && col("ts") < t1Ns)
+      Tables.eventsRange(s, d, Some(t0Ns), Some(t1Ns))
+        .withColumn("ts_us", Tables.tsUs)
         .select("event_id", "ts_us", "user_id", "event_type")
         .orderBy("event_id")),
 

@@ -40,20 +40,59 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df // NANOS read as epoch-ns
-      case _ =>
-        // µs-generation fixture (TIMESTAMP_NTZ): normalize to the engine's
-        // epoch-ns LongType convention. The cast NTZ → TIMESTAMP reads the
-        // wall time in the SESSION zone, so pin UTC first (every entry
-        // point already does; this is the same defensive pattern as the
-        // nanosAsLong set above) — then unix_micros is the exact epoch-µs
-        // integer and ·1000 the exact ns. Stays a per-row projection over
-        // the scan: pushdown/pruning on every other column is unaffected.
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+  def events(s: SparkSession, d: String): DataFrame = eventsRange(s, d, None, None)
+
+  /** Normalized events, optionally bounded to `[loNs, hiNs)` (epoch-ns,
+    * half-open like the reference's from()/to() bounds — SURVEY §2.2 q13,
+    * §3.1). The range predicate is applied against the RAW `ts` column in
+    * whatever physical type the fixture generation wrote, so it reaches the
+    * Parquet scan as a pushable `GreaterThanOrEqual(ts,…)/LessThan(ts,…)`
+    * pair and row-group min/max skipping prunes the read — filtering AFTER
+    * the epoch-ns normalization would compare an expression of `ts`, which
+    * the source cannot translate (the r10 regression; see FIXTURES.md
+    * "Generations & the ts contract"). Normalization to the engine-wide
+    * epoch-ns LongType happens after the filter, so consumers see the same
+    * schema either way.
+    *
+    * Generation handling (throws on anything else, naming the type — a
+    * future fixture flip must fail loudly, not silently null out):
+    *  - LongType: rounds-≤9 TIMESTAMP(NANOS) via nanosAsLong, already ns.
+    *  - TimestampNTZType: r10+ µs generation; UTC wall-time semantics.
+    *    Bound literals are `LocalDateTime` (zone-independent comparison);
+    *    normalization is `timestampdiff(MICROSECOND, epoch, ts)` — an
+    *    NTZ-to-NTZ difference that never consults the session zone.
+    *  - TimestampType: instant semantics; `unix_micros` directly.
+    */
+  def eventsRange(s: SparkSession, d: String,
+                  loNs: Option[Long], hiNs: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    // ns bound → equivalent µs bound on a µs-granularity column:
+    // ts_us*1000 >= lo  ⟺  ts_us >= ceil(lo/1000);  ts_us*1000 < hi  ⟺
+    // ts_us < ceil(hi/1000).
+    def usCeil(ns: Long): Long = Math.floorDiv(ns + 999L, 1000L)
+    def ldt(us: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    def bounded(df: DataFrame, lo: Option[Column], hi: Option[Column]): DataFrame =
+      (lo.map(col("ts") >= _) ++ hi.map(col("ts") < _))
+        .reduceOption(_ && _).map(df.filter).getOrElse(df)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        bounded(raw, loNs.map(lit), hiNs.map(lit))
+      case TimestampNTZType =>
+        bounded(raw, loNs.map(n => lit(ldt(usCeil(n)))), hiNs.map(n => lit(ldt(usCeil(n)))))
+          .withColumn("ts",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType =>
+        def inst(us: Long) = java.time.Instant.EPOCH.plusNanos(us * 1000L)
+        bounded(raw, loNs.map(n => lit(inst(usCeil(n)))), hiNs.map(n => lit(inst(usCeil(n)))))
+          .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other — expected LongType " +
+          "(nanos generation via nanosAsLong), TIMESTAMP_NTZ (us generation) " +
+          "or TIMESTAMP; see FIXTURES.md generations contract")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
