@@ -15,6 +15,12 @@ import graft.operators.Filters
   * Lowered semantics:
   *  - `FROM 'a' & ('b' | 'c')` → `array_contains`/boolean algebra over the
   *    derived tag-SET view ([[Filters.tagged]]); `allEvents` → the `all` tag.
+  *  - `from(2024-01-08)` / `to(2024-01-15T06:00:00Z)` tag atoms → the
+  *    `[from, to)` time bounds (SURVEY §2.2 q13 origin): top-level `&`
+  *    conjuncts are peeled off by [[splitBounds]] and land on the RAW
+  *    Parquet scan column via `Tables.eventsRange` (pushed → row-group
+  *    pruning, the reference's time-range skipping); OR-nested bounds stay
+  *    per-row predicates.
   *  - `_.field` → envelope column when `field` is one of the envelope
   *    names; otherwise a JSON payload path `props.$.field` (schema-on-read,
   *    string-typed until context forces a numeric cast).
@@ -49,6 +55,13 @@ object Aql {
   final case class Tag(name: String) extends TagExpr
   final case class TagAnd(l: TagExpr, r: TagExpr) extends TagExpr
   final case class TagOr(l: TagExpr, r: TagExpr) extends TagExpr
+  /** `from(2024-01-08[T00:00:00[.ffffff][Z]])` — inclusive lower time
+    * bound, epoch-ns; a tag-expression atom like the reference's AQL
+    * bounds shorthand (SURVEY §2.2 q13 origin, §3.1).
+    */
+  final case class TagFrom(ns: Long) extends TagExpr
+  /** `to(…)` — EXCLUSIVE upper time bound (the `[from, to)` convention). */
+  final case class TagTo(ns: Long) extends TagExpr
 
   sealed trait Expr
   final case class Path(parts: Seq[String]) extends Expr // _.a.b ; Path(Nil) = `_`
@@ -76,6 +89,7 @@ object Aql {
   // identifiers.
   private val tokenRe =
     ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|BY\b|LIMIT\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b""" +
+      """|\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d{1,9})?Z?)?""" + // ISO date/time (from()/to() bounds)
       """|'[^']*'|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|=>|\?\?|&&|\|\||!=|>=|<=|==|[&|!=<>+\-*/().,^])""").r
 
   private def tokenize(s: String): List[String] = {
@@ -146,8 +160,53 @@ object Aql {
   private def tagAtom(c: Cursor): TagExpr = c.pop() match {
     case "allEvents" => AllEvents
     case "(" => val t = tagOr(c); c.eat(")"); t
+    case kw @ ("from" | "to") if c.peek.contains("(") =>
+      c.eat("(")
+      val t = c.pop()
+      c.eat(")")
+      if (kw == "from") TagFrom(isoNs(t)) else TagTo(isoNs(t))
     case q if q.startsWith("'") => Tag(q.substring(1, q.length - 1))
     case other => throw new IllegalArgumentException(s"AQL: bad tag atom '$other'")
+  }
+
+  /** ISO date / datetime token → epoch-ns, UTC. A bare date is midnight;
+    * trailing `Z` is optional (bounds are UTC either way, matching the
+    * fixture's UTC wall-time convention — FIXTURES.md ts contract).
+    */
+  private def isoNs(t: String): Long = {
+    val iso = """(\d{4}-\d{2}-\d{2})(?:T(\d{2}:\d{2}:\d{2}(?:\.\d{1,9})?)Z?)?""".r
+    t match {
+      case iso(d, null) =>
+        java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli * 1000000L
+      case iso(d, tm) =>
+        val i = java.time.LocalDateTime.parse(s"${d}T$tm")
+          .toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000000L + i.getNano
+      case other =>
+        throw new IllegalArgumentException(
+          s"AQL: from()/to() expect an ISO date or datetime, found '$other'")
+    }
+  }
+
+  /** Splits a FROM tag expression into pushable time bounds and the
+    * residual tag predicate: from()/to() atoms at the TOP-LEVEL `&` chain
+    * become scan bounds (max of lowers, min of uppers — `&` is
+    * intersection) that [[run]] feeds to `Tables.eventsRange` for Parquet
+    * row-group pruning; atoms nested under `|` stay in the residual and
+    * evaluate per-row via [[lowerTag]] (an OR'd bound can't prune the
+    * scan without changing semantics).
+    */
+  private[aql] def splitBounds(t: TagExpr): (Option[Long], Option[Long], Option[TagExpr]) = {
+    def conj(t: TagExpr): Seq[TagExpr] = t match {
+      case TagAnd(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val cs = conj(t)
+    val lo = cs.collect { case TagFrom(n) => n }.reduceOption(_ max _)
+    val hi = cs.collect { case TagTo(n) => n }.reduceOption(_ min _)
+    val rest = cs.filterNot(x => x.isInstanceOf[TagFrom] || x.isInstanceOf[TagTo])
+    (lo, hi, rest.reduceOption(TagAnd))
   }
 
   private def exprList(c: Cursor): Seq[Expr] = {
@@ -288,6 +347,25 @@ object Aql {
     case Tag(n) => array_contains(col("tags"), n)
     case TagAnd(l, r) => lowerTag(l) && lowerTag(r)
     case TagOr(l, r) => lowerTag(l) || lowerTag(r)
+    // residual (OR-nested, or sink-path) bounds: per-row predicates on the
+    // normalized epoch-ns column — the pushable top-level case is peeled
+    // off by splitBounds before this runs
+    case TagFrom(ns) => col("ts") >= ns
+    case TagTo(ns) => col("ts") < ns
+  }
+
+  /** The bounded, tagged event source every batch lowering starts from:
+    * top-level from()/to() bounds land on the RAW scan column via
+    * `Tables.eventsRange` (pushed to Parquet row-group pruning — the
+    * reference's time-range skipping, SURVEY §4.1), the residual tag
+    * predicate evaluates post-scan.
+    */
+  private def source(spark: SparkSession, sfDir: String, from: TagExpr): DataFrame = {
+    val (lo, hi, residual) = splitBounds(from)
+    val df = Filters.withTags(
+      graft.sources.Tables.eventsRange(spark, sfDir, lo, hi)
+        .withColumn("ts_us", graft.sources.Tables.tsUs))
+    residual.map(t => df.filter(lowerTag(t))).getOrElse(df)
   }
 
   /** Lowers an expression; JSON payload paths are string-typed and get a
@@ -460,7 +538,7 @@ object Aql {
     case Bin("IN", lhs, SubQuery(sq)) =>
       require(sq.aggregate.isEmpty && sq.select.size == 1,
         "AQL: IN subQuery needs exactly one SELECT column and no AGGREGATE")
-      var inner = Filters.tagged(spark, sfDir).filter(lowerTag(sq.from))
+      var inner = source(spark, sfDir, sq.from)
       sq.filter.foreach(f => inner = inner.filter(lower(f)))
       // LIMIT inside an IN subQuery keeps run()'s semantics: lamport
       // (event_id) order bounds WHICH events contribute
@@ -482,7 +560,7 @@ object Aql {
         case Bin("=", OuterPath(_), _) | Bin("=", _, OuterPath(_)) => true
         case _ => false
       }
-      var inner = Filters.tagged(spark, sfDir).filter(lowerTag(sq.from))
+      var inner = source(spark, sfDir, sq.from)
       residual.foreach(r => inner = inner.filter(lower(r)))
       val lhsCol = if (isJsonPath(lhs)) lower(lhs).cast("double") else lower(lhs)
       if (corr.isEmpty) {
@@ -531,7 +609,7 @@ object Aql {
   /** Parses and runs an AQL query over the events table at `sfDir`. */
   def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
     val q = parse(aql)
-    var df = Filters.tagged(spark, sfDir).filter(lowerTag(q.from))
+    var df = source(spark, sfDir, q.from)
     q.filter.foreach { f =>
       // top-level conjuncts apply as successive filters so a subQuery
       // conjunct can lower to its own join without disturbing the rest

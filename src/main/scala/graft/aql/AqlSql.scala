@@ -78,6 +78,11 @@ object AqlSql {
       case Tag(n) => contains(n, pre)
       case TagAnd(l, r) => s"(${tagSql(l, pre)} AND ${tagSql(r, pre)})"
       case TagOr(l, r) => s"(${tagSql(l, pre)} OR ${tagSql(r, pre)})"
+      // from()/to() bounds render against the cross-engine µs view with
+      // the same ns→µs ceiling the DataFrame lowering applies
+      // (ts_ns ≥ ns ⟺ ts_us ≥ ⌈ns/1000⌉ on µs-granularity data)
+      case TagFrom(ns) => s"(${pre}ts_us >= ${Math.floorDiv(ns + 999L, 1000L)})"
+      case TagTo(ns) => s"(${pre}ts_us < ${Math.floorDiv(ns + 999L, 1000L)})"
     }
 
     def scalarPath(parts: Seq[String], pre: String): String = {

@@ -14,11 +14,25 @@ object AqlGen {
   val tagG: Gen[String] =
     Gen.oneOf("purchase", "signup", "error", "click", "big", "all")
 
+  // from()/to() bound instants around the fixture span (2024-01-01 …):
+  // whole days (rendered as bare dates) and whole seconds (datetimes) —
+  // [2023-12-28, 2024-02-11) keeps bounds selective but often non-empty
+  val boundNsG: Gen[Long] = for {
+    day <- Gen.chooseNum(0, 45)
+    secs <- Gen.frequency(2 -> Gen.const(0L), 1 -> Gen.chooseNum(0L, 86399L))
+  } yield ((java.time.LocalDate.of(2023, 12, 28).toEpochDay + day) * 86400L + secs) * 1000000000L
+  val boundG: Gen[TagExpr] =
+    Gen.oneOf(boundNsG.map(TagFrom), boundNsG.map(TagTo))
+
   def tagExprG(depth: Int): Gen[TagExpr] =
-    if (depth <= 0) Gen.oneOf(tagG.map(Tag), Gen.const(AllEvents))
+    if (depth <= 0) Gen.frequency(
+      4 -> tagG.map(Tag), 1 -> Gen.const(AllEvents), 1 -> boundG)
     else Gen.frequency(
       3 -> tagG.map(Tag),
       1 -> Gen.const(AllEvents),
+      // bounds appear both at the top-level & chain (→ pushed scan range
+      // via splitBounds) and nested under | (→ residual per-row predicate)
+      1 -> boundG,
       2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagAnd(l, r)),
       2 -> (for { l <- tagExprG(depth - 1); r <- tagExprG(depth - 1) } yield TagOr(l, r)))
 
@@ -143,11 +157,22 @@ object AqlGen {
   } yield Query(from, filter, sels, aggs, by, lim)
 
   // ---------- renderer (fully parenthesized → unambiguous) ----------
+  private val isoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  private def renderIso(ns: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L).toInt,
+      java.time.ZoneOffset.UTC)
+    if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT) ldt.toLocalDate.toString
+    else ldt.format(isoFmt) + "Z"
+  }
   def renderTag(t: TagExpr): String = t match {
     case AllEvents => "allEvents"
     case Tag(n) => s"'$n'"
     case TagAnd(l, r) => s"(${renderTag(l)} & ${renderTag(r)})"
     case TagOr(l, r) => s"(${renderTag(l)} | ${renderTag(r)})"
+    case TagFrom(ns) => s"from(${renderIso(ns)})"
+    case TagTo(ns) => s"to(${renderIso(ns)})"
   }
   def render(e: Expr): String = e match {
     case Path(Nil) => "_"

@@ -253,4 +253,44 @@ class AqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       aql("FROM allEvents BY _.event_type"))
   }
+
+  test("from()/to() bounds == q13_filter_time_range") {
+    val got = aql("FROM allEvents & from(2024-01-08) & to(2024-01-15) " +
+      "SELECT _.event_id, _.ts_us, _.user_id, _.event_type")
+    assert(rows(got) == rows(q("q13_filter_time_range")))
+    // datetime spelling, with and without the Z, same instant
+    val got2 = aql("FROM allEvents & from(2024-01-08T00:00:00Z) & " +
+      "to(2024-01-15T00:00:00) SELECT _.event_id, _.ts_us, _.user_id, _.event_type")
+    assert(rows(got2) == rows(q("q13_filter_time_range")))
+  }
+
+  test("from()/to() push to the Parquet scan; OR-nested bounds stay residual") {
+    val p = aql("FROM 'purchase' & from(2024-01-08) & to(2024-01-15) SELECT _.event_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"), p)
+
+    // an OR'd bound cannot prune the scan — it must NOT appear pushed,
+    // and the per-row semantics must still hold
+    val orQ = "FROM 'purchase' | from(2024-01-08)"
+    val pOr = aql(orQ + " SELECT _.event_id").queryExecution.executedPlan.toString
+    assert(!pOr.contains("GreaterThanOrEqual(ts,"), pOr)
+    val t0 = 1704672000L * 1000000000L
+    val want = graft.operators.Filters.tagged(spark, sf0001)
+      .filter(array_contains(col("tags"), "purchase") || col("ts") >= t0)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val gotOr = aql(orQ + " SELECT _.event_id").collect().map(_.getLong(0)).toSeq
+    assert(gotOr.sorted == want.sorted && gotOr.nonEmpty)
+  }
+
+  test("bounds compose: tightest from/to pair wins in an & chain") {
+    val got = aql("FROM from(2024-01-01) & from(2024-01-08) & to(2024-01-20) & " +
+      "to(2024-01-15) SELECT _.event_id, _.ts_us, _.user_id, _.event_type")
+    assert(rows(got) == rows(q("q13_filter_time_range")))
+  }
+
+  test("a malformed bound is a parse error, not a silent empty result") {
+    intercept[IllegalArgumentException](aql("FROM from(notadate)"))
+    intercept[IllegalArgumentException](aql("FROM from()"))
+  }
 }
