@@ -1536,13 +1536,18 @@ object LlmOps {
     else hierAssignIdx(s, cents, e)
 
   /** The two-hop assignment body, shared by serving (above, behind the
-    * SERVING switch) and the Lloyd-step TRAINING assignment (behind
-    * [[trainHierOn]]'s separate switch) — same approximation, two
-    * independently-keyed decisions.
+    * SERVING switch, memoized — the final model is hit from three
+    * places per q7S build) and the Lloyd-step TRAINING assignment
+    * (behind [[trainHierOn]]'s separate switch, UNcached via
+    * [[hierAssignIdxWith]] — each step's intermediate centroids are
+    * used exactly once, so caching them would only orphan
+    * IvfLloydSteps·K·dim doubles per trained model until release).
     */
   private def hierAssignIdx(s: SparkSession, cents: Seq[IvfCent],
-      e: Column): Column = {
-    val h = hierFor(s, cents)
+      e: Column): Column =
+    hierAssignIdxWith(hierFor(s, cents), e)
+
+  private def hierAssignIdxWith(h: IvfHier, e: Column): Column = {
     val sidx = call_function("graft_ivf_top", e,
       typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
     val widx = call_function("graft_ivf_top", e,
@@ -1726,7 +1731,7 @@ object LlmOps {
       // r10 training notch: 2√K·dim instead of K·dim mults per row, the
       // dominant term of the measured 100× wall
       val aidx =
-        if (trainHierOn(s, cents.size)) hierAssignIdx(s, cents, col("e"))
+        if (trainHierOn(s, cents.size)) hierAssignIdxWith(hierOf(cents), col("e"))
         else ivfTopIdx(cents, col("e"), 1).getItem(0)
       val means = train.select(cidOfIdx(cents, aidx).as("cid"),
           posexplode(col("e")).as(Seq("dim", "x")))
@@ -1757,16 +1762,27 @@ object LlmOps {
     * true sims are close, so recall@5 rises with R (measured on the 10×
     * clustered Scale corpus: 0.32/0.44/0.58/0.76 at R=32/64/128/256)
     * while the query-side wall stays flat and the refetch join's build
-    * side stays a metadata-scale |queries|·R rows. Auto picks
-    * `clamp(64, K, 1024)` — with the data-driven K ≈ √n the average
-    * cell holds ≈ n/K ≈ K vectors, so auto-R reranks about one cell's
-    * worth of candidates and GROWS with the corpus like the cells do.
+    * side stays a metadata-scale |queries|·R rows.
+    *
+    * Auto-R scales with the ADC candidate POOL, not the cell count
+    * (round 11; VERDICT r10 #6): the pool a query ranks is
+    * nprobe·(n/K) rows, and the number of quantization-noise
+    * distractors that land above a true neighbor grows with that pool
+    * — so the one-cell's-worth rule (R = K) let recall drift
+    * 0.96/0.72/0.62 across the 1×/10×/100× decades while the pool grew
+    * √n-fold. A fixed-FRACTION depth (pool/8, still ≥ K, clamped
+    * [64, 4096]) keeps the reranked share of the pool constant across
+    * decades; the refetch build side stays |queries|·R — metadata.
     */
-  private def pqRerank(s: SparkSession, k: Int): Int = {
+  private def pqRerank(s: SparkSession, k: Int, n: Long): Int = {
     val r = s.conf.get("spark.graft.pq.rerank", "0").toInt
     require(r == 0 || r >= 5,
       s"spark.graft.pq.rerank must be 0 (auto) or >= 5, got $r")
-    if (r > 0) r else math.max(64, math.min(1024, k))
+    if (r > 0) r
+    else {
+      val pool = ivfNProbe(k).toLong * math.max(1L, n / math.max(1, k))
+      math.max(64L, math.min(4096L, math.max(k.toLong, pool / 8L))).toInt
+    }
   }
 
   private val pqCache = scala.collection.concurrent.TrieMap
@@ -1944,6 +1960,11 @@ object LlmOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("nsq", expr("graft_dot(e, e)"))
       ).getOrElse(lake)
+    // corpus size for the pool-proportional auto-R: memoized from model
+    // training (trainNCache); a cold cache pays one LIMIT-probe count
+    val sampleLimit =
+      s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
+    val (corpusN, _) = trainCorpus(s, d, lake, sampleLimit)
     val (cents, _) = ivfModel(s, d)
     val pq = pqModel(s, d)
     val cbLit = typedLit(pq.cb)
@@ -1971,7 +1992,7 @@ object LlmOps {
           call_function("graft_pq_adc", col("qe"), col("codes"), cbLit)) /
           sqrt(col("qn") * col("nn")))
       .withColumn("ar", row_number().over(wA))
-      .filter(col("ar") <= pqRerank(s, cents.size))
+      .filter(col("ar") <= pqRerank(s, cents.size, corpusN))
       .select("q_id", "qe", "qn", "n_id")
     val exact = v.select(col("vec_id").as("n_id"),
       col("e").as("ne"), col("nsq").as("nn"))
