@@ -1,15 +1,26 @@
 #!/usr/bin/env python3
 """Mechanical BASELINE.md regression check over a bench.json line.
 
-Usage: python3 tools/bench_check.py [target/bench.json]
+Usage: python3 tools/bench_check.py [target/bench.json] [target/bench_diag.json]
 
 Applies exactly the rule BASELINE.md states: per-query flag when
 t > max(1.5*p, p + 0.3), with every pin scaled by (run total / pinned
 total) first when the totals differ by more than 15% (host-speed
 normalization), plus the order-invariant paired pins for the
 shared-cache families. Exit 0 = zero flags.
+
+When the per-pass diag file (bench_diag.json, JSONL — written by Bench
+next to bench.json) is present, it is also checked for in-JVM anomalies
+so a host-window debate never recurs (VERDICT r10 #7): flag any
+query-pass with gc_ms > GC_MS_MAX or persisted storage above
+STORE_MB_MAX (r10 healthy sweep: GC <= 53 ms/query, storage flat <= 6 MB
+— the thresholds sit an order of magnitude above healthy, so a flag
+means a real in-JVM pathology, not noise).
 """
-import json, re, sys
+import json, os, re, sys
+
+GC_MS_MAX = 2000      # per query-pass
+STORE_MB_MAX = 256    # persisted mem+disk high-water
 
 PAIRED = [
     ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 6.8),
@@ -52,6 +63,26 @@ def main():
         print(f"paired {name}: {s:.2f}s vs pin {pin}s -> {'FLAG' if bad else 'ok'}")
         if bad:
             flags.append(f"  FLAG paired {name}: {s:.2f}s vs pin {pin}s")
+
+    diag_path = (sys.argv[2] if len(sys.argv) > 2
+                 else os.path.join(os.path.dirname(path) or ".", "bench_diag.json"))
+    if os.path.exists(diag_path):
+        rows = [json.loads(l) for l in open(diag_path) if l.strip()]
+        gc_max = max((r["gc_ms"] for r in rows), default=0)
+        st_max = max((r["store_mb"] + r.get("store_disk_mb", 0) for r in rows),
+                     default=0)
+        heap_max = max((r.get("heap_mb", 0) for r in rows), default=0)
+        print(f"diag: {len(rows)} rows, gc_ms max {gc_max}, "
+              f"store_mb max {st_max}, heap_mb max {heap_max}")
+        for r in rows:
+            if r["gc_ms"] > GC_MS_MAX:
+                flags.append(f"  FLAG diag gc {r['q']} pass {r['pass']}: "
+                             f"{r['gc_ms']} ms > {GC_MS_MAX}")
+            if r["store_mb"] + r.get("store_disk_mb", 0) > STORE_MB_MAX:
+                flags.append(f"  FLAG diag storage {r['q']} pass {r['pass']}: "
+                             f"{r['store_mb']} MB > {STORE_MB_MAX}")
+    else:
+        print(f"diag: {diag_path} absent (time rule only)")
     if flags:
         print("\n".join(["FLAGS:"] + flags))
         return 1
