@@ -293,4 +293,19 @@ class AqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](aql("FROM from(notadate)"))
     intercept[IllegalArgumentException](aql("FROM from()"))
   }
+
+  test("bounds work on the sink/predicate path (streaming lowering)") {
+    // the subscription path has no scan to push into — bounds lower as
+    // per-row predicates on the normalized ns column via lowerTag
+    val t0 = 1704672000L * 1000000000L
+    val tagged = graft.operators.Filters.tagged(spark, sf0001)
+    val got = tagged
+      .filter(Aql.predicate("FROM 'purchase' & from(2024-01-08) & to(2024-01-15)"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = tagged
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= t0 && col("ts") < 1705276800L * 1000000000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
