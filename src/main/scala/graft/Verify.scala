@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is Parquet TIMESTAMP(NANOS) — SURVEY.md §7.4.1.
+      // events.ts generations contract — FIXTURES.md (nanos gen needs this).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

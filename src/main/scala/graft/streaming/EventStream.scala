@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** Staged-event schema: `ts` is already an epoch-ns long here (the
-    * batch loader reads the fixture's TIMESTAMP(NANOS) under
-    * `nanosAsLong`, and staging preserves it), so a streaming read needs
-    * no legacy flag.
+    * batch loader normalizes whatever physical type the fixture
+    * generation wrote — FIXTURES.md "Generations & the ts contract" —
+    * and staging writes the normalized LongType), so a streaming read
+    * needs no legacy flag.
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
