@@ -66,6 +66,27 @@ class TablesSpec extends AnyFunSuite {
     assert(lo + hi == all && none == all && lo > 0 && hi > 0)
   }
 
+  test("a TIMESTAMP (instant) generation normalizes and pushes down too") {
+    // the third contract branch: a future refresh writing zoned µs
+    // timestamps (instant semantics) must behave like the other two
+    val d = tmpDir("graft-events-tzgen")
+    Tables.events(spark, sf0001)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    assert(Tables.events(spark, d).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val key = Tables.eventsRange(spark, d, Some(t0Ns), Some(t1Ns))
+      .select("event_id", "ts").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Tables.eventsRange(spark, sf0001, Some(t0Ns), Some(t1Ns))
+      .select("event_id", "ts").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(key == want && key.nonEmpty)
+    val p = Tables.eventsRange(spark, d, Some(t0Ns), Some(t1Ns))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"), p)
+  }
+
   test("an unexpected ts physical type fails loudly, naming the type") {
     val d = tmpDir("graft-events-badgen")
     Tables.events(spark, sf0001).withColumn("ts", col("ts").cast("string"))
