@@ -74,6 +74,14 @@ object BpeTrain {
   def train(s: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var cur = words.persist()
+    // ONE action per step (round 11): the step's top-pair collect is also
+    // what materializes the previous step's cut (its lineage reads the
+    // parent's cached blocks), so the parent unpersists right after the
+    // collect instead of paying a dedicated count() job per step — same
+    // results, half the driver round-trips of the old
+    // persist-count-unpersist sequencing. At most two vocab-bounded
+    // tables hold blocks at once, exactly as before.
+    var prev: Option[DataFrame] = None
     try {
       for (step <- 1 to nMerges) {
         val top = cur
@@ -82,21 +90,22 @@ object BpeTrain {
           .agg(sum(col("wc")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).collect()
+        prev.foreach(_.unpersist())
+        prev = None
         if (top.isEmpty) return merges.toSeq
         val (a, b, c) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(step, a, b, c)
         val next = cur.select(applyMerge(col("w"), a, b).as("w"), col("wc"))
         val cut = s.createDataFrame(next.rdd, next.schema).persist()
-        // materialize before dropping the parent; on failure free the
-        // new block too — the finally below only knows about `cur`
-        try cut.count()
-        catch { case t: Throwable => cut.unpersist(); throw t }
-        cur.unpersist()
+        prev = Some(cur)
         cur = cut
       }
       merges.toSeq
-    } finally cur.unpersist()
+    } finally {
+      prev.foreach(_.unpersist())
+      cur.unpersist()
+    }
   }
 
   /** Training is deterministic, and the artifact is metadata-scale
