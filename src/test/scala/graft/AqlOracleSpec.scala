@@ -31,8 +31,11 @@ class AqlOracleSpec extends AnyFunSuite {
 
   // 160 (VERDICT r9 #7): the r10 generator additions — correlated `^.k`
   // scalar subqueries (now renderable by AqlSql) and aggregates over
-  // derived expressions — need the larger draw to appear often enough
-  private val N = 160
+  // derived expressions — need the larger draw to appear often enough.
+  // 200 (r11): the from()/to() bound production joins the generator at
+  // every tag-expression depth; the wider draw keeps each production's
+  // expected appearance count where the 160-draw had it.
+  private val N = 200
 
   /** Positional c0…cN rename, matching AqlSql's output aliases; the
     * no-SELECT envelope query additionally projects the cross-engine
