@@ -344,9 +344,18 @@ object LlmOps {
     * driver-resident model and the batch operator's profile are the SAME
     * construction — one tie rule, one cutoff, no drift.
     */
-  private[graft] def langProfileTop(docBg: DataFrame, top: Int): DataFrame = {
+  private[graft] def langProfileTop(docBg: DataFrame, top: Int): DataFrame =
+    langProfileTopWeighted(docBg.withColumn("c", lit(1L)), top)
+
+  /** The same profile over pre-aggregated `(…, bg, c)` counts — q7F's
+    * single-pass path feeds the (doc, lang, bg) count table here so the
+    * profile branch and the predict branch share ONE corpus
+    * explode+shuffle (ReusedExchange, pinned in PlanSpec). One window /
+    * tie rule / cutoff for every caller, weighted or not.
+    */
+  private[graft] def langProfileTopWeighted(bgC: DataFrame, top: Int): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bg"))
-    docBg.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+    bgC.groupBy("lang", "bg").agg(sum(col("c")).as("cnt"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= top)
       .select("lang", "bg")
@@ -852,15 +861,30 @@ object LlmOps {
     // widens with doc length).
     "q7F_lang_id" -> ((s, d) => {
       val grams = BigramSql
-      val docBg = Tables.documents(s, d)
+      // ONE corpus pass (round 11): both the profile model and the
+      // per-doc prediction consume the pre-aggregated distinct
+      // (doc, lang, bg) count table, so they share a single
+      // explode+shuffle subtree — Catalyst's ReuseExchange folds the
+      // two branches onto one exchange (PlanSpec pins it) where the
+      // old shape exploded the corpus once per branch. The exchange
+      // carries distinct triples with map-side partial counts, never
+      // raw bigram volume — the q7O two-level convention.
+      // the explicit isNotNull mirrors the join's pushed null filter so
+      // BOTH consumers' subtrees canonicalize identically — without it
+      // only the join branch carries the filter and AQE cannot dedupe
+      // the stages (bg is never null anyway: the bigram lambda filters
+      // nulls before the explode)
+      val docBgC = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(expr(grams)).as("bg"))
-      val prof = langProfileTop(docBg, 20)
+        .where(col("bg").isNotNull)
+        .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("c"))
+      val prof = langProfileTopWeighted(docBgC, 20)
         .select(col("lang").as("cand"), col("bg"))
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))
-      docBg.join(broadcast(prof), "bg")
+      docBgC.join(broadcast(prof), "bg")
         .groupBy(col("doc_id"), col("lang"), col("cand"))
-        .agg(count(lit(1)).as("score"))
+        .agg(sum(col("c")).as("score"))
         .withColumn("rn", row_number().over(predW))
         .filter(col("rn") === 1)
         .groupBy(col("lang"), col("cand").as("pred_lang"))

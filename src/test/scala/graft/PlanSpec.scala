@@ -133,4 +133,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q7F: profile and predict branches share one corpus explode — " +
+    "the (doc, lang, bg) exchange is reused, not recomputed") {
+    // AQE performs exchange reuse at stage materialization, so the
+    // evidence lives in the FINAL adaptive plan: execute, then read it
+    val df = SparkEntry.queries("q7F_lang_id")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
