@@ -631,16 +631,18 @@ object LlmOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df = rows-per-term of tf (a (doc, term) appears in tf exactly
-      // once). Note Catalyst still plans this branch with its own
-      // scan+explode: it prunes tf's unused count into a distinct-style
-      // aggregate, which un-canonicalizes the two branches so no
-      // ReuseExchange fires (verified r5). That is the right trade — the
-      // alternative single-scan spelling, count() OVER (PARTITION BY
-      // term), puts every document containing a term into ONE window
-      // group, i.e. per-task input proportional to df itself — a
-      // stopword's group at 100 TB is the whole corpus. Two partial-agg
-      // scans beat one unbounded window.
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // once), counted over the NON-NULL tf column rather than lit(1)
+      // (identical value — tf is never null): referencing tf stops
+      // Catalyst from pruning the count out of this branch's aggregate,
+      // which would un-canonicalize it against the join branch and block
+      // stage reuse (the r5 finding). With both branches canonical-equal
+      // AQE dedupes the (doc_id, term) exchange and the corpus is
+      // exploded ONCE (PlanSpec pins it) — and unlike the single-scan
+      // count() OVER (PARTITION BY term) spelling, per-task input stays
+      // bounded (a stopword's window group at 100 TB is the whole
+      // corpus; this stays two partial aggs over one shared shuffle).
+      val df = tf.groupBy("term")
+        .agg(count(when(col("tf") > 0, true)).as("df"))
       val n = Tables.documents(s, d).agg(countDistinct(col("doc_id")).as("n"))
       tf.join(df, "term").join(broadcast(n))
         .withColumn("score", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))

@@ -134,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q74: tf and df branches share one corpus explode — the " +
+    "(doc, term) exchange is reused, not recomputed") {
+    val df = SparkEntry.queries("q74_text_tfidf")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
   test("q7F: profile and predict branches share one corpus explode — " +
     "the (doc, lang, bg) exchange is reused, not recomputed") {
     // AQE performs exchange reuse at stage materialization, so the
