@@ -506,26 +506,30 @@ object Scale {
 
       // the BOUNDED-horizon counterpoint (the wide run above is the
       // keep-everything worst case, where state MUST grow with the
-      // corpus): a 5 s event-time horizon + 2 s watermark delay lets the
+      // corpus): an event-time horizon + 2 s watermark delay lets the
       // TTL actually fire inside the fixture's ~nDocs/1000-second event
       // span — the claim under measurement is the S13 contract's "state
       // is O(docs in active buckets within the horizon)", i.e. the curve
-      // PLATEAUS instead of tracking corpus size
-      var dropB = 0L
-      val q3 = LlmIngest.dropVerdicts(curated("2 seconds"), 5000L)
-        .writeStream.option("checkpointLocation", s"$dir/ck3")
-        .foreachBatch { (b: DataFrame, _: Long) => dropB += b.count() }
-        .start()
-      val (_, t3) = timed(q3.processAllAvailable())
-      val curve3 = stateCurve(q3)
-      q3.stop()
-      println(f"""{"mode":"ingest_ttl","mult":$mult,"docs":$nDocs,""" +
-        f""""horizon_ms":5000,"drop_rows":$dropB,"sec":$t3%.1f,""" +
-        f""""state_rows_max":${curve3.map(_._1).maxOption.getOrElse(0L)},""" +
-        f""""state_rows_end":${curve3.lastOption.map(_._1).getOrElse(0L)},""" +
-        f""""state_mb_max":${curve3.map(_._2).maxOption.getOrElse(0.0)}%.2f,""" +
-        f""""ckpt_mb":${dirMb(s"$dir/ck3")}%.2f,""" +
-        f""""state_curve":${curveJson(curve3)}}""")
+      // PLATEAUS instead of tracking corpus size, and the plateau level
+      // scales with the horizon (two horizons → two plateau levels)
+      for (horizonMs <- Seq(5000L, 10000L)) {
+        var dropB = 0L
+        val ck = s"$dir/ck_h$horizonMs"
+        val q3 = LlmIngest.dropVerdicts(curated("2 seconds"), horizonMs)
+          .writeStream.option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) => dropB += b.count() }
+          .start()
+        val (_, t3) = timed(q3.processAllAvailable())
+        val curve3 = stateCurve(q3)
+        q3.stop()
+        println(f"""{"mode":"ingest_ttl","mult":$mult,"docs":$nDocs,""" +
+          f""""horizon_ms":$horizonMs,"drop_rows":$dropB,"sec":$t3%.1f,""" +
+          f""""state_rows_max":${curve3.map(_._1).maxOption.getOrElse(0L)},""" +
+          f""""state_rows_end":${curve3.lastOption.map(_._1).getOrElse(0L)},""" +
+          f""""state_mb_max":${curve3.map(_._2).maxOption.getOrElse(0.0)}%.2f,""" +
+          f""""ckpt_mb":${dirMb(ck)}%.2f,""" +
+          f""""state_curve":${curveJson(curve3)}}""")
+      }
     }
   }
 
