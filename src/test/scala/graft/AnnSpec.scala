@@ -52,11 +52,13 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("q7C recall@5 vs exact 5-NN holds its measured floor") {
-    // measured 0.46 on this fixture (round 4); chance level is 5 of
-    // 499 ≈ 1%. Deterministic (fixed planes + data), so the floor is a
-    // regression pin, not a flake margin: a halving fails loudly.
+    // measured 0.46 on this fixture at the round-4 pin; 0.92 since the
+    // round-11 multi-probe (each query also probes the four
+    // Hamming-1 buckets per band). Chance level is 5 of 499 ≈ 1%.
+    // Deterministic (fixed planes + data), so the floor is a regression
+    // pin, not a flake margin: losing the multiprobe fails loudly.
     val avg = avgRecall("q7C_ann_simhash")
-    assert(avg >= 0.40, s"avg recall@5 = $avg (measured 0.46 at pin time)")
+    assert(avg >= 0.85, s"avg recall@5 = $avg (measured 0.92 at pin time)")
   }
 
   test("q7G IVF reported similarities are exact and per-query ranks are dense") {
