@@ -101,7 +101,13 @@ object Bench {
     // total/failures LAST: the driver stores only the TAIL of stdout, so
     // leading keys get truncated away on long lines (both r01 and r02 lost
     // "value" and the first ~18 per-query timings — VERDICT r02 §Bench).
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs,"failures":$fs,"value":$total}"""
+    // provenance names the producing binary+invocation so the two
+    // committed artifacts read unambiguously: BENCH_r{N}.json is the
+    // DRIVER's stdout snapshot of this same line (its own invocation,
+    // minutes apart), BENCHFULL_r{N}.json is the in-round copy of
+    // target/bench.json (VERDICT r11 #7)
+    val prov = s"graft.Bench local[$cpus] min-of-$passes sf=$sfDir"
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","provenance":"$prov","passes":$passes,"queries":$qs,"failures":$fs,"value":$total}"""
     println(line)
     // The driver's stdout tail TRUNCATES the per-query map (BENCH_r08
     // recovered only 61/98 rows), which could hide a per-query regression

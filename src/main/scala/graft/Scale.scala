@@ -91,9 +91,15 @@ object Scale {
     * cluster deployment runs, and the one whose state-size metrics the
     * soak table reports.
     */
-  private def useRocksDb(s: SparkSession): Unit =
+  private def useRocksDb(s: SparkSession): Unit = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // stateCurve reads q.recentProgress, whose ring buffer defaults to
+    // 100 entries — enough for today's ~10-batch soaks but a larger
+    // staged corpus would silently truncate the curve and underreport
+    // state_rows_max (ADVICE r11). Size it far past any plausible soak.
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+  }
 
   /** Deterministic Zipf(1.0) sampler over ranks 1..v (cumulative-weight
     * binary search; the standard discrete-Zipf shape).
@@ -243,7 +249,10 @@ object Scale {
     * meaningful against density structure — uniform random vectors have
     * no true neighbors to find.
     */
-  private def annCorpus(s: SparkSession, nVec: Int): (String, Map[Long, Set[Long]]) = {
+  private def annCorpus(s: SparkSession, nVec: Int): (String, Map[Long, Set[Long]]) =
+    if (nVec > 500000) annCorpusDist(s, nVec) else annCorpusLocal(s, nVec)
+
+  private def annCorpusLocal(s: SparkSession, nVec: Int): (String, Map[Long, Set[Long]]) = {
     import s.implicits._
     val dim = 64
     val nCenters = 50
@@ -279,6 +288,63 @@ object Scale {
     (dir, (0L until 10L).map(q => q -> exactTop5(q)).toMap)
   }
 
+  /** The 1000×-decade corpus (5M × 64 floats ≈ 1.3 GB raw) outgrows the
+    * driver-side generator above, so past 500k vectors both generation
+    * and ground truth go DISTRIBUTED: per-row vectors from a
+    * deterministic per-id splitmix-seeded RNG over the same 50 seeded
+    * Gaussian centers (same clustered structure, same noise), and exact
+    * 5-NN truth as 10 TakeOrdered jobs over the corpus with the
+    * codegen'd `graft_dot` kernel — the driver never holds more than
+    * K rows. Same rounding/tie convention as the driver path
+    * (4-decimal HALF_UP cosine, ties toward the smaller vec_id).
+    */
+  private def annCorpusDist(s: SparkSession, nVec: Int): (String, Map[Long, Set[Long]]) = {
+    import s.implicits._
+    val dim = 64
+    val nCenters = 50
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-scale-ann$nVec").toString
+    val rnd = new scala.util.Random(1234L)
+    val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+    val bc = s.sparkContext.broadcast(centers)
+    s.range(0L, nVec.toLong, 1L, 64)
+      .as[Long].mapPartitions { it =>
+        val cs = bc.value
+        it.map { id =>
+          // splitmix-style seed scramble + burn-in: sequential ids must
+          // not produce correlated Gaussian draws
+          val r = new scala.util.Random(
+            id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+          r.nextLong(); r.nextLong()
+          val c = cs(r.nextInt(nCenters))
+          val e = Array.tabulate(dim)(j =>
+            (c(j) + 0.5 * r.nextGaussian()).toFloat)
+          (id, s"c${id % nCenters}", e.toSeq)
+        }
+      }.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    graft.functions.DotProduct.register(s)
+    val v = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nsq", expr("graft_dot(e, e)"))
+      .persist()
+    val qs = v.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val truth = qs.map { case (q, qe) =>
+      val qn = qe.map(x => x * x).sum
+      val top = v.filter(col("vec_id") =!= q)
+        .select(col("vec_id"),
+          round(call_function("graft_dot", col("e"), lit(qe.toArray)) /
+            sqrt(lit(qn) * col("nsq")), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSet
+      q -> top
+    }
+    v.unpersist()
+    (dir, truth)
+  }
+
   private def recallRun(s: SparkSession, dir: String,
       truth: Map[Long, Set[Long]], key: String): (Double, Double) = {
     val (out, t) = timed(SparkEntry.queries(key)(s, dir).collect())
@@ -289,12 +355,16 @@ object Scale {
     (recalls.sum / recalls.size, t)
   }
 
-  private def ann(s: SparkSession, big: Boolean): Unit = {
+  private def ann(s: SparkSession, big: Boolean, huge: Boolean): Unit = {
     // `big` adds the 100× point — a third decade for the recall table;
     // its ground truth is still driver-computed (10 queries × 500k
-    // rounded cosines) and its K crosses into auto-ks' 256 cap
+    // rounded cosines) and its K crosses into auto-ks' 256 cap.
+    // `huge` adds the 1000× point (5M vectors, distributed corpus +
+    // truth): first test of q7S's conf-scaled rerank clamp past the old
+    // 4096 saturation and of q7G's two-level assignment past 704 cells.
     val scales = Seq((1, 5000), (10, 50000)) ++
-      (if (big) Seq((100, 500000)) else Nil)
+      (if (big) Seq((100, 500000)) else Nil) ++
+      (if (huge) Seq((1000, 5000000)) else Nil)
     for ((mult, nVec) <- scales) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
@@ -309,11 +379,12 @@ object Scale {
       // training is deterministic, so this is the same model q7G used)
       val nprobe = LlmOps.ivfNProbe(k)
       val pq = LlmOps.pqModel(s, dir) // cached from the q7S run
+      val autoR = LlmOps.pqRerank(s, k, nVec.toLong)
       println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
         f""""q7C_recall":$rC%.2f,"q7C_sec":$tC%.1f,""" +
         f""""q7G_recall":$rG%.2f,"q7G_sec":$tG%.1f,""" +
         f""""q7S_recall":$rS%.2f,"q7S_sec":$tS%.1f,""" +
-        f""""ivf_k":$k,"nprobe":$nprobe,""" +
+        f""""ivf_k":$k,"nprobe":$nprobe,"auto_r":$autoR,""" +
         f""""pq_m":${pq.m},"pq_ks":${pq.ks},""" +
         f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
         f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
@@ -539,7 +610,8 @@ object Scale {
       case "openvocab" => openvocab(s, big = args.contains("big"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
-      case "ann"       => ann(s, big = args.contains("big"))
+      case "ann"       => ann(s, big = args.contains("big"),
+                               huge = args.contains("huge"))
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s)
       case "ingest"    => useRocksDb(s); ingest(s)

@@ -1808,18 +1808,32 @@ object LlmOps {
     * distractors that land above a true neighbor grows with that pool
     * — so the one-cell's-worth rule (R = K) let recall drift
     * 0.96/0.72/0.62 across the 1×/10×/100× decades while the pool grew
-    * √n-fold. A fixed-FRACTION depth (pool/8, still ≥ K, clamped
-    * [64, 4096]) keeps the reranked share of the pool constant across
-    * decades; the refetch build side stays |queries|·R — metadata.
+    * √n-fold. A fixed-FRACTION depth (pool/8, still ≥ K, clamped to
+    * [64, spark.graft.pq.rerankMax]) keeps the reranked share of the
+    * pool constant across decades; the refetch build side stays
+    * |queries|·R — metadata.
+    *
+    * The upper clamp is conf-scaled (round 12; a fixed 4096 saturated
+    * at the 1000× decade, where pool/8 ≈ 13k — the same falling-share
+    * mechanism that caused the original drift, one decade later). The
+    * clamp exists to bound the exact-rerank cost and the refetch build
+    * side, both linear in R; the default (32768) keeps the fixed-
+    * fraction rule live through ~10⁷ vectors at the auto geometry
+    * (K = √n, nprobe = √K: pool ≈ n¾ until nprobe caps). Past that, the
+    * better dial is spark.graft.ivf.maxK — raising K shrinks the pool
+    * itself (pool = nprobe·n/K) instead of chasing it with R.
     */
-  private def pqRerank(s: SparkSession, k: Int, n: Long): Int = {
+  private[graft] def pqRerank(s: SparkSession, k: Int, n: Long): Int = {
     val r = s.conf.get("spark.graft.pq.rerank", "0").toInt
     require(r == 0 || r >= 5,
       s"spark.graft.pq.rerank must be 0 (auto) or >= 5, got $r")
     if (r > 0) r
     else {
+      val maxR = s.conf.get("spark.graft.pq.rerankMax", "32768").toInt
+      require(maxR >= 64,
+        s"spark.graft.pq.rerankMax must be >= 64, got $maxR")
       val pool = ivfNProbe(k).toLong * math.max(1L, n / math.max(1, k))
-      math.max(64L, math.min(4096L, math.max(k.toLong, pool / 8L))).toInt
+      math.max(64L, math.min(maxR.toLong, math.max(k.toLong, pool / 8L))).toInt
     }
   }
 
@@ -1986,6 +2000,17 @@ object LlmOps {
     * (the rerank is an inner join), so a caller serving a
     * stream-maintained index must pass a payload covering the
     * stream-fresh ids too (see graft.streaming.VecIngest.search).
+    *
+    * Documented approximation (ADVICE r11): the pool-proportional
+    * auto-R sizes itself from the LAKE's corpus count even when a
+    * payload is supplied, so for a stream-maintained index the rerank
+    * depth lags the true served corpus by the landing-zone share.
+    * That share is bounded by the compaction cadence (VecIngest folds
+    * the zone into the lake), so the lag is a transient few-percent
+    * undershoot of a heuristic dial — an explicit
+    * `spark.graft.pq.rerank` overrides it, and if a deployment let
+    * the zone grow comparable to the lake, scale `corpusN` by the
+    * payload/lake row ratio before trusting auto-R.
     */
   private[graft] def pqSearch(s: SparkSession, d: String,
       index: DataFrame, payload: Option[DataFrame] = None): DataFrame = {

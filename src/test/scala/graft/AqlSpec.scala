@@ -91,6 +91,18 @@ class AqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Aql.parse("FROM 'a' SELECT `un{closed`"))
   }
 
+  test("ISO-date atoms are reserved for from()/to(): loud in expressions, " +
+       "spaced subtraction still arithmetic (ADVICE r11 pin)") {
+    // unspaced date-shaped sequence in expression position: one date
+    // token, rejected loudly by atomE — never silent arithmetic
+    val e = intercept[IllegalArgumentException](
+      Aql.parse("FROM 'a' FILTER _.value > 2024-01-08 SELECT _.event_id"))
+    assert(e.getMessage.contains("bad expression atom"))
+    // the spaced form is ordinary subtraction and still parses
+    val q = Aql.parse("FROM 'a' FILTER _.value > 2024 - 1 - 8 SELECT _.event_id")
+    assert(q.filter.nonEmpty)
+  }
+
   test("CASE … ENDCASE == q21's tier expression (when/otherwise chain)") {
     val got = aql(
       "FROM allEvents SELECT CASE _.value < 50 => 'small' CASE _.value < 150 => 'mid' CASE TRUE => 'large' ENDCASE, _.value")

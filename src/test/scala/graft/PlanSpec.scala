@@ -134,6 +134,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // Range-join family pins (VERDICT r11 #4): q36/q37/q38 pass the oracle
+  // but a Spark upgrade or join-reorder change could silently demote the
+  // equi+range joins to a nested-loop pass or break q37's single-window
+  // as-of emulation — the silent-regression class q13 demonstrated.
+
+  test("q36: theta join keys on user_id with the range as a join-side " +
+    "conjunct — an equi join, never a cartesian or nested loop") {
+    val p = plan("q36_join_theta")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q37: the as-of emulation is union + ONE per-user window pass — " +
+    "no join operator of any kind in the plan") {
+    val p = plan("q37_join_asof")
+    // the whole point of the carry-forward shape: last_value over the
+    // unioned streams replaces a per-purchase range join entirely
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win.contains("user_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q38: interval join keys on user_id with the [signup, +7d) range " +
+    "as a conjunct — an equi join, never a cartesian or nested loop") {
+    val p = plan("q38_join_interval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q55: the trailing-1h range frame partitions by user — pruned " +
+    "events scan, no single-partition exchange") {
+    val p = plan("q55_win_range_time")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the window needs (event_id, user_id, value, ts) — the scan must
+    // not drag the payload/tag columns along at 100×
+    assert(!readSchema.contains("props") && !readSchema.contains("tags"), readSchema)
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win.contains("user_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q74: tf and df branches share one corpus explode — the " +
     "(doc, term) exchange is reused, not recomputed") {
     val df = SparkEntry.queries("q74_text_tfidf")(spark, sf0001)

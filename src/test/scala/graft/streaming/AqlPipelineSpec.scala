@@ -64,6 +64,45 @@ class AqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == want.size, "replay duplicated rows")
   }
 
+  test("from()/to() bounds run end-to-end on the sink path — per-row " +
+       "residual predicates on the stream (VERDICT r11 #5)") {
+    // on the SINK path bounds evaluate per-row (Aql.lowerTag's residual
+    // lowering), not as a scan prune — the rationale is documented at
+    // Aql.predicate. This case pins the semantics: the landed table is
+    // exactly the batch-AQL selection, and the bounds genuinely cut.
+    val boundsAql = "FROM ('purchase' | 'signup') & from(2024-01-03) & " +
+      "to(2024-01-15) FILTER _.value > 50"
+    val url = s"jdbc:derby:${tmpDir("graft-aqlpipe-bounds")}/db;create=true"
+    val staging = tmpDir("graft-aqlpipe-bounds-stage")
+    EventStream.stage(spark, sf0001, staging, chunks = 3)
+
+    val q = AqlPipeline.attach(spark, staging, boundsAql, url,
+      tmpDir("graft-aqlpipe-bounds-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = {
+      val c = DerbySink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT event_id FROM ${DerbySink.TABLE}")
+        val b = Set.newBuilder[Long]
+        while (rs.next()) b += rs.getLong(1)
+        b.result()
+      } finally c.close()
+    }
+
+    val batch = Filters.withTags(EventStream.readBatch(spark, staging))
+    val want = batch.filter(Aql.predicate(boundsAql))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val unbounded = batch.filter(Aql.predicate(
+        "FROM ('purchase' | 'signup') FILTER _.value > 50"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    assert(want.nonEmpty, "bounds selected nothing — fixture drift?")
+    assert(want.size < unbounded.size, "bounds did not cut the selection")
+    assert(landed == want, s"landed ${landed.size} rows, batch AQL says ${want.size}")
+  }
+
   test("SELECT projections land as schema-derived typed columns") {
     val url = s"jdbc:derby:${tmpDir("graft-aqlsel")}/db;create=true"
     val staging = tmpDir("graft-aqlsel-stage")

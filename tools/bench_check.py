@@ -36,6 +36,7 @@ PAIRED = [
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
+    print(f"judging {path}")
     d = json.loads(open(path).read())
     qs = d["queries"]
     pins = {m.group(1): float(m.group(2))
@@ -67,20 +68,32 @@ def main():
     diag_path = (sys.argv[2] if len(sys.argv) > 2
                  else os.path.join(os.path.dirname(path) or ".", "bench_diag.json"))
     if os.path.exists(diag_path):
-        rows = [json.loads(l) for l in open(diag_path) if l.strip()]
-        gc_max = max((r["gc_ms"] for r in rows), default=0)
-        st_max = max((r["store_mb"] + r.get("store_disk_mb", 0) for r in rows),
-                     default=0)
+        print(f"judging diag {diag_path}")
+        # .get defaults throughout: a truncated last line from an
+        # interrupted bench (or a partial row) must degrade to a warning,
+        # never abort the whole check with a KeyError
+        rows = []
+        for i, l in enumerate(open(diag_path)):
+            if not l.strip():
+                continue
+            try:
+                rows.append(json.loads(l))
+            except json.JSONDecodeError:
+                print(f"diag: WARNING skipping unparseable line {i + 1}")
+        gc_max = max((r.get("gc_ms", 0) for r in rows), default=0)
+        st_max = max((r.get("store_mb", 0) + r.get("store_disk_mb", 0)
+                      for r in rows), default=0)
         heap_max = max((r.get("heap_mb", 0) for r in rows), default=0)
         print(f"diag: {len(rows)} rows, gc_ms max {gc_max}, "
-              f"store_mb max {st_max}, heap_mb max {heap_max}")
+              f"store mem+disk max {st_max} MB, heap_mb max {heap_max}")
         for r in rows:
-            if r["gc_ms"] > GC_MS_MAX:
-                flags.append(f"  FLAG diag gc {r['q']} pass {r['pass']}: "
-                             f"{r['gc_ms']} ms > {GC_MS_MAX}")
-            if r["store_mb"] + r.get("store_disk_mb", 0) > STORE_MB_MAX:
-                flags.append(f"  FLAG diag storage {r['q']} pass {r['pass']}: "
-                             f"{r['store_mb']} MB > {STORE_MB_MAX}")
+            if r.get("gc_ms", 0) > GC_MS_MAX:
+                flags.append(f"  FLAG diag gc {r.get('q')} pass {r.get('pass')}: "
+                             f"{r.get('gc_ms', 0)} ms > {GC_MS_MAX}")
+            store = r.get("store_mb", 0) + r.get("store_disk_mb", 0)
+            if store > STORE_MB_MAX:
+                flags.append(f"  FLAG diag storage {r.get('q')} pass {r.get('pass')}: "
+                             f"mem+disk {store} MB > {STORE_MB_MAX}")
     else:
         print(f"diag: {diag_path} absent (time rule only)")
     if flags:
