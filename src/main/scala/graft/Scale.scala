@@ -29,6 +29,12 @@ import graft.streaming.LlmIngest
   *  - `clique` — q7R's contraction on the densest plausible pair graph
   *    (the closed-vocab 100× regime's 100-member cliques), built
   *    directly so the measurement isolates the cluster step.
+  *  - `embdedup` — q7H's probe trade: single- vs multi-probe candidate
+  *    volume against sampled removal recall at 1×/10×.
+  *  - `ingest` — S13/S14 soak: keep-all vs three TTL horizons (recall
+  *    per horizon vs the keep-all drop set), plus TUNED-retention runs
+  *    (post-compaction SST + purged changelog checkpoint = the disk
+  *    bound); `big` adds a bounded-horizon 100× point.
   */
 object Scale {
 
@@ -71,21 +77,29 @@ object Scale {
     * returned curve is per processed batch: `(rows-in-state, stateMB)`.
     */
   private def stateCurve(
-      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Long, Double)] =
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Long, Double, Double)] =
     q.recentProgress.toSeq
       .filter(_.stateOperators.nonEmpty)
       .map { p =>
         val rows = p.stateOperators.map(_.numRowsTotal).sum
-        val bytes = p.stateOperators.map { o =>
-          val sst = Option(o.customMetrics.get("rocksdbTotalSstFilesSize"))
+        // NOTE the exact Spark 4.1 metric key is `rocksdbSstFileSize`
+        // (r11 read the non-existent `rocksdbTotalSstFilesSize`, so its
+        // "max of SST and memory" column was silently memoryUsedBytes
+        // alone — corrected in the r12 table, which reports both)
+        val sst = p.stateOperators.map { o =>
+          Option(o.customMetrics.get("rocksdbSstFileSize"))
             .map(_.longValue).getOrElse(0L)
-          math.max(o.memoryUsedBytes, sst)
         }.sum
-        (rows, bytes / 1048576.0)
+        val bytes = math.max(p.stateOperators.map(_.memoryUsedBytes).sum, sst)
+        // third column: the SST total ALONE — under compactOnCommit this
+        // is the post-compaction on-disk state figure per batch (the
+        // number the disk-bound claim is about), distinct from the
+        // max(mem, sst) operator-facing figure in column two
+        (rows, bytes / 1048576.0, sst / 1048576.0)
       }
 
-  private def curveJson(c: Seq[(Long, Double)]): String =
-    c.map { case (r, mb) => f"""[$r,$mb%.2f]""" }.mkString("[", ",", "]")
+  private def curveJson(c: Seq[(Long, Double, Double)]): String =
+    c.map { case (r, mb, _) => f"""[$r,$mb%.2f]""" }.mkString("[", ",", "]")
 
   /** RocksDB state store for the streaming soak modes — the provider a
     * cluster deployment runs, and the one whose state-size metrics the
@@ -414,6 +428,145 @@ object Scale {
     LlmOps.release(s)
   }
 
+  /** `embdedup` — q7H's recall/cost trade, single- vs multi-probe
+    * (VERDICT r11 #6): q7C's query-side Hamming-1 probing was free
+    * because the probe set is 10 rows; on q7H's corpus-vs-corpus join
+    * the expanded side is the corpus itself, so the trade (candidate
+    * pairs × probe factor vs removal recall) has to be MEASURED, not
+    * assumed. Ground truth is sampled: ~2,000 ids j, flag = exists
+    * i < j with cosine ≥ 0.38, computed distributed (broadcast sample
+    * against the corpus through the codegen'd graft_dot) — the driver
+    * never holds corpus-scale data; removal soundness (AnnSpec) makes
+    * sample recall = |flagged ∩ removed| / |flagged| exact on the
+    * sample.
+    */
+  private def embdedup(s: SparkSession): Unit = {
+    for ((mult, nVec) <- Seq((1, 5000), (10, 50000))) {
+      val (dir, _) = annCorpus(s, nVec)
+      graft.functions.DotProduct.register(s)
+      val v = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nsq", expr("graft_dot(e, e)"))
+      val step = math.max(1, nVec / 2000)
+      val samp = v.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("j"), col("e").as("ej"), col("nsq").as("nj"))
+      // exact PAIRS (i < j, cos ≥ τ) for the sampled j — id-level
+      // removal saturates at this τ/dim/n (nearly every id has SOME
+      // smaller near-dup: cos τ = 0.38 is 3σ of the d=64 null, so
+      // chance partners alone give each id ~n·1.2e-3 of them), so the
+      // discriminating metric is PAIR recall: which exact pairs does
+      // the bucketing actually surface, overall and near the threshold
+      // (the band LSH is most likely to miss).
+      val exactPairs = v.join(broadcast(samp), col("vec_id") < col("j"))
+        .withColumn("cos", call_function("graft_dot", col("e"), col("ej")) /
+          sqrt(col("nsq") * col("nj")))
+        .filter(col("cos") >= 0.38)
+        .select(col("vec_id").as("i"), col("j"), col("cos"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      val flagged = exactPairs.keySet.map(_._2)
+      for (probe <- Seq("single", "multi")) {
+        s.conf.set("spark.graft.simhash.dedupProbe", probe)
+        try {
+          LlmOps.release(s)
+          val (nCand, tCand) =
+            timed(LlmOps.embedDedupPairs(s, dir).count())
+          // candidate ∩ exact-sampled pairs: semi-join the candidate
+          // stream against the BROADCAST exact sample pairs, so the
+          // collected side is ≤ |exact sample pairs| (metadata scale)
+          val ep = {
+            import s.implicits._
+            exactPairs.keys.toSeq.toDF("id_a", "id_b")
+          }
+          val hit = LlmOps.embedDedupPairs(s, dir)
+            .join(broadcast(ep), Seq("id_a", "id_b"), "left_semi")
+            .select("id_a", "id_b").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          def recallIn(lo: Double, hi: Double): (Int, Int) = {
+            val band = exactPairs.filter { case (_, c) => c >= lo && c < hi }
+            (band.keys.count(hit), band.size)
+          }
+          val (hitAll, nAll) = recallIn(0.38, 2.0)
+          val (hitNear, nNear) = recallIn(0.38, 0.5)
+          LlmOps.release(s)
+          val (kept, t) = timed(
+            SparkEntry.queries("q7H_dedup_embed")(s, dir)
+              .collect().map(_.getLong(0)).toSet)
+          val removed = nVec - kept.size
+          val recall =
+            if (flagged.isEmpty) 1.0
+            else flagged.count(j => !kept.contains(j)).toDouble / flagged.size
+          println(f"""{"mode":"embdedup","mult":$mult,"vectors":$nVec,""" +
+            f""""probe":"$probe","cand_pairs":$nCand,"cand_sec":$tCand%.1f,""" +
+            f""""pair_recall":${hitAll.toDouble / math.max(nAll, 1)}%.3f,""" +
+            f""""pair_recall_near":${hitNear.toDouble / math.max(nNear, 1)}%.3f,""" +
+            f""""exact_pairs_sample":$nAll,"near_pairs_sample":$nNear,""" +
+            f""""removed":$removed,"flagged_sample":${flagged.size},""" +
+            f""""id_recall":$recall%.3f,"sec":$t%.1f}""")
+        } finally s.conf.unset("spark.graft.simhash.dedupProbe")
+      }
+      LlmOps.release(s)
+    }
+  }
+
+  /** `ingestdiag` — isolates the wide-run wall's composition at 1×:
+    * the keep-all drop query alone vs alongside the curated query, and
+    * the per-batch count() vs groupBy-distinct foreachBatch action, so
+    * a wall shift in the soak table can be attributed (concurrency,
+    * accounting action, or the engine) instead of guessed at.
+    */
+  private def ingestdiag(s: SparkSession): Unit = {
+    import org.apache.spark.sql.types._
+    val (nDocs, v) = (5000, 2000)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scale-idg").toString
+    val corpus = zipfCorpus(s, nDocs, v, seed = 131L).cache()
+    graft.streaming.Staging.chunked(
+      corpus.select(col("doc_id"), col("text"), col("lang"),
+        (lit(86400000000L) + col("doc_id") * 1000L).as("ts")),
+      Seq(col("doc_id")), 20, s"$dir/stream")
+    val profiles = LlmIngest.langProfiles(corpus)
+    val evalIdx =
+      LlmIngest.evalShingleHashes(corpus.filter(col("doc_id") < 50))
+    corpus.unpersist()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("ts", LongType)))
+    def read() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$dir/stream")
+      .withColumn("ts_t", timestamp_micros(col("ts")))
+      .withWatermark("ts_t", "10 minutes")
+    val wide = 10L * 365 * 86400 * 1000
+    def curated() = LlmIngest.curate(
+      read(), profiles, minScoreBp = 6200L, minTokens = 20, evalIdx,
+      maxShared = 5)
+    for ((label, withQ1, group) <- Seq(
+        ("drops_alone_count", false, false),
+        ("drops_alone_group", false, true),
+        ("drops_with_q1_count", true, false),
+        ("drops_with_q1_group", true, true))) {
+      val ck = s"$dir/ck_$label"
+      val q1 = if (withQ1) Some(
+        curated().select("doc_id").writeStream
+          .option("checkpointLocation", s"$ck-q1")
+          .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+          .start()) else None
+      var rows = 0L
+      val q2 = LlmIngest.dropVerdicts(curated(), wide)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (group) b.groupBy("doc_id").count().collect()
+            .foreach(r => rows += r.getLong(1))
+          else rows += b.count()
+        }.start()
+      val (_, t) = timed(q2.processAllAvailable())
+      q1.foreach { q => q.processAllAvailable(); q.stop() }
+      q2.stop()
+      println(f"""{"mode":"ingestdiag","variant":"$label",""" +
+        f""""drop_rows":$rows,"sec":$t%.1f}""")
+    }
+  }
+
   /** S15 encode throughput at 1× and 10×: the streaming IVF-PQ encode
     * (the stateless per-row kernel chain) over a 20-file staged corpus
     * into a COUNTING sink — same counting-sink argument as `ingest`
@@ -520,9 +673,45 @@ object Scale {
     * per-row by construction, and S13's bucket state is bounded by the
     * active horizon, so throughput must not degrade superlinearly.
     */
-  private def ingest(s: SparkSession): Unit = {
+  /** Tuned state-store retention for the disk-bound soak rows (VERDICT
+    * r11 #2): the default retention keeps `minBatchesToRetain` = 100
+    * state versions in the checkpoint — on a ~10-batch soak that means
+    * NOTHING is ever purged, so checkpoint growth reads O(history) no
+    * matter what the rows curve does. A cluster deployment sizing disk
+    * tunes exactly these four dials: retain 2 versions, run maintenance
+    * every 2 s (the purge actually fires inside the soak window),
+    * compact RocksDB on commit (SST totals become post-compaction
+    * figures — tombstones reclaimed), and upload per-batch CHANGELOGS
+    * instead of full snapshots (ckpt delta per batch becomes O(changed
+    * rows), snapshots only at maintenance points).
+    */
+  private val tunedConfKeys = Seq(
+    "spark.sql.streaming.minBatchesToRetain",
+    "spark.sql.streaming.stateStore.maintenanceInterval",
+    "spark.sql.streaming.stateStore.rocksdb.compactOnCommit",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+
+  private def setTuned(s: SparkSession): Unit = {
+    s.conf.set(tunedConfKeys(0), "2")
+    s.conf.set(tunedConfKeys(1), "2s")
+    s.conf.set(tunedConfKeys(2), "true")
+    s.conf.set(tunedConfKeys(3), "true")
+  }
+
+  private def unsetTuned(s: SparkSession): Unit =
+    tunedConfKeys.foreach(s.conf.unset)
+
+  private def ingest(s: SparkSession, big: Boolean): Unit = {
     import org.apache.spark.sql.types._
-    for ((mult, nDocs, v) <- Seq((1, 5000, 2000), (10, 50000, 20000))) {
+    val scales = Seq((1, 5000, 2000), (10, 50000, 20000)) ++
+      // the 100× point (VERDICT r11 #8): bounded-horizon only — the
+      // keep-all worst case at 500k docs is ~15M state rows of declared
+      // O(corpus) growth, already characterized by the 1×/10× trend;
+      // what the third decade must show is that the TTL plateau stays
+      // horizon-bound (corpus-INdependent) where batch dedup already
+      // measures at this scale
+      (if (big) Seq((100, 500000, 200000)) else Nil)
+    for ((mult, nDocs, v) <- scales) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-in$mult").toString
       val corpus = zipfCorpus(s, nDocs, v, seed = 131L).cache()
@@ -545,35 +734,67 @@ object Scale {
       def curated(delay: String = "10 minutes") = LlmIngest.curate(
         read(delay), profiles,
         minScoreBp = 6200L, minTokens = 20, evalIdx, maxShared = 5)
-      var kept = 0L
-      var dropRows = 0L
-      val q1 = curated().select("doc_id").writeStream
-        .option("checkpointLocation", s"$dir/ck1")
-        .foreachBatch { (b: DataFrame, _: Long) => kept += b.count() }
-        .start()
-      val q2 = LlmIngest.dropVerdicts(curated(), wide).writeStream
-        .option("checkpointLocation", s"$dir/ck2")
-        .foreachBatch { (b: DataFrame, _: Long) => dropRows += b.count() }
-        .start()
-      val (_, t) = timed {
-        q1.processAllAvailable(); q2.processAllAvailable()
+      // one drop-verdict run: rows counted AND distinct dropped doc_ids
+      // accumulated (one groupBy action per batch — the emission is
+      // at-least-once per pair, so raw row counts would skew a recall
+      // ratio by replay multiplicity; the operator-facing effect is the
+      // distinct dropped-id set kept() anti-joins on). Drop-id sets are
+      // metadata-scale (≤ corpus ids). `tuned` applies the retention
+      // confs for the run and settles 5 s (2.5 maintenance cycles)
+      // before measuring the checkpoint dir, so purge + snapshot have
+      // actually fired.
+      case class DropRun(rows: Long, ids: Set[Long], sec: Double,
+        curve: Seq[(Long, Double, Double)], ckptMb: Double)
+      def runDrops(delay: String, horizonMs: Long, ck: String,
+          tuned: Boolean): DropRun = {
+        if (tuned) setTuned(s)
+        try {
+          var rows = 0L
+          val ids = scala.collection.mutable.HashSet.empty[Long]
+          val q = LlmIngest.dropVerdicts(curated(delay), horizonMs)
+            .writeStream.option("checkpointLocation", ck)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.groupBy("doc_id").count().collect().foreach { r =>
+                rows += r.getLong(1); ids += r.getLong(0)
+              }
+            }.start()
+          val (_, t) = timed(q.processAllAvailable())
+          if (tuned) Thread.sleep(5000)
+          val curve = stateCurve(q)
+          val mb = dirMb(ck)
+          q.stop()
+          DropRun(rows, ids.toSet, t, curve, mb)
+        } finally if (tuned) unsetTuned(s)
       }
-      // state soak (VERDICT r10 #3): q2 carries S13's keyed survivor
-      // state (+ the watermark aggregation) — its per-batch rows/bytes
-      // curve is the TTL-bound evidence; checkpoint dirs measured on
-      // disk after the run
-      val curve = stateCurve(q2)
-      q1.stop(); q2.stop()
-      val stateRowsMax = curve.map(_._1).maxOption.getOrElse(0L)
-      val stateRowsEnd = curve.lastOption.map(_._1).getOrElse(0L)
-      val stateMbMax = curve.map(_._2).maxOption.getOrElse(0.0)
-      println(f"""{"mode":"ingest","mult":$mult,"docs":$nDocs,""" +
-        f""""curated":$kept,"drop_rows":$dropRows,"sec":$t%.1f,""" +
-        f""""docs_per_sec":${nDocs / t}%.0f,""" +
-        f""""state_rows_max":$stateRowsMax,"state_rows_end":$stateRowsEnd,""" +
-        f""""state_mb_max":$stateMbMax%.2f,""" +
-        f""""ckpt_mb":${dirMb(s"$dir/ck1") + dirMb(s"$dir/ck2")}%.2f,""" +
-        f""""state_curve":${curveJson(curve)}}""")
+      def row(mode: String, r: DropRun, extra: String): String =
+        f"""{"mode":"$mode","mult":$mult,"docs":$nDocs,$extra""" +
+          f""""drop_rows":${r.rows},"drop_ids":${r.ids.size},""" +
+          f""""sec":${r.sec}%.1f,""" +
+          f""""state_rows_max":${r.curve.map(_._1).maxOption.getOrElse(0L)},""" +
+          f""""state_rows_end":${r.curve.lastOption.map(_._1).getOrElse(0L)},""" +
+          f""""state_mb_max":${r.curve.map(_._2).maxOption.getOrElse(0.0)}%.2f,""" +
+          f""""sst_max_mb":${r.curve.map(_._3).maxOption.getOrElse(0.0)}%.2f,""" +
+          f""""sst_end_mb":${r.curve.lastOption.map(_._3).getOrElse(0.0)}%.2f,""" +
+          f""""ckpt_mb":${r.ckptMb}%.2f,""" +
+          f""""state_curve":${curveJson(r.curve)}}"""
+
+      // keep-all worst case (skipped at 100× — see `scales` above): the
+      // curated-count query runs alongside for the throughput figure
+      val wideIds: Option[Set[Long]] = if (mult <= 10) {
+        var kept = 0L
+        val q1 = curated().select("doc_id").writeStream
+          .option("checkpointLocation", s"$dir/ck1")
+          .foreachBatch { (b: DataFrame, _: Long) => kept += b.count() }
+          .start()
+        val r = runDrops("10 minutes", wide, s"$dir/ck2", tuned = false)
+        val (_, t1) = timed(q1.processAllAvailable())
+        q1.stop()
+        val t = math.max(r.sec, t1)
+        println(row("ingest", r,
+          f""""curated":$kept,"docs_per_sec":${nDocs / t}%.0f,""" +
+          f""""sec_total":$t%.1f,"""))
+        Some(r.ids)
+      } else None
 
       // the BOUNDED-horizon counterpoint (the wide run above is the
       // keep-everything worst case, where state MUST grow with the
@@ -582,24 +803,28 @@ object Scale {
       // span — the claim under measurement is the S13 contract's "state
       // is O(docs in active buckets within the horizon)", i.e. the curve
       // PLATEAUS instead of tracking corpus size, and the plateau level
-      // scales with the horizon (two horizons → two plateau levels)
-      for (horizonMs <- Seq(5000L, 10000L)) {
-        var dropB = 0L
-        val ck = s"$dir/ck_h$horizonMs"
-        val q3 = LlmIngest.dropVerdicts(curated("2 seconds"), horizonMs)
-          .writeStream.option("checkpointLocation", ck)
-          .foreachBatch { (b: DataFrame, _: Long) => dropB += b.count() }
-          .start()
-        val (_, t3) = timed(q3.processAllAvailable())
-        val curve3 = stateCurve(q3)
-        q3.stop()
-        println(f"""{"mode":"ingest_ttl","mult":$mult,"docs":$nDocs,""" +
-          f""""horizon_ms":$horizonMs,"drop_rows":$dropB,"sec":$t3%.1f,""" +
-          f""""state_rows_max":${curve3.map(_._1).maxOption.getOrElse(0L)},""" +
-          f""""state_rows_end":${curve3.lastOption.map(_._1).getOrElse(0L)},""" +
-          f""""state_mb_max":${curve3.map(_._2).maxOption.getOrElse(0.0)}%.2f,""" +
-          f""""ckpt_mb":${dirMb(ck)}%.2f,""" +
-          f""""state_curve":${curveJson(curve3)}}""")
+      // scales with the horizon (three horizons → three plateau levels
+      // AND three recall points: recall = distinct dropped ids found at
+      // this horizon / the keep-all run's — the horizon→recall dial an
+      // ingest operator reads, VERDICT r11 #3). At 10×+ each horizon
+      // also runs TUNED (VERDICT r11 #2): post-compaction SST + purged,
+      // changelog-based checkpoint — the DISK bound, not just rows.
+      for (horizonMs <- Seq(5000L, 10000L, 20000L)
+           if mult <= 10 || horizonMs == 5000L) {
+        val r = runDrops("2 seconds", horizonMs,
+          s"$dir/ck_h$horizonMs", tuned = false)
+        val recall = wideIds.map { w =>
+          f""""recall":${r.ids.size.toDouble / w.size}%.3f,""" }.getOrElse("")
+        println(row("ingest_ttl", r,
+          s""""horizon_ms":$horizonMs,$recall"""))
+        if (mult >= 10) {
+          val rt = runDrops("2 seconds", horizonMs,
+            s"$dir/ck_ht$horizonMs", tuned = true)
+          val recallT = wideIds.map { w =>
+            f""""recall":${rt.ids.size.toDouble / w.size}%.3f,""" }.getOrElse("")
+          println(row("ingest_ttl_tuned", rt,
+            s""""horizon_ms":$horizonMs,$recallT"""))
+        }
       }
     }
   }
@@ -614,7 +839,9 @@ object Scale {
                                huge = args.contains("huge"))
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s)
-      case "ingest"    => useRocksDb(s); ingest(s)
+      case "embdedup"  => embdedup(s)
+      case "ingest"    => useRocksDb(s); ingest(s, big = args.contains("big"))
+      case "ingestdiag" => useRocksDb(s); ingestdiag(s)
       case "vecingest" => useRocksDb(s); vecingest(s)
       case other       => sys.error(s"unknown mode $other")
     }

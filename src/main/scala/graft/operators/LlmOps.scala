@@ -540,6 +540,50 @@ object LlmOps {
       }.mkString(" + ")
   }
 
+  /** q7H's candidate pair stream — SimHash band buckets met by equi-join
+    * on (band, bval), BEFORE the exact-cosine filter (public so the
+    * Scale `embdedup` probe can measure candidate volume against removal
+    * recall on the same join the operator runs). Probe policy via
+    * `spark.graft.simhash.dedupProbe`:
+    *  - `single` (default): one bucket per band per side. Measured pair
+    *    recall (Scale embdedup, clustered 64-dim corpora, sampled exact
+    *    pairs): 0.86 overall / 0.53 in the near-threshold cos [0.38,
+    *    0.5) band, flat across 5k → 50k vectors.
+    *  - `multi`: side A also probes the four Hamming-1 buckets of every
+    *    band (Lv et al., VLDB'07 — the trade q7C adopted query-side in
+    *    r11; XOR symmetry makes one-sided expansion cover both
+    *    directions). Measured: pair recall 1.00 overall / 0.95 near-τ
+    *    at BOTH decades — but for 4.6× the candidate pairs and ~4× the
+    *    operator wall on dense corpora, because unlike q7C the expanded
+    *    side here is the CORPUS, so the multiplier lands on the big
+    *    side of the join and scales with it. That is why single stays
+    *    the default: at 100 TB the candidate join is the budget, the
+    *    missed pairs are concentrated at the decision boundary, and the
+    *    exhaustive route already exists (q7N/q77 batch sweeps). Flip to
+    *    `multi` when near-threshold completeness is worth 4–5× on this
+    *    one stage; AnnSpec pins the recall floors of both modes.
+    */
+  def embedDedupPairs(s: SparkSession, d: String): DataFrame = {
+    val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
+    require(probe == "single" || probe == "multi",
+      s"spark.graft.simhash.dedupProbe must be single|multi, got $probe")
+    val v = vectors(s, d)
+    val nBands = 4
+    val banded = v.select(col("vec_id"), col("e"), col("nsq"),
+      posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
+        .as(Seq("band", "bval")))
+    val aBval =
+      if (probe == "single") col("bval")
+      else explode(array(col("bval"), col("bval").bitwiseXOR(lit(8)),
+        col("bval").bitwiseXOR(lit(4)), col("bval").bitwiseXOR(lit(2)),
+        col("bval").bitwiseXOR(lit(1))))
+    val a = banded.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("nsq").as("na"), col("band"), aBval.as("bval"))
+    val b = banded.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("nsq").as("nb"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+  }
+
   /** Winnowing document fingerprints (q7E): hash every word 4-gram, then
     * keep each 8-window's minimum hash — the classic MOSS-style
     * selection: ~n/8 fingerprints per doc, guaranteed to share
@@ -951,16 +995,7 @@ object LlmOps {
     // the exact removal set are asserted in AnnSpec.
     "q7H_dedup_embed" -> ((s, d) => {
       val v = vectors(s, d)
-      val nBands = 4
-      val banded = v.select(col("vec_id"), col("e"), col("nsq"),
-        posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
-          .as(Seq("band", "bval")))
-      val a = banded.select(col("vec_id").as("id_a"), col("e").as("ea"),
-        col("nsq").as("na"), col("band"), col("bval"))
-      val b = banded.select(col("vec_id").as("id_b"), col("e").as("eb"),
-        col("nsq").as("nb"), col("band"), col("bval"))
-      val removed = a.join(b, Seq("band", "bval"))
-        .filter(col("id_a") < col("id_b"))
+      val removed = embedDedupPairs(s, d)
         .filter(cosine("ea", "eb", "na", "nb") >= 0.38)
         .select(col("id_b").as("vec_id"))
         .distinct()

@@ -291,6 +291,14 @@ object StreamOps {
     * expired is not flagged, and the batch q7N sweep remains the
     * exhaustive pass. Parity vs q7N's batch pairs, TTL eviction, and
     * RocksDB are pinned in StreamingParitySpec.
+    *
+    * Picking `horizonMs` (measured, `graft.Scale ingest` / SCALING.md
+    * r12 soak): recall of the keep-all run's distinct drop verdicts was
+    * 0.65 / 0.76 / 0.89 at 5 s / 10 s / 20 s horizons over a ~50 s
+    * event span, while the state plateau grew roughly linearly with the
+    * horizon (383 k / 542 k / 858 k rows) — so size the horizon from
+    * the target dedup recall (recall's marginal gain falls; state is
+    * the cheaper axis) and leave the tail to the batch q7N sweep.
     */
   def nearDupSurvivors(docs: DataFrame,
       horizonMs: Long = 3600L * 1000): Dataset[SurvivorPair] = {

@@ -261,4 +261,30 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"dedup recall $recall (${removed.size}/${exactRemoved.size}; measured 0.53 at pin time)")
     assert(kept.nonEmpty && (kept contains ids.head))
   }
+
+  test("q7H multi-probe dial: sound, and recall strictly above the single-probe floor") {
+    // the r12-measured trade (Scale embdedup): Hamming-1 probing on one
+    // corpus side lifts near-threshold pair recall 0.53 → 0.95 for 4.6×
+    // the candidate pairs — single stays the default (the multiplier
+    // lands on the corpus side of the join), multi is the opt-in recall
+    // dial; this pins that the dial actually buys recall on the fixture
+    // and stays sound (removals still justified by exact pairs).
+    spark.conf.set("spark.graft.simhash.dedupProbe", "multi")
+    try {
+      val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+        .collect().map(_.getLong(0)).toSet
+      val removed = vecs.keySet -- kept
+      val ids = vecs.keySet.toSeq.sorted
+      val exactRemoved = ids.filter { j =>
+        ids.exists(i => i < j && cosine(vecs(i), vecs(j)) >= 0.38)
+      }.toSet
+      val unjustified = removed.filterNot(exactRemoved)
+      assert(unjustified.isEmpty,
+        s"removed without an exact smaller near-dup: ${unjustified.take(5)}")
+      val recall = removed.size.toDouble / exactRemoved.size
+      // deterministic pin; measured at r12 adoption time (single = 0.53)
+      assert(recall >= 0.75,
+        s"multi-probe dedup recall $recall (${removed.size}/${exactRemoved.size})")
+    } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
+  }
 }
