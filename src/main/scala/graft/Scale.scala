@@ -34,7 +34,8 @@ import graft.streaming.LlmIngest
   *  - `ingest` — S13/S14 soak: keep-all vs three TTL horizons (recall
   *    per horizon vs the keep-all drop set), plus TUNED-retention runs
   *    (post-compaction SST + purged changelog checkpoint = the disk
-  *    bound); `big` adds a bounded-horizon 100× point.
+  *    bound); `big` replaces the sweep with a bounded-horizon 100×
+  *    point.
   */
 object Scale {
 
@@ -108,6 +109,14 @@ object Scale {
   private def useRocksDb(s: SparkSession): Unit = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // maintenance interval is read ONCE per JVM when the first state
+    // store loads (the maintenance loop is a process-global timer), so
+    // it must be set BEFORE any soak query starts — a per-run setting
+    // in the tuned confs silently keeps the 60 s default, maintenance
+    // then never fires inside a ≤60 s run + settle window, and stale
+    // changelog versions are never purged (measured: the r12 tuned
+    // checkpoint held all 11 versions' changelogs until this moved)
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
     // stateCurve reads q.recentProgress, whose ring buffer defaults to
     // 100 entries — enough for today's ~10-batch soaks but a larger
     // staged corpus would silently truncate the curve and underreport
@@ -687,15 +696,23 @@ object Scale {
     */
   private val tunedConfKeys = Seq(
     "spark.sql.streaming.minBatchesToRetain",
-    "spark.sql.streaming.stateStore.maintenanceInterval",
     "spark.sql.streaming.stateStore.rocksdb.compactOnCommit",
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    // snapshot every 3 changelog deltas and delete stale versions
+    // eagerly (the default batches deletion by minBatchesToRetain ×
+    // ratioExtraSpace = 30 stale versions — an ~11-batch soak never
+    // reaches it, so the whole run's changelogs would sit un-purged and
+    // the checkpoint would read O(history) as a measurement artifact,
+    // not a bound)
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot",
+    "spark.sql.streaming.ratioExtraSpaceAllowedInCheckpoint")
 
   private def setTuned(s: SparkSession): Unit = {
     s.conf.set(tunedConfKeys(0), "2")
-    s.conf.set(tunedConfKeys(1), "2s")
+    s.conf.set(tunedConfKeys(1), "true")
     s.conf.set(tunedConfKeys(2), "true")
-    s.conf.set(tunedConfKeys(3), "true")
+    s.conf.set(tunedConfKeys(3), "3")
+    s.conf.set(tunedConfKeys(4), "0")
   }
 
   private def unsetTuned(s: SparkSession): Unit =
@@ -703,14 +720,16 @@ object Scale {
 
   private def ingest(s: SparkSession, big: Boolean): Unit = {
     import org.apache.spark.sql.types._
-    val scales = Seq((1, 5000, 2000), (10, 50000, 20000)) ++
-      // the 100× point (VERDICT r11 #8): bounded-horizon only — the
-      // keep-all worst case at 500k docs is ~15M state rows of declared
-      // O(corpus) growth, already characterized by the 1×/10× trend;
-      // what the third decade must show is that the TTL plateau stays
-      // horizon-bound (corpus-INdependent) where batch dedup already
-      // measures at this scale
-      (if (big) Seq((100, 500000, 200000)) else Nil)
+    // `big` REPLACES the 1×/10× sweep with the 100× point (VERDICT r11
+    // #8), bounded-horizon only — the keep-all worst case at 500k docs
+    // is ~15M state rows of declared O(corpus) growth, already
+    // characterized by the 1×/10× trend; what the third decade must
+    // show is that the TTL plateau stays horizon-bound
+    // (corpus-INdependent) where batch dedup already measures at this
+    // scale
+    val scales =
+      if (big) Seq((100, 500000, 200000))
+      else Seq((1, 5000, 2000), (10, 50000, 20000))
     for ((mult, nDocs, v) <- scales) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-in$mult").toString
@@ -759,7 +778,9 @@ object Scale {
               }
             }.start()
           val (_, t) = timed(q.processAllAvailable())
-          if (tuned) Thread.sleep(5000)
+          // settle ≥4 maintenance ticks: snapshot upload and the stale-
+          // version purge happen on successive maintenance passes
+          if (tuned) Thread.sleep(8000)
           val curve = stateCurve(q)
           val mb = dirMb(ck)
           q.stop()

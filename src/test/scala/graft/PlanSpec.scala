@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7H: band join stays an equi-join in BOTH probe modes — the multi " +
+    "dial adds probe rows, never a nested-loop pass") {
+    for (mode <- Seq("single", "multi")) {
+      spark.conf.set("spark.graft.simhash.dedupProbe", mode)
+      try {
+        val p = plan("q7H_dedup_embed")
+        assert(!p.contains("CartesianProduct"), s"$mode: $p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$mode: $p")
+      } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
+    }
+  }
+
   test("q76: exact-sim kernel is a block-grid equi-join — no nested-loop pass, " +
     "no single-partition exchange feeding it") {
     val p = plan("q76_sim_cosine_topk")
