@@ -17,7 +17,9 @@ import graft.streaming.LlmIngest
   *    open-domain property; the sf fixtures draw from a closed ~31-word
   *    vocabulary, which is the prefix filter's worst case). Measures
   *    candidates/doc at 1× and 10× — the "prefix selectivity improves
-  *    with scale" claim, measured instead of cited.
+  *    with scale" claim, measured instead of cited. `big` adds the
+  *    100× point; `huge` adds a distributed-generated 1000× (5M-doc)
+  *    point on top.
   *  - `closed10x` — the r7 worst-case point re-measured: sf0.1 documents
   *    replicated ×10 with one-token perturbations (5,000 injected
   *    10-member near-dup cliques), timing q7N + q7R end-to-end.
@@ -41,9 +43,15 @@ object Scale {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partition-count override for the largest single-host points: at
+    // the fourth decade a 32-partition shuffle puts ~8M (doc, shingle)
+    // rows of hash state in each task — the dial a 1000-executor
+    // cluster turns (more partitions), measurable here independently
+    // of core count
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -180,16 +188,80 @@ object Scale {
   private def writeDocs(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-  private def openvocab(s: SparkSession, big: Boolean): Unit = {
+  /** Distributed twin of [[zipfCorpus]] for corpora past what a driver
+    * array should hold (the ann mode's 1000× discipline: the driver
+    * never materializes corpus-scale data). Text is a pure function of
+    * (seed, v, doc_id): one Zipf cum table per PARTITION (O(v) doubles,
+    * transient), one Random per ROW seeded from the doc id, so any
+    * row — including a near-dup's source — regenerates anywhere with no
+    * cross-row state. A near-dup perturbs its SOURCE's fresh text; a
+    * source that is itself a near-dup stores one further perturbation,
+    * so the stored pair differs by ≤2 of 20–80 words — still a true
+    * near-dup at any τ the family measures. Same Zipf shape, dup rate,
+    * and length law as the driver generator (different random stream).
+    */
+  private def zipfCorpusDist(s: SparkSession, nDocs: Long, v: Int,
+      seed: Long): DataFrame = {
+    import s.implicits._
+    s.range(0L, nDocs, 1L, 64).mapPartitions { it =>
+      val cum = new Array[Double](v)
+      var acc = 0.0
+      var i = 0
+      while (i < v) { acc += 1.0 / (i + 1); cum(i) = acc; i += 1 }
+      val total = cum(v - 1)
+      def draw(rnd: scala.util.Random): Int = {
+        val x = rnd.nextDouble() * total
+        var lo = 0; var hi = v - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cum(mid) < x) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      def fresh(id: Long): Array[String] = {
+        val rnd = new scala.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+        val n = 20 + rnd.nextInt(61)
+        Array.fill(n)(s"tok${draw(rnd)}")
+      }
+      it.map { id =>
+        // decision stream salted apart from the text stream so a dup's
+        // perturbation draws never replay its source's word draws
+        val d = new scala.util.Random(seed ^ (id * 0xC2B2AE3D27D4EB4FL) + 1L)
+        val text =
+          if (id > 0 && d.nextInt(50) == 0) {
+            val w = fresh((d.nextLong() & Long.MaxValue) % id)
+            w(d.nextInt(w.length)) = s"tok${draw(d)}"
+            w.mkString(" ")
+          } else fresh(id).mkString(" ")
+        (id, text, s"l${id % 4}", "web", text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def openvocab(s: SparkSession, big: Boolean,
+      huge: Boolean): Unit = {
     val scales = Seq((1, 5000, 2000), (10, 50000, 20000)) ++
       // the 100× point also crosses the dfreq broadcast row gate (its
       // dictionary exceeds 4M distinct shingles), so it exercises the
       // shuffle-fallback branch at real scale — pass `big` to include it
-      (if (big) Seq((100, 500000, 200000)) else Nil)
-    for ((mult, nDocs, v) <- scales) {
+      (if (big || huge) Seq((100, 500000, 200000)) else Nil) ++
+      // `huge` adds the fourth decade (5M docs, 2M-word dictionary) —
+      // generated DISTRIBUTED (zipfCorpusDist); the smaller points keep
+      // the driver generator so their rows stay comparable with the
+      // published tables
+      (if (huge) Seq((1000, 5000000, 2000000)) else Nil)
+    // `solo`: only the largest selected point (re-measurement runs —
+    // e.g. the fourth decade under a different shuffle-partition count
+    // — without re-paying the smaller decades)
+    val selected =
+      if (sys.env.contains("SPARK_GRAFT_SOLO")) scales.takeRight(1)
+      else scales
+    for ((mult, nDocs, v) <- selected) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-ov$mult").toString
-      writeDocs(zipfCorpus(s, nDocs, v, seed = 97L), dir)
+      writeDocs(
+        if (mult >= 1000) zipfCorpusDist(s, nDocs.toLong, v, seed = 97L)
+        else zipfCorpus(s, nDocs, v, seed = 97L), dir)
       val sh = LlmOps.shingled(s, dir)
         .filter(size(col("shingles")) >= 1)
         .withColumn("sz", size(col("shingles")))
@@ -378,16 +450,24 @@ object Scale {
     (recalls.sum / recalls.size, t)
   }
 
-  private def ann(s: SparkSession, big: Boolean, huge: Boolean): Unit = {
+  private def ann(s: SparkSession, big: Boolean, huge: Boolean,
+      ultra: Boolean = false): Unit = {
     // `big` adds the 100× point — a third decade for the recall table;
     // its ground truth is still driver-computed (10 queries × 500k
     // rounded cosines) and its K crosses into auto-ks' 256 cap.
     // `huge` adds the 1000× point (5M vectors, distributed corpus +
     // truth): first test of q7S's conf-scaled rerank clamp past the old
     // 4096 saturation and of q7G's two-level assignment past 704 cells.
+    // `ultra` adds the FIFTH decade (50M vectors) — the first point
+    // where the K = √n geometry hits the ivf.maxK ceiling (√5e7 ≈ 7071
+    // > 4096) AND nprobe sits at its 64 clamp, so per-cell population
+    // and the ADC pool stop tracking √n; the dial the scaladocs
+    // prescribe there is maxK, and the point runs a maxK-raised
+    // variant to measure exactly that trade.
     val scales = Seq((1, 5000), (10, 50000)) ++
       (if (big) Seq((100, 500000)) else Nil) ++
-      (if (huge) Seq((1000, 5000000)) else Nil)
+      (if (huge) Seq((1000, 5000000)) else Nil) ++
+      (if (ultra) Seq((10000, 50000000)) else Nil)
     for ((mult, nVec) <- scales) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
@@ -412,6 +492,28 @@ object Scale {
         f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
         f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
       LlmOps.release(s)
+      // the maxK dial at the clamped decade: re-run the two IVF tiers
+      // with the ceiling lifted past √n (q7C has no K, unaffected) —
+      // the measured counterpart to the scaladoc's "past ~10⁷ vectors
+      // raise ivf.maxK rather than rerank ever deeper"
+      if (mult >= 10000) {
+        s.conf.set("spark.graft.ivf.maxK", "8192")
+        try {
+          val (rG2, tG2) = recallOf("q7G_ann_ivf")
+          val (rS2, tS2) = recallOf("q7S_ann_ivfpq")
+          val k2 = LlmOps.ivfModel(s, dir)._1.size
+          val np2 = LlmOps.ivfNProbe(k2)
+          val autoR2 = LlmOps.pqRerank(s, k2, nVec.toLong)
+          println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+            f""""variant":"maxK=8192",""" +
+            f""""q7G_recall":$rG2%.2f,"q7G_sec":$tG2%.1f,""" +
+            f""""q7S_recall":$rS2%.2f,"q7S_sec":$tS2%.1f,""" +
+            f""""ivf_k":$k2,"nprobe":$np2,"auto_r":$autoR2,""" +
+            f""""vec_per_cell":${nVec.toDouble / k2}%.1f,""" +
+            f""""scanned_frac":${np2.toDouble / k2}%.2f}""")
+        } finally s.conf.unset("spark.graft.ivf.maxK")
+        LlmOps.release(s)
+      }
     }
   }
 
@@ -763,9 +865,10 @@ object Scale {
       // before measuring the checkpoint dir, so purge + snapshot have
       // actually fired.
       case class DropRun(rows: Long, ids: Set[Long], sec: Double,
-        curve: Seq[(Long, Double, Double)], ckptMb: Double)
+        curve: Seq[(Long, Double, Double)], ckptMb: Double,
+        settled: Option[(Double, Double)])
       def runDrops(delay: String, horizonMs: Long, ck: String,
-          tuned: Boolean): DropRun = {
+          tuned: Boolean, settleExtra: Boolean = false): DropRun = {
         if (tuned) setTuned(s)
         try {
           var rows = 0L
@@ -783,8 +886,30 @@ object Scale {
           if (tuned) Thread.sleep(8000)
           val curve = stateCurve(q)
           val mb = dirMb(ck)
+          // the final watermark sweep evicts its rows IN the last
+          // commit, whose compactOnCommit pass runs before those
+          // tombstones are compactable — so sst_end reads one
+          // compaction behind the rows bound. `settleExtra` stages ONE
+          // straggler doc (ts = the corpus max, so the watermark — and
+          // therefore the drop/recall accounting — is unchanged; 1
+          // token, so the quality gate drops it before any state op)
+          // and processes it: one more commit, one more compaction,
+          // with the sweep's tombstones now old. The post-straggler
+          // SST + checkpoint are the CONVERGED disk floor the hedge in
+          // SCALING.md's 100× row is about.
+          val settled = if (settleExtra) {
+            import s.implicits._
+            Seq((nDocs.toLong, "x", "l0",
+                86400000000L + (nDocs - 1).toLong * 1000L))
+              .toDF("doc_id", "text", "lang", "ts")
+              .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+            q.processAllAvailable()
+            if (tuned) Thread.sleep(8000)
+            val c2 = stateCurve(q)
+            Some((c2.lastOption.map(_._3).getOrElse(0.0), dirMb(ck)))
+          } else None
           q.stop()
-          DropRun(rows, ids.toSet, t, curve, mb)
+          DropRun(rows, ids.toSet, t, curve, mb, settled)
         } finally if (tuned) unsetTuned(s)
       }
       def row(mode: String, r: DropRun, extra: String): String =
@@ -797,6 +922,9 @@ object Scale {
           f""""sst_max_mb":${r.curve.map(_._3).maxOption.getOrElse(0.0)}%.2f,""" +
           f""""sst_end_mb":${r.curve.lastOption.map(_._3).getOrElse(0.0)}%.2f,""" +
           f""""ckpt_mb":${r.ckptMb}%.2f,""" +
+          r.settled.map { case (sst, ck) =>
+            f""""sst_settled_mb":$sst%.2f,"ckpt_settled_mb":$ck%.2f,"""
+          }.getOrElse("") +
           f""""state_curve":${curveJson(r.curve)}}"""
 
       // keep-all worst case (skipped at 100× — see `scales` above): the
@@ -830,17 +958,22 @@ object Scale {
       // ingest operator reads, VERDICT r11 #3). At 10×+ each horizon
       // also runs TUNED (VERDICT r11 #2): post-compaction SST + purged,
       // changelog-based checkpoint — the DISK bound, not just rows.
+      // settleExtra at the 100× point only — that is where the final
+      // sweep evicts ~1.6M rows in one commit and the SST figure reads
+      // one compaction behind (each settled run appends one gated-out
+      // straggler file to the staging dir; later runs re-read it
+      // harmlessly — it never reaches a state op or a verdict)
       for (horizonMs <- Seq(5000L, 10000L, 20000L)
            if mult <= 10 || horizonMs == 5000L) {
         val r = runDrops("2 seconds", horizonMs,
-          s"$dir/ck_h$horizonMs", tuned = false)
+          s"$dir/ck_h$horizonMs", tuned = false, settleExtra = mult >= 100)
         val recall = wideIds.map { w =>
           f""""recall":${r.ids.size.toDouble / w.size}%.3f,""" }.getOrElse("")
         println(row("ingest_ttl", r,
           s""""horizon_ms":$horizonMs,$recall"""))
         if (mult >= 10) {
           val rt = runDrops("2 seconds", horizonMs,
-            s"$dir/ck_ht$horizonMs", tuned = true)
+            s"$dir/ck_ht$horizonMs", tuned = true, settleExtra = mult >= 100)
           val recallT = wideIds.map { w =>
             f""""recall":${rt.ids.size.toDouble / w.size}%.3f,""" }.getOrElse("")
           println(row("ingest_ttl_tuned", rt,
@@ -853,11 +986,13 @@ object Scale {
   def main(args: Array[String]): Unit = {
     val s = session()
     args.headOption.getOrElse("openvocab") match {
-      case "openvocab" => openvocab(s, big = args.contains("big"))
+      case "openvocab" => openvocab(s, big = args.contains("big"),
+        huge = args.contains("huge"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
       case "ann"       => ann(s, big = args.contains("big"),
-                               huge = args.contains("huge"))
+                               huge = args.contains("huge"),
+                               ultra = args.contains("ultra"))
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s)
       case "embdedup"  => embdedup(s)
