@@ -524,17 +524,35 @@ object Scale {
     * points — the sweep isolates R), so the wall deltas are pure
     * query-side cost.
     */
-  private def pqsweep(s: SparkSession): Unit = {
-    val (dir, truth) = annCorpus(s, 50000)
+  private def pqsweep(s: SparkSession, huge: Boolean = false): Unit = {
+    // `huge` re-runs the sweep on the 1000× (5M-vector) corpus with the
+    // decade's own R points: 4096 is the COUNTERFACTUAL — the fixed
+    // upper clamp r12 replaced with the conf-scaled one — so its recall
+    // point turns "the old clamp would have re-entered the falling-share
+    // regime at this decade" from a prediction into a measurement; the
+    // auto point (pool/8 ≈ 13k here) is the shipped behavior, and
+    // because models warm untimed, its wall is the fourth decade's
+    // WARM query-side serving cost (the `ann` table's q7S wall is cold
+    // build + queries).
+    val nVec = if (huge) 5000000 else 50000
+    val (dir, truth) = annCorpus(s, nVec)
     LlmOps.pqModel(s, dir) // warm coarse+PQ models UNtimed: every point
     // below is then pure query-side cost, including the first
-    for (r <- Seq(32, 64, 128, 256)) {
+    val forced = if (huge) Seq(1024, 4096) else Seq(32, 64, 128, 256)
+    for (r <- forced) {
       s.conf.set("spark.graft.pq.rerank", r.toString)
       try {
         val (rec, t) = recallRun(s, dir, truth, "q7S_ann_ivfpq")
-        println(f"""{"mode":"pqsweep","vectors":50000,"rerank":$r,""" +
+        println(f"""{"mode":"pqsweep","vectors":$nVec,"rerank":$r,""" +
           f""""q7S_recall":$rec%.2f,"sec":$t%.1f}""")
       } finally s.conf.unset("spark.graft.pq.rerank")
+    }
+    if (huge) { // the shipped auto-R point, same warmed models
+      val k = LlmOps.ivfModel(s, dir)._1.size
+      val autoR = LlmOps.pqRerank(s, k, nVec.toLong)
+      val (rec, t) = recallRun(s, dir, truth, "q7S_ann_ivfpq")
+      println(f"""{"mode":"pqsweep","vectors":$nVec,"rerank":$autoR,""" +
+        f""""auto":true,"q7S_recall":$rec%.2f,"sec":$t%.1f}""")
     }
     LlmOps.release(s)
   }
@@ -994,7 +1012,7 @@ object Scale {
                                huge = args.contains("huge"),
                                ultra = args.contains("ultra"))
       case "clique"    => clique(s)
-      case "pqsweep"   => pqsweep(s)
+      case "pqsweep"   => pqsweep(s, huge = args.contains("huge"))
       case "embdedup"  => embdedup(s)
       case "ingest"    => useRocksDb(s); ingest(s, big = args.contains("big"))
       case "ingestdiag" => useRocksDb(s); ingestdiag(s)
