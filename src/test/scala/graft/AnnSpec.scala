@@ -287,4 +287,37 @@ class AnnSpec extends AnyFunSuite {
         s"multi-probe dedup recall $recall (${removed.size}/${exactRemoved.size})")
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
+
+  test("auto-R pins the measured decade geometry and the clamp counterfactual") {
+    // SCALING.md's recall table stands on this arithmetic: auto-R =
+    // clamp(max(K, pool/8)) with pool = nprobe(K)·(n/K). Pin the exact
+    // auto-R the four measured decades used (72/418/2396/13136), the
+    // sf-fixture floor (n=2000 → the 64 floor, so BASELINE plans are
+    // untouched by the dial), and the r12 counterfactual: the old fixed
+    // 4096 clamp saturates at the fourth decade (measured recall 0.64
+    // vs 0.92 shipped — Scale pqsweep huge).
+    import graft.operators.LlmOps
+    val decades = Seq((69, 5000L) -> 72, (224, 50000L) -> 418,
+      (704, 500000L) -> 2396, (2236, 5000000L) -> 13136)
+    decades.foreach { case ((k, n), want) =>
+      assert(LlmOps.pqRerank(spark, k, n) === want,
+        s"auto-R at K=$k n=$n")
+    }
+    assert(LlmOps.pqRerank(spark, 45, 2000L) === 64, "fixture floor")
+    spark.conf.set("spark.graft.pq.rerankMax", "4096")
+    try assert(LlmOps.pqRerank(spark, 2236, 5000000L) === 4096,
+      "old clamp saturates at the fourth decade")
+    finally spark.conf.unset("spark.graft.pq.rerankMax")
+    spark.conf.set("spark.graft.pq.rerank", "100")
+    try assert(LlmOps.pqRerank(spark, 2236, 5000000L) === 100, "forced R")
+    finally spark.conf.unset("spark.graft.pq.rerank")
+    spark.conf.set("spark.graft.pq.rerank", "3")
+    try intercept[IllegalArgumentException] {
+      LlmOps.pqRerank(spark, 69, 5000L)
+    } finally spark.conf.unset("spark.graft.pq.rerank")
+    spark.conf.set("spark.graft.pq.rerankMax", "32")
+    try intercept[IllegalArgumentException] {
+      LlmOps.pqRerank(spark, 69, 5000L)
+    } finally spark.conf.unset("spark.graft.pq.rerankMax")
+  }
 }
