@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedIntersect, SortedIntersectGe, VecSub}
+import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedIntersect, SortedIntersectGe, VecSub}
 
 /** Cluster-wide registration of the graft codegen kernels via the
   * standard Spark extension point:
@@ -25,7 +25,7 @@ import graft.functions.{DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedI
   * CLONES from, so `spark.sql("SELECT graft_dot(a, b) …")` works in SQL
   * text with no Scala imports at all.
   *
-  * Injected here are the eight Catalyst `Expression` kernels (all
+  * Injected here are the nine Catalyst `Expression` kernels (all
   * codegen'd, all whole-stage-codegen friendly):
   *
   *  - `graft_dot(a, b)` — double-array dot product (q76/q77/q78/q7C).
@@ -40,6 +40,8 @@ import graft.functions.{DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedI
   *    approximate inner product over PQ codes (q7S's candidate ranking).
   *  - `graft_vec_sub(a, b)` — element-wise difference (q7S's IVF-ADC
   *    residual at index-build time).
+  *  - `graft_bigrams(text)` — distinct char-bigram set (q7F/S14's
+  *    language-ID features) in one byte-level pass.
   *
   * The one non-Expression function, the `graft_minhash` UDAF (the
   * explode-based aggregation spelling kept for parity testing), stays
@@ -78,5 +80,7 @@ object GraftExtensions {
     ("graft_pq_adc", classOf[PqAdc],
       args => PqAdc(args.head, args(1), args(2))),
     ("graft_vec_sub", classOf[VecSub],
-      args => VecSub(args.head, args(1))))
+      args => VecSub(args.head, args(1))),
+    ("graft_bigrams", classOf[BigramSet],
+      args => BigramSet(args.head)))
 }

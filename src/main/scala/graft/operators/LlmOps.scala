@@ -308,13 +308,27 @@ object LlmOps {
       |  x -> x IS NOT NULL)))""".stripMargin
 
   /** The distinct char-bigram set expression over a `text` column —
-    * q7F's linear in-row extraction (zip_with over the char array and
-    * its shift, NOT the O(len²) substring spelling), shared with the
-    * streaming ingest enrichment (graft.streaming.LlmIngest) so the
-    * stream scores docs over the SAME bigram sets the batch profile was
-    * trained on.
+    * q7F's in-row extraction, shared with the streaming ingest
+    * enrichment (graft.streaming.LlmIngest) so the stream scores docs
+    * over the SAME bigram sets the batch profile was trained on.
+    *
+    * Round 13: the five-collection-expression spelling (split + slice +
+    * zip_with + filter + array_distinct — kept as
+    * [[BigramSqlRef]] for the KernelSpec parity pin) became the
+    * [[graft.functions.Bigrams]] codegen kernel: one byte-level pass,
+    * zero-copy bigram windows, one dedup set. Same values, same order;
+    * it was ~0.7 s of q7F's ~2.2 s steady-state wall at sf0.1.
+    * Callers must [[graft.functions.Bigrams.register]] first (the q7F
+    * entry and LlmIngest do).
     */
-  private[graft] val BigramSql: String =
+  private[graft] val BigramSql: String = "graft_bigrams(text)"
+
+  /** Pre-round-13 SQL spelling of [[BigramSql]] — the kernel's parity
+    * reference (KernelSpec) and the deployment fallback where the
+    * extension jar is absent. Linear (zip_with over the char array and
+    * its shift, NOT the O(len²) substring spelling).
+    */
+  private[graft] val BigramSqlRef: String =
     """array_distinct(filter(
       |  zip_with(split(text, ''), slice(split(text, ''), 2, length(text)),
       |           (a, b) -> concat(a, b)),
@@ -899,38 +913,40 @@ object LlmOps {
     // skew anyway. Per-doc distinct stays IN-ROW (array_distinct); a
     // global DISTINCT would shuffle every (doc, bigram) occurrence.
     //
-    // Bigram extraction is LINEAR: zip_with over the char array and its
-    // shift-by-one (nulls from the padded tail filtered out). The obvious
-    // `transform(sequence(1, n-1), i -> substring(text, i, 2))` is
-    // O(n²) per document — UTF8String substring re-scans from the start
-    // for every i (measured 2.1× slower on the sf0.1 corpus, and the gap
-    // widens with doc length).
+    // Bigram extraction is the graft_bigrams codegen kernel (round 13;
+    // [[graft.functions.Bigrams]], KernelSpec-pinned against the old
+    // five-expression SQL spelling [[BigramSqlRef]]) — one byte-level
+    // pass per doc, ~0.7 s off the sf0.1 wall.
+    //
+    // TWO corpus explodes, ZERO corpus-sized shuffle (round 13 —
+    // reverting round 11's shared-exchange shape WITH MEASUREMENTS):
+    // r11 fused the profile and predict branches onto one distinct
+    // (doc, lang, bg) count exchange so ReuseExchange could dedupe the
+    // explode. That exchange is CORPUS-sized — every distinct (doc,
+    // bigram) pair crosses the wire — and it is exactly what made q7F
+    // drift 2.29→2.74 s (r10→r11, the r12 verdict's top triage item).
+    // The branch-local shapes shuffle almost nothing instead: the
+    // profile branch collapses map-side to (lang, bg) partial counts
+    // (≲ langs × |bigram vocab| rows per partition), and the predict
+    // branch broadcast-joins the 20-per-lang profile onto the exploded
+    // rows and partial-aggregates straight to (doc, lang, cand) —
+    // docs × ≤langs rows. Measured at sf0.1 (warm, paired A/B): 0.81 s
+    // vs 1.31 s for the one-pass shape with the same kernel. At 100 TB
+    // the trade is one extra projected column scan vs shuffle-writing +
+    // shipping + shuffle-reading the whole distinct-bigram corpus —
+    // the scan is the cheaper side of that by construction. PlanSpec
+    // pins the shape: no exchange carries (doc_id, …, bg) rows.
     "q7F_lang_id" -> ((s, d) => {
-      val grams = BigramSql
-      // ONE corpus pass (round 11): both the profile model and the
-      // per-doc prediction consume the pre-aggregated distinct
-      // (doc, lang, bg) count table, so they share a single
-      // explode+shuffle subtree — Catalyst's ReuseExchange folds the
-      // two branches onto one exchange (PlanSpec pins it) where the
-      // old shape exploded the corpus once per branch. The exchange
-      // carries distinct triples with map-side partial counts, never
-      // raw bigram volume — the q7O two-level convention.
-      // the explicit isNotNull mirrors the join's pushed null filter so
-      // BOTH consumers' subtrees canonicalize identically — without it
-      // only the join branch carries the filter and AQE cannot dedupe
-      // the stages (bg is never null anyway: the bigram lambda filters
-      // nulls before the explode)
-      val docBgC = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(expr(grams)).as("bg"))
-        .where(col("bg").isNotNull)
-        .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("c"))
-      val prof = langProfileTopWeighted(docBgC, 20)
+      graft.functions.Bigrams.register(s)
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr(BigramSql)).as("bg"))
+      val prof = langProfileTop(docBg.select("lang", "bg"), 20)
         .select(col("lang").as("cand"), col("bg"))
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))
-      docBgC.join(broadcast(prof), "bg")
+      docBg.join(broadcast(prof), "bg")
         .groupBy(col("doc_id"), col("lang"), col("cand"))
-        .agg(sum(col("c")).as("score"))
+        .agg(count(lit(1)).as("score"))
         .withColumn("rn", row_number().over(predW))
         .filter(col("rn") === 1)
         .groupBy(col("lang"), col("cand").as("pred_lang"))

@@ -75,6 +75,7 @@ object LlmIngest {
     * centroids), ready to broadcast into [[withLang]] on a stream.
     */
   def langProfiles(train: DataFrame, top: Int = 20): Map[String, Seq[String]] = {
+    graft.functions.Bigrams.register(train.sparkSession)
     val docBg = train
       .select(col("lang"), explode(expr(LlmOps.BigramSql)).as("bg"))
     LlmOps.langProfileTop(docBg, top) // q7F's own model construction
@@ -92,6 +93,7 @@ object LlmIngest {
     */
   def withLang(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame = {
     require(profiles.size >= 2, "need at least two language profiles")
+    graft.functions.Bigrams.register(docs.sparkSession)
     val langs = profiles.toSeq.sortBy(_._1)
     val scored: Seq[Column] = langs.zipWithIndex.map { case ((l, grams), i) =>
       struct(

@@ -360,6 +360,42 @@ class KernelSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getDouble(3) == r.getDouble(2)))
   }
 
+  test("graft_bigrams equals the five-expression SQL spelling it replaced " +
+    "(values AND first-occurrence order), unicode and edge cases included") {
+    graft.functions.Bigrams.register(spark)
+    import spark.implicits._
+    val gen: Gen[String] = Gen.frequency(
+      (8, Gen.listOf(Gen.frequency(
+        (20, Gen.alphaNumChar), (4, Gen.const(' ')),
+        (1, Gen.oneOf('é', 'ß', 'λ', '中', '文')))).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.alphaChar.map(_.toString)))
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).map(i =>
+      gen.pureApply(params, org.scalacheck.rng.Seed(i.toLong))) ++
+      Seq("", "a", "ab", "aa", "abab", "ééé", "中文中文", "a中b", "  ", "aß")
+    val got = texts.toDF("text")
+      .withColumn("kernel", expr(graft.operators.LlmOps.BigramSql))
+      .withColumn("ref", expr(graft.operators.LlmOps.BigramSqlRef))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"text=${r.getString(0)}")
+    }
+  }
+
+  test("graft_bigrams interpreted eval matches the dedup walk directly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bg(s: String): Seq[String] = {
+      val arr = graft.functions.Bigrams.distinct(UTF8String.fromString(s))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    assert(bg("") == Seq())
+    assert(bg("a") == Seq())
+    assert(bg("abab") == Seq("ab", "ba"))
+    assert(bg("中文中") == Seq("中文", "文中"))
+  }
+
   test("interpreted eval matches codegen path") {
     // nullSafeEval is exercised directly (the non-codegen fallback)
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -201,14 +201,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
   }
 
-  test("q7F: profile and predict branches share one corpus explode — " +
-    "the (doc, lang, bg) exchange is reused, not recomputed") {
-    // AQE performs exchange reuse at stage materialization, so the
-    // evidence lives in the FINAL adaptive plan: execute, then read it
+  test("q7F: no exchange carries corpus-sized (doc, bg) rows — both " +
+    "branches collapse before any shuffle, profile joins broadcast") {
+    // Round-13 shape (see the registry comment): the profile branch
+    // shuffles only (lang, bg) partial counts and the predict branch
+    // only (doc, lang, cand) partial scores. A corpus-sized exchange —
+    // one whose partitioning or payload pairs doc_id with bg — was the
+    // r11 regression (2.29→2.74 s); pin its absence.
     val df = SparkEntry.queries("q7F_lang_id")(spark, sf0001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id") &&
+        l.contains("bg#"))
+    assert(!badExchange, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 }
