@@ -38,6 +38,13 @@ import graft.operators.Filters
   *    `CASE TRUE => e` for a default arm).
   *  - `` `a {e} b` `` backtick templates → `concat` of literal parts and
   *    string-cast holes (q25's convention).
+  *  - `LET x := e` (zero or more, after FROM) → named bindings usable in
+  *    FILTER/SELECT/AGGREGATE/BY and inside subQuery bodies (inner LETs
+  *    shadow outer ones); a binding is pure sugar — [[expand]] inlines
+  *    it before lowering, so both the DataFrame and the SQL paths share
+  *    one semantics, and `SELECT x` names its column `x` (late-2.x AQL's
+  *    named-binding surface, reconstructed; the reference's LET also
+  *    covered sub-query results, which here stay FILTER-side subQuery).
   *  - `LIMIT n` → `.limit(n)` over the lamport-ordered stream (plans as
   *    TakeOrderedAndProject, the q00 shape).
   *  - `subQuery(…)` in FILTER → the q67–q69 decorrelated joins:
@@ -77,18 +84,25 @@ object Aql {
   /** `lit0{e1}lit1{e2}…` backtick template; parts.size == holes.size + 1. */
   final case class Interp(parts: Seq[String], holes: Seq[Expr]) extends Expr
   final case class SubQuery(q: Query) extends Expr
+  /** A LET-binding reference kept only at the TOP level of SELECT/BY
+    * items after [[expand]] substitutes bindings away — so `SELECT x`
+    * still names its output column `x` while lowering the bound
+    * expression. Never nested inside another expression.
+    */
+  final case class Named(name: String, e: Expr) extends Expr
 
   final case class Query(from: TagExpr, filter: Option[Expr],
                          select: Seq[Expr], aggregate: Seq[Expr],
                          by: Seq[Expr] = Nil,
-                         limit: Option[Int] = None)
+                         limit: Option[Int] = None,
+                         lets: Seq[(String, Expr)] = Nil)
 
   // ---------- tokenizer ----------
   // unary minus is a parser concern (else `a - 1` lexes the `-1`), so
   // numbers are unsigned here; keywords need the \b or they'd prefix-match
   // identifiers.
   private val tokenRe =
-    ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|BY\b|LIMIT\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b""" +
+    ("""\s*(FROM\b|FILTER\b|SELECT\b|AGGREGATE\b|BY\b|LIMIT\b|LET\b|ENDCASE\b|CASE\b|IN\b|TRUE\b|FALSE\b|allEvents\b|:=""" +
       // ISO date/time — the from()/to() bound literal. DOCUMENTED corner
       // (ADVICE r11): this alternative wins in ALL contexts, so an
       // unspaced \d{4}-\d{2}-\d{2} inside a FILTER expression (e.g.
@@ -138,6 +152,24 @@ object Aql {
   private def parseBody(c: Cursor): Query = {
     c.eat("FROM")
     val from = tagOr(c)
+    // LET name := expr, zero or more, between FROM and FILTER; each
+    // binding sees the earlier ones. Names must not shadow envelope
+    // columns or the from()/to()/subQuery grammar atoms — a bound `value`
+    // would silently capture every `_.value`-shorthand reference.
+    val lets = Seq.newBuilder[(String, Expr)]
+    val letNames = collection.mutable.Set.empty[String]
+    while (c.accept("LET")) {
+      val n = c.pop()
+      if (!n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new IllegalArgumentException(s"AQL: LET expects a name, found '$n'")
+      if (envelope.contains(n) || Set("from", "to", "subQuery").contains(n))
+        throw new IllegalArgumentException(
+          s"AQL: LET name '$n' shadows a built-in column or grammar atom")
+      if (!letNames.add(n))
+        throw new IllegalArgumentException(s"AQL: duplicate LET name '$n'")
+      c.eat(":=")
+      lets += n -> expr(c)
+    }
     val filter = if (c.accept("FILTER")) Some(expr(c)) else None
     val select = if (c.accept("SELECT")) exprList(c) else Nil
     val aggregate = if (c.accept("AGGREGATE")) exprList(c) else Nil
@@ -151,7 +183,48 @@ object Aql {
       if (!t.matches("\\d+")) throw new IllegalArgumentException(s"AQL: LIMIT expects an integer, found '$t'")
       Some(t.toInt)
     } else None
-    Query(from, filter, select, aggregate, by, limit)
+    Query(from, filter, select, aggregate, by, limit, lets.result())
+  }
+
+  /** Substitutes LET bindings away (inline expansion — a binding is
+    * sugar for its expression, so BOTH lowerings get LET support from
+    * this one pass; the SQL differential then covers it for free).
+    * Top-level `SELECT x` / `BY x` references keep their name via
+    * [[Named]]. subQuery bodies expand recursively: outer bindings are
+    * visible inside, inner LETs shadow them. `^.x` (outer-row field
+    * references) are COLUMN references by definition and never
+    * substitute. Idempotent (the result carries no lets).
+    */
+  private[aql] def expand(q: Query): Query = expandWith(q, Map.empty)
+
+  private def expandWith(q: Query, outer: Map[String, Expr]): Query = {
+    val env = q.lets.foldLeft(outer) { case (e, (n, ex)) =>
+      e + (n -> subst(ex, e))
+    }
+    def top(e: Expr): Expr = e match {
+      case Path(Seq(n)) if env.contains(n) => Named(n, env(n))
+      case other => subst(other, env)
+    }
+    Query(q.from, q.filter.map(subst(_, env)),
+      q.select.map(top), q.aggregate.map(subst(_, env)),
+      q.by.map(top), q.limit, Nil)
+  }
+
+  private def subst(e: Expr, env: Map[String, Expr]): Expr = e match {
+    case Path(parts) if parts.nonEmpty && env.contains(parts.head) =>
+      if (parts.size > 1)
+        throw new IllegalArgumentException(
+          s"AQL: '${parts.head}' is a LET binding, not a record " +
+            s"(no .${parts(1)} access)")
+      env(parts.head)
+    case Bin(op, l, r) => Bin(op, subst(l, env), subst(r, env))
+    case Un(op, x) => Un(op, subst(x, env))
+    case Call(fn, args) => Call(fn, args.map(subst(_, env)))
+    case Case(arms) =>
+      Case(arms.map { case (p, v) => (subst(p, env), subst(v, env)) })
+    case Interp(parts, holes) => Interp(parts, holes.map(subst(_, env)))
+    case SubQuery(iq) => SubQuery(expandWith(iq, env))
+    case other => other // literals, envelope/JSON paths, ^.paths
   }
 
   private def tagOr(c: Cursor): TagExpr = {
@@ -380,6 +453,7 @@ object Aql {
     * (comparison/arithmetic against a numeric, or `?? <int>`).
     */
   private def lower(e: Expr): Column = e match {
+    case Named(_, x) => lower(x) // naming is selectName's job
     case Path(Nil) => lit(1) // bare `_` only appears inside COUNT(_)
     case Path(parts) if envelope.contains(parts.head) => col(parts.mkString("."))
     case Path(parts) => get_json_object(col("props"), "$." + parts.mkString("."))
@@ -461,6 +535,7 @@ object Aql {
   }
 
   private def selectName(e: Expr, i: Int): String = e match {
+    case Named(n, _) => n
     case Path(parts) if parts.nonEmpty => parts.last
     case Bin("??", Path(parts), _) if parts.nonEmpty => parts.last
     case _ => s"expr$i"
@@ -486,7 +561,7 @@ object Aql {
     * pin the semantics match the batch lowering row-for-row.
     */
   def predicate(aql: String): Column = {
-    val q = parse(aql)
+    val q = expand(parse(aql))
     require(q.select.isEmpty && q.aggregate.isEmpty && q.limit.isEmpty,
       "AQL predicate: only FROM and FILTER are allowed on the sink path " +
         "(the landed row is the flattened envelope; a stream has no LIMIT)")
@@ -502,7 +577,7 @@ object Aql {
     * rejected — a sink row is per-event.
     */
   def sinkProjection(events: DataFrame, aql: String): DataFrame = {
-    val q = parse(aql)
+    val q = expand(parse(aql))
     require(q.aggregate.isEmpty, "AQL sink path: AGGREGATE is not supported")
     require(q.limit.isEmpty, "AQL sink path: a stream has no LIMIT")
     var df = events.filter(lowerTag(q.from))
@@ -527,6 +602,7 @@ object Aql {
 
   private[aql] def hasSub(e: Expr): Boolean = e match {
     case SubQuery(_) => true
+    case Named(_, x) => hasSub(x)
     case Bin(_, l, r) => hasSub(l) || hasSub(r)
     case Un(_, x) => hasSub(x)
     case Call(_, as) => as.exists(hasSub)
@@ -628,7 +704,7 @@ object Aql {
 
   /** Parses and runs an AQL query over the events table at `sfDir`. */
   def run(spark: SparkSession, sfDir: String, aql: String): DataFrame = {
-    val q = parse(aql)
+    val q = expand(parse(aql))
     var df = source(spark, sfDir, q.from)
     q.filter.foreach { f =>
       // top-level conjuncts apply as successive filters so a subQuery

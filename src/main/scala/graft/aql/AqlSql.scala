@@ -44,8 +44,12 @@ object AqlSql {
   val Spark = "spark"
   val Duck = "duckdb"
 
-  def toSql(q: Query, dialect: String): String = {
+  def toSql(q0: Query, dialect: String): String = {
     require(dialect == Spark || dialect == Duck, s"unknown dialect $dialect")
+    // LET bindings substitute away before rendering (idempotent), so the
+    // SQL differential exercises them through the same expansion run()
+    // lowers — both engines see post-expansion expressions only.
+    val q = Aql.expand(q0)
     val duck = dialect == Duck
     val strT = if (duck) "VARCHAR" else "STRING"
 
@@ -93,6 +97,7 @@ object AqlSql {
     }
 
     def sqlE(e: Expr, pre: String): String = e match {
+      case Named(_, x) => sqlE(x, pre) // output aliasing is positional
       case Path(Nil) => "1" // bare `_` only appears inside COUNT(_)
       case Path(parts) if envelope.contains(parts.head) =>
         scalarPath(parts, pre)

@@ -140,21 +140,44 @@ object AqlGen {
 
   val queryG: Gen[Query] = for {
     from <- tagExprG(2)
-    filter <- Gen.option(Gen.frequency(
+    // LET bindings (r13): zero, one, or two — x0 is any numeric expr,
+    // x1 (when present) REFERENCES x0, so chained-binding expansion is
+    // under the same differential as everything else
+    nLets <- Gen.frequency(3 -> Gen.const(0), 2 -> Gen.const(1),
+      1 -> Gen.const(2))
+    let0 <- numExprG(1)
+    lets = (if (nLets >= 1) Seq("x0" -> let0) else Nil) ++
+      (if (nLets >= 2)
+         Seq("x1" -> (Bin("+", Path(Seq("x0")), NumLit(1, true)): Expr))
+       else Nil)
+    useLetFilter <- Gen.oneOf(true, false)
+    letBound <- Gen.chooseNum(-200, 200)
+    filter0 <- Gen.option(Gen.frequency(
       4 -> boolExprG(2),
       1 -> subFilterG,
       1 -> (for { b <- boolExprG(1); s <- subFilterG } yield Bin("&", b, s))))
+    filter = if (lets.isEmpty || !useLetFilter) filter0
+      else {
+        val use: Expr =
+          Bin(">", Path(Seq(lets.last._1)), NumLit(letBound.toDouble, true))
+        Some(filter0.fold(use)(f => Bin("&", f, use)))
+      }
     n <- Gen.chooseNum(0, 3)
-    sels <- Gen.listOfN(n, Gen.frequency(
+    sels0 <- Gen.listOfN(n, Gen.frequency(
       3 -> numExprG(1), 2 -> jsonPathG, 1 -> caseG, 1 -> interpG))
+    useLetSel <- Gen.oneOf(true, false)
     m <- Gen.chooseNum(0, 2)
-    aggs <- if (sels.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
+    aggs <- if (sels0.nonEmpty) Gen.const(Nil) else Gen.listOfN(m, aggG)
+    // `SELECT x0` exercises the Named-preserving top-level reference
+    // (only on the select path: aggregates reject derived JSON casts)
+    sels = if (lets.isEmpty || !useLetSel || aggs.nonEmpty) sels0
+      else sels0 :+ (Path(Seq(lets.head._1)): Expr)
     // BY only with AGGREGATE (parse rule); keys drawn name-distinct
     by <- if (aggs.isEmpty) Gen.const(Nil: List[Expr])
           else Gen.someOf(Path(Seq("event_type")), Path(Seq("user_id")))
             .map(_.toList: List[Expr])
     lim <- Gen.option(Gen.chooseNum(1, 500))
-  } yield Query(from, filter, sels, aggs, by, lim)
+  } yield Query(from, filter, sels, aggs, by, lim, lets)
 
   // ---------- renderer (fully parenthesized → unambiguous) ----------
   private val isoFmt = java.time.format.DateTimeFormatter
@@ -196,6 +219,8 @@ object AqlGen {
   }
   def render(q: Query): String = {
     val b = new StringBuilder("FROM " + renderTag(q.from))
+    q.lets.foreach { case (n, e) =>
+      b.append(" LET ").append(n).append(" := ").append(render(e)) }
     q.filter.foreach(f => b.append(" FILTER ").append(render(f)))
     if (q.select.nonEmpty) b.append(" SELECT ").append(q.select.map(render).mkString(", "))
     if (q.aggregate.nonEmpty) b.append(" AGGREGATE ").append(q.aggregate.map(render).mkString(", "))

@@ -320,4 +320,72 @@ class AqlSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("LET: bindings inline into FILTER/SELECT, SELECT keeps the name") {
+    val got = aql("FROM 'purchase' LET v2 := _.value * 2 " +
+      "FILTER v2 > 100 SELECT _.event_id, v2")
+    assert(got.columns.toSeq == Seq("event_id", "v2"))
+    val want = aql("FROM 'purchase' FILTER _.value * 2 > 100 " +
+      "SELECT _.event_id, _.value * 2")
+    assert(rows(got) == rows(want) && rows(got).nonEmpty)
+  }
+
+  test("LET: later bindings see earlier ones (chained expansion)") {
+    val got = aql("FROM 'purchase' LET v2 := _.value * 2 " +
+      "LET v3 := v2 + 1 AGGREGATE MAX(v3)")
+    val want = aql("FROM 'purchase' AGGREGATE MAX(_.value * 2 + 1)")
+    assert(rows(got) == rows(want))
+  }
+
+  test("LET: visible inside subQuery bodies; inner LETs shadow outer") {
+    val got = aql("FROM 'purchase' LET cut := 400 " +
+      "FILTER _.user_id IN subQuery(FROM 'error' FILTER _.value > cut " +
+      "SELECT _.user_id) SELECT _.event_id")
+    val want = aql("FROM 'purchase' " +
+      "FILTER _.user_id IN subQuery(FROM 'error' FILTER _.value > 400 " +
+      "SELECT _.user_id) SELECT _.event_id")
+    assert(rows(got) == rows(want))
+    // inner LET of the same name wins inside the subquery body; the
+    // outer binding still governs the outer conjunct
+    val sh = aql("FROM 'purchase' LET cut := 400 " +
+      "FILTER _.user_id IN subQuery(FROM 'error' LET cut := 0 " +
+      "FILTER _.value > cut SELECT _.user_id) & _.value > cut " +
+      "SELECT _.event_id")
+    val shWant = aql("FROM 'purchase' " +
+      "FILTER _.user_id IN subQuery(FROM 'error' FILTER _.value > 0 " +
+      "SELECT _.user_id) & _.value > 400 SELECT _.event_id")
+    assert(rows(sh) == rows(shWant))
+  }
+
+  test("LET: works on the predicate (streaming) path") {
+    val tagged = graft.operators.Filters.tagged(spark, sf0001)
+    val got = tagged
+      .filter(Aql.predicate("FROM 'purchase' LET lim := 200 FILTER _.value > lim"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = tagged
+      .filter(col("event_type") === "purchase" && col("value") > 200)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("LET: shadowing, duplicates, record access, and misuse are loud errors") {
+    // shadows an envelope column
+    intercept[IllegalArgumentException](aql("FROM 'a' LET value := 1 SELECT value"))
+    // shadows a grammar atom
+    intercept[IllegalArgumentException](aql("FROM 'a' LET from := 1"))
+    // duplicate name
+    intercept[IllegalArgumentException](
+      aql("FROM 'a' LET x := 1 LET x := 2 SELECT x"))
+    // a binding is not a record
+    intercept[IllegalArgumentException](
+      aql("FROM 'a' LET x := 1 SELECT x.field"))
+    // missing :=
+    intercept[IllegalArgumentException](aql("FROM 'a' LET x = 1 SELECT x"))
+    // NO forward references: a name used before its LET is the ordinary
+    // JSON-payload path (schema-on-read → NULL here), never a silent
+    // capture of the later binding
+    val fwd = aql("FROM 'purchase' LET y := x + 1 LET x := 5 SELECT y LIMIT 5")
+      .collect()
+    assert(fwd.nonEmpty && fwd.forall(_.isNullAt(0)))
+  }
 }
