@@ -577,15 +577,45 @@ object LlmOps {
     *    `multi` when near-threshold completeness is worth 4–5× on this
     *    one stage; AnnSpec pins the recall floors of both modes.
     */
+  /** The per-vector band/bucket view q7H's candidate join runs over —
+    * (vec_id, e, nsq, band ∈ [0,4), bval ∈ [0,16)). Public for the Scale
+    * `embdedup` probe, whose 100× decade point computes candidate VOLUME
+    * from this view's bucket histogram (exact arithmetic over ≤64
+    * (band,bval) groups) instead of counting a join too large to run.
+    */
+  def embedBanded(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val nBands = 4
+    v.select(col("vec_id"), col("e"), col("nsq"),
+      posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
+        .as(Seq("band", "bval")))
+  }
+
+  /** Probe-mode selection rule for q7H (pinned in AnnSpec; VERDICT r12
+    * #5): pick by the NEAR-THRESHOLD pair-recall target — the band the
+    * LSH actually misses (cos ∈ [τ, 0.5)); overall pair recall is higher
+    * in both modes. Measured on the Scale embdedup clustered corpora:
+    * single = 0.53–0.55 near-τ (0.85–0.86 overall) at 1× the candidate
+    * budget; multi = 0.95 near-τ (1.00 overall) at 4.6× the candidates.
+    * So: target ≤ 0.5 → `single` (the default — candidates are the
+    * budget at 100 TB); ≤ 0.9 → `multi` (buy the boundary with 4.6×
+    * candidates); above 0.9 → no probe mode is honest, use the
+    * exhaustive exact passes (q7N shingle PPJoin / q76–q77 block-grid)
+    * — returned as `exact`.
+    */
+  def dedupProbeFor(nearRecallTarget: Double): String = {
+    require(nearRecallTarget >= 0.0 && nearRecallTarget <= 1.0,
+      s"near-recall target must be in [0,1], got $nearRecallTarget")
+    if (nearRecallTarget <= 0.5) "single"
+    else if (nearRecallTarget <= 0.9) "multi"
+    else "exact"
+  }
+
   def embedDedupPairs(s: SparkSession, d: String): DataFrame = {
     val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
     require(probe == "single" || probe == "multi",
       s"spark.graft.simhash.dedupProbe must be single|multi, got $probe")
-    val v = vectors(s, d)
-    val nBands = 4
-    val banded = v.select(col("vec_id"), col("e"), col("nsq"),
-      posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
-        .as(Seq("band", "bval")))
+    val banded = embedBanded(s, d)
     val aBval =
       if (probe == "single") col("bval")
       else explode(array(col("bval"), col("bval").bitwiseXOR(lit(8)),
@@ -1859,20 +1889,34 @@ object LlmOps {
     * distractors that land above a true neighbor grows with that pool
     * — so the one-cell's-worth rule (R = K) let recall drift
     * 0.96/0.72/0.62 across the 1×/10×/100× decades while the pool grew
-    * √n-fold. A fixed-FRACTION depth (pool/8, still ≥ K, clamped to
-    * [64, spark.graft.pq.rerankMax]) keeps the reranked share of the
-    * pool constant across decades; the refetch build side stays
-    * |queries|·R — metadata.
+    * √n-fold. A fixed-FRACTION depth (pool / spark.graft.pq.poolFrac,
+    * still ≥ K, clamped to [64, spark.graft.pq.rerankMax]) keeps the
+    * reranked share of the pool constant across decades; the refetch
+    * build side stays |queries|·R — metadata.
+    *
+    * The fraction default is pool/4 (round 13; was pool/8 through r12).
+    * The Scale `maxk` sweep at the 1000× decade measured the two ways
+    * of buying recall against each other: doubling R from the /8 depth
+    * (13,136 → 26,272) lifted recall 0.92 → 0.96 at a FLAT warm wall
+    * (27.8 → 27.2 s — the exact rerank is a metadata-scale broadcast
+    * join, nearly free at these R), while shrinking the pool by raising
+    * K (2,236 → 4,470/8,944 cells) LOST on both axes: recall fell to
+    * 0.84 (nprobe hits its 64 cap, so the scanned fraction of cells
+    * drops 2.1% → 0.7%) and the warm wall DOUBLED (53.5/64.6 s — per-row
+    * assignment is √K-ish and the centroid/codebook literals every task
+    * deserializes grow with K). So through at least 5·10⁶ vectors R is
+    * the cheap dial and K is the expensive one — the r12 scaladoc's
+    * "past ~10⁷ raise maxK instead" is REJECTED at this decade by
+    * measurement (SCALING.md `maxk` table); if a later decade pushes
+    * R's clamp again, re-measure there rather than assuming K wins.
     *
     * The upper clamp is conf-scaled (round 12; a fixed 4096 saturated
-    * at the 1000× decade, where pool/8 ≈ 13k — the same falling-share
-    * mechanism that caused the original drift, one decade later). The
-    * clamp exists to bound the exact-rerank cost and the refetch build
-    * side, both linear in R; the default (32768) keeps the fixed-
-    * fraction rule live through ~10⁷ vectors at the auto geometry
-    * (K = √n, nprobe = √K: pool ≈ n¾ until nprobe caps). Past that, the
-    * better dial is spark.graft.ivf.maxK — raising K shrinks the pool
-    * itself (pool = nprobe·n/K) instead of chasing it with R.
+    * at the 1000× decade — the same falling-share mechanism that caused
+    * the original drift, one decade later). The clamp exists to bound
+    * the exact-rerank cost and the refetch build side, both linear in
+    * R; the default (65536) keeps the fixed-fraction rule live through
+    * ~10⁷ vectors at the auto geometry (K = √n, nprobe = √K:
+    * pool ≈ n¾ until nprobe caps).
     */
   private[graft] def pqRerank(s: SparkSession, k: Int, n: Long): Int = {
     val r = s.conf.get("spark.graft.pq.rerank", "0").toInt
@@ -1880,11 +1924,13 @@ object LlmOps {
       s"spark.graft.pq.rerank must be 0 (auto) or >= 5, got $r")
     if (r > 0) r
     else {
-      val maxR = s.conf.get("spark.graft.pq.rerankMax", "32768").toInt
+      val maxR = s.conf.get("spark.graft.pq.rerankMax", "65536").toInt
       require(maxR >= 64,
         s"spark.graft.pq.rerankMax must be >= 64, got $maxR")
+      val frac = s.conf.get("spark.graft.pq.poolFrac", "4").toInt
+      require(frac >= 1, s"spark.graft.pq.poolFrac must be >= 1, got $frac")
       val pool = ivfNProbe(k).toLong * math.max(1L, n / math.max(1, k))
-      math.max(64L, math.min(maxR.toLong, math.max(k.toLong, pool / 8L))).toInt
+      math.max(64L, math.min(maxR.toLong, math.max(k.toLong, pool / frac))).toInt
     }
   }
 

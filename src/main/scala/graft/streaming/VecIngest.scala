@@ -106,15 +106,25 @@ object VecIngest {
   def search(s: SparkSession, d: String, url: String,
       payload: Option[DataFrame] = None): DataFrame = {
     val pq = LlmOps.pqModel(s, d)
+    val index = indexFrame(
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", TABLE).load(), pq)
+    LlmOps.pqSearch(s, d, index, payload)
+  }
+
+  /** Registry rows `(vec_id, cid, codes_packed, nsq)` → the q7S search
+    * index frame `(cid, n_id, codes, nn)`: the static shift/mask unpack
+    * chain (m is model metadata — fixed at plan time). Shared by
+    * [[search]] and the Scale `vecdrift` staleness probe, so the probe
+    * measures recall through the registry's exact pack→unpack path.
+    */
+  def indexFrame(rows: DataFrame, pq: LlmOps.PqModel): DataFrame = {
     val unpacked = (0 until pq.m).map(i =>
       shiftright(col("codes_packed"), 8 * (pq.m - 1 - i))
         .bitwiseAND(lit(255L)).cast("int"))
-    val index = s.read.format("jdbc")
-      .option("url", url).option("dbtable", TABLE).load()
-      .select(col("cid").cast("int").as("cid"),
-        col("vec_id").as("n_id"),
-        array(unpacked: _*).as("codes"),
-        col("nsq").as("nn"))
-    LlmOps.pqSearch(s, d, index, payload)
+    rows.select(col("cid").cast("int").as("cid"),
+      col("vec_id").as("n_id"),
+      array(unpacked: _*).as("codes"),
+      col("nsq").as("nn"))
   }
 }

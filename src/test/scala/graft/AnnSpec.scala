@@ -288,22 +288,48 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
 
+  test("q7H probe-mode selection rule: near-τ recall target → mode") {
+    // The measured basis (Scale embdedup, SCALING.md): single = 0.53–
+    // 0.55 near-τ recall at 1× candidates, multi = 0.95 near-τ at 4.6×
+    // candidates, and NO probe mode reaches past ~0.95 — that band
+    // belongs to the exhaustive exact passes. The rule is the documented
+    // operator policy (VERDICT r12 #5); pin its boundaries so a retuned
+    // banding must re-derive it from fresh measurements, not drift.
+    import graft.operators.LlmOps.dedupProbeFor
+    assert(dedupProbeFor(0.0) == "single")
+    assert(dedupProbeFor(0.5) == "single")
+    assert(dedupProbeFor(0.51) == "multi")
+    assert(dedupProbeFor(0.9) == "multi")
+    assert(dedupProbeFor(0.95) == "exact")
+    assert(dedupProbeFor(1.0) == "exact")
+    intercept[IllegalArgumentException](dedupProbeFor(1.5))
+  }
+
   test("auto-R pins the measured decade geometry and the clamp counterfactual") {
     // SCALING.md's recall table stands on this arithmetic: auto-R =
-    // clamp(max(K, pool/8)) with pool = nprobe(K)·(n/K). Pin the exact
-    // auto-R the four measured decades used (72/418/2396/13136), the
-    // sf-fixture floor (n=2000 → the 64 floor, so BASELINE plans are
-    // untouched by the dial), and the r12 counterfactual: the old fixed
-    // 4096 clamp saturates at the fourth decade (measured recall 0.64
-    // vs 0.92 shipped — Scale pqsweep huge).
+    // clamp(max(K, pool/poolFrac)) with pool = nprobe(K)·(n/K) and
+    // poolFrac defaulting to 4 (round 13 — the `maxk` sweep measured
+    // the /8→/4 deepening at the fourth decade as recall 0.92→0.96 at a
+    // flat warm wall, while the alternative pool-shrink dial, raising
+    // K, lost on both axes). Pin the exact auto-R the four decades now
+    // use (144/836/4792/26273 — 2× the r12 /8 values 72/418/2396/
+    // 13136), the sf fixture's 77, the r12 counterfactual (a fixed
+    // 4096 clamp saturates the fourth decade: measured recall 0.64
+    // vs 0.92 — Scale pqsweep huge), and the conf dials.
     import graft.operators.LlmOps
-    val decades = Seq((69, 5000L) -> 72, (224, 50000L) -> 418,
-      (704, 500000L) -> 2396, (2236, 5000000L) -> 13136)
+    val decades = Seq((69, 5000L) -> 144, (224, 50000L) -> 836,
+      (704, 500000L) -> 4792, (2236, 5000000L) -> 26273)
     decades.foreach { case ((k, n), want) =>
       assert(LlmOps.pqRerank(spark, k, n) === want,
         s"auto-R at K=$k n=$n")
     }
-    assert(LlmOps.pqRerank(spark, 45, 2000L) === 64, "fixture floor")
+    assert(LlmOps.pqRerank(spark, 45, 2000L) === 77, "fixture depth")
+    // the r12 /8 fraction remains dialable (and reproduces its pins)
+    spark.conf.set("spark.graft.pq.poolFrac", "8")
+    try {
+      assert(LlmOps.pqRerank(spark, 2236, 5000000L) === 13136, "r12 /8 depth")
+      assert(LlmOps.pqRerank(spark, 45, 2000L) === 64, "r12 fixture floor")
+    } finally spark.conf.unset("spark.graft.pq.poolFrac")
     spark.conf.set("spark.graft.pq.rerankMax", "4096")
     try assert(LlmOps.pqRerank(spark, 2236, 5000000L) === 4096,
       "old clamp saturates at the fourth decade")
