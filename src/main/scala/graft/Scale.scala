@@ -463,9 +463,11 @@ object Scale {
     // `ultra` adds the FIFTH decade (50M vectors) — the first point
     // where the K = √n geometry hits the ivf.maxK ceiling (√5e7 ≈ 7071
     // > 4096) AND nprobe sits at its 64 clamp, so per-cell population
-    // and the ADC pool stop tracking √n; the dial the scaladocs
-    // prescribe there is maxK, and the point runs a maxK-raised
-    // variant to measure exactly that trade.
+    // and the ADC pool stop tracking √n. The r13 `maxk` sweep measured
+    // the raise-K dial as a loss on both axes at the fourth decade
+    // (recall down via the capped scanned fraction, wall up via
+    // assignment + literal growth), so the maxK-raised variant below is
+    // the decade's CHECK on that verdict, not a prescription.
     val scales = Seq((1, 5000), (10, 50000)) ++
       (if (big) Seq((100, 500000)) else Nil) ++
       (if (huge) Seq((1000, 5000000)) else Nil) ++
@@ -496,8 +498,9 @@ object Scale {
       LlmOps.release(s)
       // the maxK dial at the clamped decade: re-run the two IVF tiers
       // with the ceiling lifted past √n (q7C has no K, unaffected) —
-      // the measured counterpart to the scaladoc's "past ~10⁷ vectors
-      // raise ivf.maxK rather than rerank ever deeper"
+      // at THIS decade K is conf-clamped, so the comparison is no
+      // longer free-R-vs-K (the r13 `maxk` rejection) but clamped-K
+      // geometry vs released-K geometry
       if (mult >= 10000) {
         s.conf.set("spark.graft.ivf.maxK", "8192")
         try {

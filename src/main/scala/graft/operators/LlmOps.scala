@@ -936,12 +936,13 @@ object LlmOps {
     //
     // The profile statistic is DOCUMENT frequency (per-doc-distinct
     // bigrams), not raw term frequency: both the learn and the score
-    // branch then explode the same in-row `array_distinct` shape — a
-    // fraction of the raw bigram volume (round 2 exploded every
-    // occurrence for the learn branch, which made q7F the biggest bench
-    // entry) — and df is the better-behaved statistic under doc-length
-    // skew anyway. Per-doc distinct stays IN-ROW (array_distinct); a
-    // global DISTINCT would shuffle every (doc, bigram) occurrence.
+    // branch explode the same in-row distinct bigram set (the kernel
+    // dedups in its one pass) — a fraction of the raw bigram volume
+    // (round 2 exploded every occurrence for the learn branch, which
+    // made q7F the biggest bench entry) — and df is the better-behaved
+    // statistic under doc-length skew anyway. Per-doc distinct stays
+    // IN-ROW; a global DISTINCT would shuffle every (doc, bigram)
+    // occurrence.
     //
     // Bigram extraction is the graft_bigrams codegen kernel (round 13;
     // [[graft.functions.Bigrams]], KernelSpec-pinned against the old

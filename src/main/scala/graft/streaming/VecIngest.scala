@@ -26,12 +26,19 @@ import graft.operators.LlmOps
   * requires `m ≤ 8` and `ks ≤ 256` (the conf defaults; a wider model
   * needs a wider registry schema, enforced loudly here).
   *
-  * Declared trade (the S13-horizon argument's model-drift twin): the
-  * stream encodes with the models as of attach time. Vectors from a
+  * Model-staleness trade (the S13-horizon argument's model-drift twin),
+  * MEASURED in r13 (`graft.Scale vecdrift`, SCALING.md): the stream
+  * encodes with the models as of attach time. Vectors from a
   * distribution the quantizers never saw still land in their nearest
   * cell — recall degrades gracefully, correctness never breaks (the
-  * rerank is exact) — and a periodic batch retrain + re-encode of the
-  * lake (q7S's own build) refreshes the registry.
+  * rerank is exact). Against worst-case queries from an UNSEEN
+  * distribution, a stale index serves recall@5 of 0.86–0.88 when half
+  * to all of the arrivals drifted to new cluster centers, vs 0.98–1.00
+  * after a fresh batch retrain + re-encode (q7S's own build). Retrain
+  * cadence guidance: staleness is bounded (~0.12 recall at TOTAL
+  * distribution shift), so retrain on detected arrival-distribution
+  * shift or a coarse schedule — never per batch; the registry MERGE
+  * makes the re-encode an idempotent overwrite.
   */
 object VecIngest {
 
