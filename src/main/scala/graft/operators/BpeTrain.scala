@@ -70,8 +70,100 @@ object BpeTrain {
     * no adjacent pair remains. Returns the learned merge table — THE
     * tokenizer artifact, metadata-scale like every model this engine
     * trains (one row per merge).
+    *
+    * TWO paths, one semantics (r13): the `(word, count)` table is
+    * vocabulary-bounded, and published BPE trainers exploit exactly
+    * that split — corpus-scale work (word counting) runs distributed
+    * ONCE, vocab-scale work (the merge loop) runs locally over the
+    * collected table. So when the vocabulary fits
+    * `spark.graft.bpe.localVocabLimit` (default 2,000,000 distinct
+    * words; a LIMIT-probe count learns which side cheaply — the
+    * ivfModel sample-budget pattern), the 2·nMerges vocab-bounded
+    * Spark jobs of the distributed loop collapse to ONE collect plus a
+    * driver loop — measured 3.52 → ~0.6 s on the sf0.1 bench entry,
+    * where the cost was 30 rounds of job scheduling over a tiny table,
+    * not data. Past the limit the distributed per-step loop below is
+    * unchanged. BpeTrainSpec pins the two paths merge-for-merge equal
+    * (tie cases included); ties compare in UTF-8 BYTE order on both
+    * paths — the local comparator compares raw UTF-8 bytes rather than
+    * Java's UTF-16 `compareTo`, because Spark's string ordering is
+    * binary UTF-8 and the two disagree past the BMP.
     */
   def train(s: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
+    val lim = s.conf.get("spark.graft.bpe.localVocabLimit", "2000000").toLong
+    require(lim >= 0, s"spark.graft.bpe.localVocabLimit must be >= 0, got $lim")
+    val small = lim > 0 && words.limit((lim + 1).toInt).count() <= lim
+    if (small) {
+      val table = words.select(col("w"), col("wc")).collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      trainLocal(table, nMerges)
+    } else trainDistributed(s, words, nMerges)
+  }
+
+  /** UTF-8 binary comparison — Spark's string order, NOT Java's UTF-16
+    * `compareTo` (they disagree for supplementary-plane code points).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The driver-local merge loop over a collected word table — the
+    * within-`localVocabLimit` fast path of [[train]]. Same greedy
+    * left-to-right apply as [[applyMerge]]'s fold, same
+    * (count desc, left, right) tie rule in the same UTF-8 byte order.
+    */
+  private[graft] def trainLocal(words: Array[(Array[String], Long)],
+      nMerges: Int): Seq[Merge] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var cur = words
+    for (step <- 1 to nMerges) {
+      val cnt = new java.util.HashMap[(String, String), Long]
+      cur.foreach { case (w, wc) =>
+        var i = 0
+        while (i < w.length - 1) {
+          cnt.merge((w(i), w(i + 1)), wc, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) return merges.toSeq
+      var best: ((String, String), Long) = null
+      cnt.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+          best = (k, v)
+      }
+      val ((a, b), c) = best
+      merges += Merge(step, a, b, c)
+      cur = cur.map { case (w, wc) =>
+        if (!w.indices.exists(i => i < w.length - 1 && w(i) == a && w(i + 1) == b))
+          (w, wc)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toArray, wc)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The over-limit distributed per-step loop (pre-r13 `train`). */
+  private[graft] def trainDistributed(s: SparkSession, words: DataFrame,
+      nMerges: Int): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var cur = words.persist()
     // ONE action per step (round 11): the step's top-pair collect is also

@@ -63,6 +63,22 @@ class BpeTrainSpec extends AnyFunSuite {
       "no learned token was ever re-merged in 20 steps")
   }
 
+  test("q7T: local fast path ≡ distributed loop, merge for merge (r13)") {
+    // train() takes the collected-local path on this fixture (vocab far
+    // under localVocabLimit); the distributed per-step loop must produce
+    // the IDENTICAL merge table — counts, steps, tie decisions
+    val words = BpeTrain.baseWords(
+      graft.sources.Tables.documents(spark, sf0001))
+    val local = BpeTrain.train(spark, words, 20)
+    val dist = BpeTrain.trainDistributed(spark, words, 20)
+    assert(local == dist,
+      s"first diff at ${local.zip(dist).indexWhere(p => p._1 != p._2) + 1}")
+    // the conf gate: limit 0 disables the local path entirely
+    spark.conf.set("spark.graft.bpe.localVocabLimit", "0")
+    try assert(BpeTrain.train(spark, words, 5) == dist.take(5))
+    finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
+  }
+
   test("q7T: the first merge decision is q7Q's top pair") {
     val q7q = SparkEntry.queries("q7Q_bpe_merge_step")(spark, sf0001)
       .collect().head
