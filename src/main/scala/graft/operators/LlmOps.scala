@@ -1740,7 +1740,7 @@ object LlmOps {
     * cached value is K·dim doubles.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int, String, Int), Seq[IvfCent]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Long, Int, Int, String, Int, Long), Seq[IvfCent]]
 
   /** Training input under the sample budget: `(corpus size n, training
     * frame)`. The LIMIT-probe avoids a full-corpus count in the
@@ -1812,7 +1812,13 @@ object LlmOps {
     // the key — same convention as pqModel's hier keying
     val trainAssign = s.conf.get("spark.graft.ivf.trainAssign", "auto")
     val hierT = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
-    val cacheKey = (sessionKey(s), d, sampleLimit, kConf, maxK, trainAssign, hierT)
+    // the r13 local-training gate joins the key too: the local and
+    // distributed Lloyd paths sum means in different orders, so the two
+    // models can differ in final ulps — a session that retunes the gate
+    // must retrain, not reuse the other path's centroids
+    val localLimit = localTrainLimit(s)
+    val cacheKey =
+      (sessionKey(s), d, sampleLimit, kConf, maxK, trainAssign, hierT, localLimit)
     val cached = ivfCache.get(cacheKey)
     if (cached.isDefined) return (cached.get, index(cached.get))
     // Training input: the full corpus while it fits the sample budget;
@@ -1835,6 +1841,47 @@ object LlmOps {
       if (kConf > 0) kConf.toLong
       else math.min(maxK.toLong,
         math.max(4L, math.round(math.sqrt(n.toDouble)))))).toInt
+    val cents: Seq[IvfCent] =
+      if (localLimit > 0 && n <= localLimit && !trainHierOn(s, k))
+        // r13 fast path: training is already sample-bounded, and below
+        // the gate the 1 + IvfLloydSteps driver-blocking jobs of the
+        // distributed loop were pure scheduling over a table the driver
+        // can hold (≤ localLimit·dim doubles — the BPE localVocabLimit
+        // argument applied to KMeans). Hier-assigned training stays
+        // distributed: the local loop implements only the flat kernel
+        // rule, and above the hier threshold the corpus is past the
+        // gate anyway (K > 256 ⇒ n > 65k) unless a spec forces hier on.
+        trainIvfLocal(collectTrainRows(train), k)
+      else trainIvfDistributed(s, train, k)
+    ivfCache.put(cacheKey, cents)
+    (cents, index(cents))
+  }
+
+  /** `spark.graft.ivf.localTrainLimit` — the corpus size (rows) below
+    * which quantizer training runs driver-local (default 20,000 ≈ 10 MB
+    * of 64-dim doubles). 0 disables the local path.
+    */
+  private def localTrainLimit(s: SparkSession): Long = {
+    val l = s.conf.get("spark.graft.ivf.localTrainLimit", "20000").toLong
+    require(l >= 0,
+      s"spark.graft.ivf.localTrainLimit must be >= 0 (0 = off), got $l")
+    l
+  }
+
+  /** One collect feeding the local trainers: (vec_id, xxhash64(vec_id),
+    * e) — the hash computed by SPARK's xxhash64 so local seed selection
+    * is bit-identical to the distributed `orderBy(h, vec_id)`.
+    */
+  private def collectTrainRows(train: DataFrame): Array[(Long, Long, Array[Double])] =
+    train.select(col("vec_id"), expr("xxhash64(vec_id)").as("h"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+
+  /** The pre-r13 distributed Lloyd loop — the over-`localTrainLimit`
+    * path (and the hier-assigned-training path at any size).
+    */
+  private def trainIvfDistributed(s: SparkSession, train: DataFrame,
+      k: Int): Seq[IvfCent] = {
     // seeds: the K smallest xxhash64(vec_id) vectors of the TRAINING
     // set — deterministic, data-independent spread; metadata-scale
     // collect (K rows)
@@ -1862,8 +1909,66 @@ object LlmOps {
         IvfCent(cid, ce, ce.map(x => x * x).sum)
       }.sortBy(_.cid)
     }
-    ivfCache.put(cacheKey, cents)
-    (cents, index(cents))
+    cents
+  }
+
+  /** Flat top-1 cell index over driver-resident centroid arrays — the
+    * local trainers' assignment, replicating graft_ivf_top's p=1 rule
+    * exactly: score = dot/√‖c‖², Double.compare total order, strict >
+    * so ties keep the smaller index.
+    */
+  private def localTopIdx(e: Array[Double], ca: Array[Array[Double]],
+      cn: Array[Double]): Int = {
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var bi = 0
+    var i = 0
+    while (i < ca.length) {
+      val c = ca(i)
+      val dim = math.min(e.length, c.length)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) { dot += e(d) * c(d); d += 1 }
+      val cs = dot / math.sqrt(cn(i))
+      if (java.lang.Double.compare(cs, best) > 0) { best = cs; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  /** Driver-local coarse Lloyd loop: same seeds (hash-min, bit-identical
+    * via [[collectTrainRows]]'s Spark-computed xxhash64), same flat
+    * assignment rule as the kernel, same empty-cells-vanish mean update.
+    * Means sum in row order rather than partition order, so final
+    * centroids can differ from the distributed path in ulps — which is
+    * why [[localTrainLimit]] keys the model caches; AnnSpec pins the
+    * local path's recall floors and geometry, and the forced-distributed
+    * path keeps its own pins.
+    */
+  private[graft] def trainIvfLocal(rows: Array[(Long, Long, Array[Double])],
+      k: Int): Seq[IvfCent] = {
+    var cents: Seq[IvfCent] = rows.sortBy(r => (r._2, r._1)).take(k)
+      .zipWithIndex.map { case ((_, _, e), i) =>
+        IvfCent(i + 1, e.toSeq, e.map(x => x * x).sum)
+      }.toSeq
+    for (_ <- 1 to IvfLloydSteps) {
+      val ca = cents.map(_.ce.toArray).toArray
+      val cn = cents.map(_.cnsq).toArray
+      val sums = new java.util.HashMap[Int, (Array[Double], Long)]
+      rows.foreach { case (_, _, e) =>
+        val cid = cents(localTopIdx(e, ca, cn)).cid
+        val acc = sums.computeIfAbsent(cid, _ => (new Array[Double](e.length), 0L))
+        var d = 0
+        while (d < e.length) { acc._1(d) += e(d); d += 1 }
+        sums.put(cid, (acc._1, acc._2 + 1))
+      }
+      val next = scala.collection.mutable.ArrayBuffer.empty[IvfCent]
+      sums.forEach { (cid, acc) =>
+        val ce = acc._1.map(_ / acc._2).toSeq
+        next += IvfCent(cid, ce, ce.map(x => x * x).sum)
+      }
+      cents = next.sortBy(_.cid).toSeq
+    }
+    cents
   }
 
   /** q7S's product-quantization model: `cb` holds the `m·ks` codewords
@@ -1936,7 +2041,7 @@ object LlmOps {
   }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(Long, String, Long, Int, Int, Int, Int, Int, String, Int, String), PqModel]
+    .empty[(Long, String, Long, Int, Int, Int, Int, Int, String, Int, String, Long), PqModel]
 
   /** The IVF-ADC residual column: `e − cents(pidx)` through the
     * codegen'd `graft_vec_sub` kernel, where `pidx` is the row's
@@ -2005,18 +2110,13 @@ object LlmOps {
     val hierT = s.conf.get("spark.graft.ivf.hierThreshold", "256").toInt
     // trainAssign reshapes the coarse centroids (and so every residual)
     val trainAssign = s.conf.get("spark.graft.ivf.trainAssign", "auto")
+    val localLimit = localTrainLimit(s) // r13 — see ivfModel's key note
     val cacheKey = (sessionKey(s), d, sampleLimit, mConf, ksConf, maxKs,
-      ivfK, ivfMaxK, hierMode, hierT, trainAssign)
+      ivfK, ivfMaxK, hierMode, hierT, trainAssign, localLimit)
     val cached = pqCache.get(cacheKey)
     if (cached.isDefined) return cached.get
     val (cents, _) = ivfModel(s, d)
     val (n, raw) = trainCorpus(s, d, v, sampleLimit)
-    // IVF-ADC: quantize the residual vs the row's coarse centroid, not
-    // the raw vector (see the scaladoc for the measured collapse). The
-    // assignment is hier-aware to match SERVING — the codebooks must
-    // train on the same residual distribution pqEncodeRows produces
-    val train = raw.select(col("vec_id"),
-      residCol(cents, col("e"), ivfAssignIdx(s, cents, col("e"))).as("e"))
     val ks = math.max(2L, math.min(n,
       if (ksConf > 0) ksConf.toLong
       else math.min(maxKs.toLong,
@@ -2028,6 +2128,28 @@ object LlmOps {
     require(dim % mConf == 0,
       s"spark.graft.pq.m=$mConf must divide the embedding dim $dim")
     val sub = dim / mConf
+    if (localLimit > 0 && n <= localLimit && !hierOn(s, cents.size)) {
+      // r13 fast path (the ivfModel argument, doubled: PQ training is
+      // 1 + PqLloydSteps more driver-blocking jobs): residuals computed
+      // locally under the same flat assignment rule the serving encode
+      // uses below the hier threshold
+      val ca = cents.map(_.ce.toArray).toArray
+      val cn = cents.map(_.cnsq).toArray
+      val rows = collectTrainRows(raw).map { case (id, h, e) =>
+        val c = ca(localTopIdx(e, ca, cn))
+        val m = math.min(e.length, c.length)
+        (id, h, Array.tabulate(m)(i => e(i) - c(i)))
+      }
+      val model = trainPqLocal(rows, mConf, ks, sub)
+      pqCache.put(cacheKey, model)
+      return model
+    }
+    // IVF-ADC: quantize the residual vs the row's coarse centroid, not
+    // the raw vector (see the scaladoc for the measured collapse). The
+    // assignment is hier-aware to match SERVING — the codebooks must
+    // train on the same residual distribution pqEncodeRows produces
+    val train = raw.select(col("vec_id"),
+      residCol(cents, col("e"), ivfAssignIdx(s, cents, col("e"))).as("e"))
     val seeds = train.select(col("vec_id"), col("e"))
       .withColumn("h", expr("xxhash64(vec_id)"))
       .orderBy("h", "vec_id").limit(ks)
@@ -2060,6 +2182,59 @@ object LlmOps {
       cb.map(_.toSeq).toSeq, cb.map(_.map(x => x * x).sum).toSeq)
     pqCache.put(cacheKey, model)
     model
+  }
+
+  /** Driver-local PQ Lloyd loop over collected residual rows — same
+    * hash-min seed rule (Spark-computed xxhash64), same per-subspace
+    * argmax(dot − ‖c‖²/2) encode as graft_pq_enc (Double.compare,
+    * strict > ⇒ ties to the smaller codeword), same
+    * empty-codewords-keep-their-value mean update as the distributed
+    * loop. Ulp caveat as [[trainIvfLocal]].
+    */
+  private[graft] def trainPqLocal(rows: Array[(Long, Long, Array[Double])],
+      m: Int, ks: Int, sub: Int): PqModel = {
+    val seeds = rows.sortBy(r => (r._2, r._1)).take(ks).map(_._3)
+    var cb: Array[Array[Double]] = Array.tabulate(m * ks) { i =>
+      val (mi, j) = (i / ks, i % ks)
+      // fewer training rows than ks (tiny fixture): reuse seeds cyclically
+      val s = seeds(j % seeds.length)
+      java.util.Arrays.copyOfRange(s, math.min(mi * sub, s.length),
+        math.min((mi + 1) * sub, s.length))
+    }
+    for (_ <- 1 to PqLloydSteps) {
+      val cn = cb.map(_.map(x => x * x).sum)
+      val sums = new java.util.HashMap[(Int, Int), (Array[Double], Long)]
+      rows.foreach { case (_, _, e) =>
+        var mi = 0
+        while (mi < m) {
+          var best = java.lang.Double.NEGATIVE_INFINITY
+          var bestJ = 0
+          var j = 0
+          while (j < ks) {
+            val c = cb(mi * ks + j)
+            val dim = math.min(sub, c.length)
+            var dot = 0.0
+            var t = 0
+            while (t < dim) { dot += e(mi * sub + t) * c(t); t += 1 }
+            val score = dot - 0.5 * cn(mi * ks + j)
+            if (java.lang.Double.compare(score, best) > 0) { best = score; bestJ = j }
+            j += 1
+          }
+          val acc = sums.computeIfAbsent((mi, bestJ),
+            _ => (new Array[Double](sub), 0L))
+          var t = 0
+          while (t < sub) { acc._1(t) += e(mi * sub + t); t += 1 }
+          sums.put((mi, bestJ), (acc._1, acc._2 + 1))
+          mi += 1
+        }
+      }
+      val next = cb.map(_.clone())
+      sums.forEach { (k2, acc) =>
+        next(k2._1 * ks + k2._2) = acc._1.map(_ / acc._2)
+      }
+      cb = next
+    }
+    PqModel(m, ks, cb.map(_.toSeq).toSeq, cb.map(_.map(x => x * x).sum).toSeq)
   }
 
   /** The IVF-PQ encode projection over ANY `(vec_id, e, nsq)` frame —

@@ -288,6 +288,40 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
 
+  test("local-trained quantizers (r13 fast path) match the distributed " +
+    "loop's geometry and hold the recall floors on both paths") {
+    import graft.operators.LlmOps
+    // default: fixture n ≪ localTrainLimit → the LOCAL path trained the
+    // session-cached models used by every other test in this suite; its
+    // floors are asserted there. Here: force the DISTRIBUTED loop and
+    // assert the same geometry (K, cid set, ks) and the same floors —
+    // the two paths may differ in final ulps (summation order), never
+    // in shape or quality.
+    val (localCents, _) = LlmOps.ivfModel(spark, sf0001)
+    val localPq = LlmOps.pqModel(spark, sf0001)
+    val localG = avgRecall("q7G_ann_ivf")
+    val localS = avgRecall("q7S_ann_ivfpq")
+    spark.conf.set("spark.graft.ivf.localTrainLimit", "0")
+    try {
+      val (distCents, _) = LlmOps.ivfModel(spark, sf0001)
+      val distPq = LlmOps.pqModel(spark, sf0001)
+      assert(distCents.size == localCents.size)
+      assert(distCents.map(_.cid) == localCents.map(_.cid))
+      assert(distPq.ks == localPq.ks && distPq.m == localPq.m)
+      // centroids agree to float tolerance (ulp-order differences only)
+      localCents.zip(distCents).foreach { case (l, dd) =>
+        l.ce.zip(dd.ce).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"cid ${l.cid}") }
+      }
+      val g = avgRecall("q7G_ann_ivf")
+      val sRec = avgRecall("q7S_ann_ivfpq")
+      assert(g >= 0.45, s"distributed-path q7G recall $g")
+      assert(sRec >= 0.45, s"distributed-path q7S recall $sRec")
+      assert(localG >= 0.45 && localS >= 0.45,
+        s"local-path recalls $localG/$localS")
+    } finally spark.conf.unset("spark.graft.ivf.localTrainLimit")
+  }
+
   test("q7H probe-mode selection rule: near-τ recall target → mode") {
     // The measured basis (Scale embdedup, SCALING.md): single = 0.53–
     // 0.55 near-τ recall at 1× candidates, multi = 0.95 near-τ at 4.6×
