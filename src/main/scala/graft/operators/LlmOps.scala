@@ -1490,15 +1490,85 @@ object LlmOps {
 
   private def componentSizes(s: SparkSession, d: String): DataFrame = {
     val stars = cachedDf(ccCache, s, d) {
-      connectedComponentsWithRounds(
-        jaccardPairs(s, d)
-          .select(col("id_a").as("u"), col("id_b").as("v")))._1
+      val edges = jaccardPairs(s, d)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      // r13 fast path, the third application of the driver-local-below-
+      // a-budget argument (BPE merges, then the quantizers): the edge
+      // set is the near-dup SURVIVOR pairs — a vanishing fraction of the
+      // corpus at any scale — so below the gate the O(log n) rounds of
+      // driver-blocking jobs were pure scheduling over a table the
+      // driver can hold (two longs per edge). One LIMIT-probing collect
+      // doubles as the gate test AND the data fetch; union-find with
+      // smaller-root-wins links lands every find() on the component
+      // minimum, which is EXACTLY the star fixpoint the distributed loop
+      // converges to — bit-identical output (CcSpec pins cross-path
+      // set equality), so unlike the quantizer gate this one does not
+      // need to key the cache. Above the gate the loop is unchanged
+      // (every Scale decade measures the distributed path).
+      val lim = localCcLimit(s)
+      val probed =
+        if (lim > 0) {
+          val rows = edges.limit(lim + 1).collect()
+          if (rows.length <= lim)
+            Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+          else None
+        } else None
+      probed match {
+        case Some(arr) =>
+          import s.implicits._
+          ccStarsLocal(arr).toDF("u", "v")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        case None => connectedComponentsWithRounds(edges)._1
+      }
     }
     // star edges are (child, root): one row per non-root member, so the
     // component size is the child count plus the root itself
     stars.groupBy(col("v").as("rep"))
       .agg((count(lit(1)) + lit(1L)).as("n_members"))
       .orderBy("rep")
+  }
+
+  /** `spark.graft.cc.localLimit` — the edge count (near-dup survivor
+    * pairs) below which q7R's components run driver-local (default
+    * 1,000,000 ≈ 16 MB of (long, long) rows). 0 disables the local path.
+    */
+  private def localCcLimit(s: SparkSession): Int = {
+    val l = s.conf.get("spark.graft.cc.localLimit", "1000000").toInt
+    require(l >= 0,
+      s"spark.graft.cc.localLimit must be >= 0 (0 = off), got $l")
+    l
+  }
+
+  /** Driver-local connected components: union-find with path compression
+    * and smaller-root-wins union, so every root is its component's
+    * minimum node id. Emits the same star-edge table (child → component
+    * minimum, one row per non-root member) as the large-star/small-star
+    * fixpoint — the outputs are bit-identical by construction, pinned by
+    * CcSpec. O(m·α(m)) time, O(distinct nodes) space.
+    */
+  private[graft] def ccStarsLocal(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet().forEach { k =>
+      val r = find(k)
+      if (r != k) out += ((k, r))
+    }
+    out.sortBy(identity).toSeq
   }
 
   private val IvfLloydSteps = 2

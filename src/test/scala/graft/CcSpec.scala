@@ -135,6 +135,47 @@ class CcSpec extends AnyFunSuite {
     stars.unpersist()
   }
 
+  test("cc: driver-local path (r13 gate) is bit-identical to the " +
+    "distributed star fixpoint") {
+    // ccStarsLocal must emit EXACTLY the large-star/small-star fixpoint
+    // set — that identity is why the gate does not key the q7R cache.
+    for (seed <- 1 to 5; (n, m) <- Seq((20, 12), (50, 60), (120, 200))) {
+      val rnd = new scala.util.Random(seed * 777 + n)
+      def id(): Long = rnd.nextInt(n).toLong * 11 + 5
+      val edges = Seq.fill(m) {
+        val a = id(); var b = id(); while (b == a) b = id(); (a, b)
+      }
+      val (stars, _) = LlmOps.connectedComponentsWithRounds(toDf(edges))
+      val dist = collectStars(stars)
+      stars.unpersist()
+      val local = LlmOps.ccStarsLocal(edges.toArray).toSet
+      assert(local == dist, s"seed=$seed n=$n m=$m")
+    }
+    assert(LlmOps.ccStarsLocal(Array.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("q7R: forced-distributed path equals the default (local) path " +
+    "end-to-end") {
+    // default gate (1M edges) puts the sf0.001 registry run on the
+    // LOCAL path; force the distributed loop through the same registry
+    // entry and pin result equality. release() drops the session's q7R
+    // star cache (keyed without the gate — outputs are identical) so
+    // the second run genuinely rebuilds.
+    val local = SparkEntry.queries("q7R_dedup_components")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local.nonEmpty)
+    LlmOps.release(spark)
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    try {
+      val dist = SparkEntry.queries("q7R_dedup_components")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dist == local)
+    } finally {
+      spark.conf.unset("spark.graft.cc.localLimit")
+      LlmOps.release(spark)
+    }
+  }
+
   test("q7R: end-to-end equals union-find over the q7N pair table") {
     val pairs = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
       .select("id_a", "id_b").collect()
