@@ -36,15 +36,15 @@ BIG7 = {"q7F_lang_id", "q7G_ann_ivf", "q7S_ann_ivfpq", "q7T_bpe_train",
         "q7N_dedup_jaccard", "q7R_dedup_components", "q7A_dedup_minhash"}
 
 PAIRED = [
-    ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 5.3),
-    ("q7G+q7S", ["q7G_ann_ivf", "q7S_ann_ivfpq"], 5.0),
-    ("q7T+q7U", ["q7T_bpe_train", "q7U_bpe_tokenize"], 4.0),
+    ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 3.2),
+    ("q7G+q7S", ["q7G_ann_ivf", "q7S_ann_ivfpq"], 2.7),
+    ("q7T+q7U", ["q7T_bpe_train", "q7U_bpe_tokenize"], 1.0),
     # round 10: the whole shingle family rides q7A's cache — order-
     # invariant subtotal, same flag rule (BASELINE.md "Paired pin —
     # shingle family")
     ("shingle-family", ["q7A_dedup_minhash", "q7N_dedup_jaccard",
                         "q7P_decontaminate", "q7R_dedup_components",
-                        "q7W_dedup_spans"], 8.1),
+                        "q7W_dedup_spans"], 5.9),
 ]
 
 def main():
