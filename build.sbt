@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // legacy flag is on (reads as LongType epoch-ns). See SURVEY.md §7.4.1.
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen compiles one generated class per plan stage; a
+  // 103-query bench sweep saturates the JVM's default 240 MB reserved
+  // code cache mid-run, after which the JIT stops compiling and the
+  // compute-bound kernels (exact-sim dot products) run partly
+  // interpreted — measured r13: q76 1.77 → 1.46 s, q78 0.93 → 0.65 s
+  // under 512 MB, full-sweep totals equal. The same setting belongs in
+  // spark.{driver,executor}.extraJavaOptions on a real cluster.
+  "-XX:ReservedCodeCacheSize=512m",
 )
