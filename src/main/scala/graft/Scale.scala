@@ -25,6 +25,8 @@ import graft.streaming.LlmIngest
   *    10-member near-dup cliques), timing q7N + q7R end-to-end.
   *  - `hub` — connected components on 1-hub star graphs (fan-in skew):
   *    rounds + wall at 100k and 1M leaves.
+  *  - `ccgate` — the r13 driver-local CC gate at its 1M-edge boundary:
+  *    local full-path wall vs the distributed loop on chain graphs.
   *  - `ann` — q7C/q7G recall@5 + wall on clustered synthetic embeddings
   *    at 1× and 10×, plus the data-driven IVF geometry (K, nprobe,
   *    vectors/cell) backing the bounded-cell claim.
@@ -1081,6 +1083,40 @@ object Scale {
     }
   }
 
+  /** `ccgate` — the r13 driver-local CC gate measured AT its boundary:
+    * chain graphs (the adversarial shape for the distributed loop — max
+    * rounds) at 99k and 999k edges, both under the 1M default of
+    * `spark.graft.cc.localLimit`. Times the LOCAL path's FULL registry
+    * cost (LIMIT-probing collect + union-find + re-distribute +
+    * materialize) against the distributed loop on the same window,
+    * like-for-like — the gate's win is jobs-not-data, so the local wall
+    * should stay ~flat while the distributed wall grows with rounds.
+    */
+  private def ccgate(s: SparkSession): Unit = {
+    for ((chains, len) <- Seq((1000, 100), (1000, 1000))) {
+      val n = chains.toLong * len
+      val edges = s.range(0, n)
+        .filter(col("id") % len =!= (len - 1))
+        .select(col("id").as("u"), (col("id") + 1).as("v"))
+      val nEdges = n - chains
+      val (nLocal, tLocal) = timed {
+        val rows = edges.limit(1000001).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        require(rows.length <= 1000000)
+        import s.implicits._
+        LlmOps.ccStarsLocal(rows).toDF("u", "v").count()
+      }
+      val ((stars, rounds), tDist) =
+        timed(LlmOps.connectedComponentsWithRounds(edges))
+      val nDist = stars.count()
+      stars.unpersist()
+      require(nLocal == nDist, s"local $nLocal != dist $nDist star edges")
+      println(f"""{"mode":"ccgate","edges":$nEdges,"star_edges":$nLocal,""" +
+        f""""local_sec":$tLocal%.1f,"dist_rounds":$rounds,""" +
+        f""""dist_sec":$tDist%.1f}""")
+    }
+  }
+
   private def hub(s: SparkSession): Unit = {
     for (leaves <- Seq(100000L, 1000000L)) {
       val edges = s.range(1, leaves + 1)
@@ -1312,6 +1348,7 @@ object Scale {
         huge = args.contains("huge"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
+      case "ccgate"    => ccgate(s)
       case "ann"       => ann(s, big = args.contains("big"),
                                huge = args.contains("huge"),
                                ultra = args.contains("ultra"))
