@@ -401,33 +401,61 @@ object Scale {
     import s.implicits._
     val dim = 64
     val nCenters = 50
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft-scale-ann$nVec").toString
-    val rnd = new scala.util.Random(1234L)
-    val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
-    val bc = s.sparkContext.broadcast(centers)
-    s.range(0L, nVec.toLong, 1L, 64)
-      .as[Long].mapPartitions { it =>
-        val cs = bc.value
-        it.map { id =>
-          // splitmix-style seed scramble + burn-in: sequential ids must
-          // not produce correlated Gaussian draws
-          val r = new scala.util.Random(
-            id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
-          r.nextLong(); r.nextLong()
-          val c = cs(r.nextInt(nCenters))
-          val e = Array.tabulate(dim)(j =>
-            (c(j) + 0.5 * r.nextGaussian()).toFloat)
-          (id, s"c${id % nCenters}", e.toSeq)
-        }
-      }.toDF("vec_id", "label", "embedding")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // Generation is deterministic per (nVec) — per-id seeded RNG over
+    // seeded centers — so a corpus dir from a previous invocation is
+    // bit-identical to what this one would write. SPARK_GRAFT_ANN_REUSE
+    // points at such a dir (guarded by the nVec embedded in its name) so
+    // a fifth-decade variant run doesn't re-pay ~20 min of generation;
+    // the exact 5-NN truth is cached alongside as truth.tsv (tiny:
+    // 10 queries × 5 ids) the first time it's computed.
+    val reuse = sys.env.get("SPARK_GRAFT_ANN_REUSE")
+      .filter(d => d.contains(s"ann$nVec") && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")))
+    val dir = reuse.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft-scale-ann$nVec").toString)
+    if (reuse.isEmpty) {
+      val rnd = new scala.util.Random(1234L)
+      val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+      val bc = s.sparkContext.broadcast(centers)
+      s.range(0L, nVec.toLong, 1L, 64)
+        .as[Long].mapPartitions { it =>
+          val cs = bc.value
+          it.map { id =>
+            // splitmix-style seed scramble + burn-in: sequential ids must
+            // not produce correlated Gaussian draws
+            val r = new scala.util.Random(
+              id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+            r.nextLong(); r.nextLong()
+            val c = cs(r.nextInt(nCenters))
+            val e = Array.tabulate(dim)(j =>
+              (c(j) + 0.5 * r.nextGaussian()).toFloat)
+            (id, s"c${id % nCenters}", e.toSeq)
+          }
+        }.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val truthFile = java.nio.file.Paths.get(s"$dir/truth.tsv")
+    if (java.nio.file.Files.exists(truthFile)) {
+      val cached = scala.io.Source.fromFile(truthFile.toFile)
+      val truth = try cached.getLines().map { line =>
+        val parts = line.split("\t")
+        parts.head.toLong -> parts.tail.map(_.toLong).toSet
+      }.toMap finally cached.close()
+      return (dir, truth)
+    }
 
     graft.functions.DotProduct.register(s)
-    val v = s.read.parquet(s"$dir/embeddings.parquet")
+    // Past the fourth decade the persist stops paying: 50M × 64 doubles
+    // is ~30 GB of spill on a container whose scratch disk the fifth-
+    // decade corpus already shares (the r13 ultra attempt died ENOSPC
+    // in exactly this stage), while re-scanning the 13 GB parquet once
+    // per truth query costs seconds. Persist only while the cache is
+    // RAM-scale; the truth values are identical either way.
+    val vBase = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nsq", expr("graft_dot(e, e)"))
-      .persist()
+    val cache = nVec <= 10000000
+    val v = if (cache) vBase.persist() else vBase
     val qs = v.filter(col("vec_id") < 10).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val truth = qs.map { case (q, qe) =>
@@ -440,7 +468,11 @@ object Scale {
         .collect().map(_.getLong(0)).toSet
       q -> top
     }
-    v.unpersist()
+    if (cache) v.unpersist()
+    val lines = truth.toSeq.sortBy(_._1).map { case (q, ids) =>
+      (q +: ids.toSeq.sorted).mkString("\t") }
+    java.nio.file.Files.write(truthFile,
+      lines.mkString("\n").getBytes("UTF-8"))
     (dir, truth)
   }
 
@@ -474,13 +506,31 @@ object Scale {
       (if (big) Seq((100, 500000)) else Nil) ++
       (if (huge) Seq((1000, 5000000)) else Nil) ++
       (if (ultra) Seq((10000, 50000000)) else Nil)
+    // SPARK_GRAFT_ANN_STAGES (comma set of base,maxk,maxr) reruns only
+    // the named measurement stages — with SPARK_GRAFT_ANN_REUSE this
+    // lets a killed fifth-decade campaign finish its variants without
+    // re-paying the base row's ~25 min of probing.
+    val stages = sys.env.get("SPARK_GRAFT_ANN_STAGES")
+      .map(_.split(',').map(_.trim).toSet)
+    def on(st: String): Boolean = stages.forall(_.contains(st))
     for ((mult, nVec) <- scales) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
         LlmOps.release(s) // cold: the wall includes model/bucket build
         recallRun(s, dir, truth, key)
       }
-      val (rC, tC) = recallOf("q7C_ann_simhash")
+      if (on("base")) {
+      // q7C stops at the fourth decade on THIS container: its band
+      // equi-join shuffles bands × corpus rows WITH their full vectors
+      // (4 × 50M × 256 B ≈ 51 GB write + the sort-merge spill on top),
+      // which exceeded the scratch disk twice (ENOSPC, r13) — the
+      // measured version of the reason q7S exists: the PQ index
+      // shuffles 8-byte codes and broadcasts the query side, so it
+      // fits where the vector-carrying shape does not. -1 marks the
+      // skip in the JSON row.
+      val (rC, tC) =
+        if (nVec > 10000000) (-1.0, -1.0)
+        else recallOf("q7C_ann_simhash")
       val (rG, tG) = recallOf("q7G_ann_ivf")
       val (rS, tS) = recallOf("q7S_ann_ivfpq")
       val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7S run
@@ -498,12 +548,13 @@ object Scale {
         f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
         f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
       LlmOps.release(s)
+      }
       // the maxK dial at the clamped decade: re-run the two IVF tiers
       // with the ceiling lifted past √n (q7C has no K, unaffected) —
       // at THIS decade K is conf-clamped, so the comparison is no
       // longer free-R-vs-K (the r13 `maxk` rejection) but clamped-K
       // geometry vs released-K geometry
-      if (mult >= 10000) {
+      if (mult >= 10000 && on("maxk")) {
         s.conf.set("spark.graft.ivf.maxK", "8192")
         try {
           val (rG2, tG2) = recallOf("q7G_ann_ivf")
@@ -519,6 +570,33 @@ object Scale {
             f""""vec_per_cell":${nVec.toDouble / k2}%.1f,""" +
             f""""scanned_frac":${np2.toDouble / k2}%.2f}""")
         } finally s.conf.unset("spark.graft.ivf.maxK")
+        LlmOps.release(s)
+      }
+      // the R dial at the clamped decade (q7S only — q7G has no R):
+      // the base row's auto-R hits the 65,536 rerankMax ceiling
+      // (pool/4 ≈ 195k at 50M), re-entering the falling-share regime
+      // that cost 0.80 recall. Lifting the ceiling so pool/4 binds
+      // again measures whether R is STILL the free dial at 5·10⁷ —
+      // the refetch build side becomes |queries|·R ≈ 2M rows, the
+      // first scale where "R is metadata" is genuinely stressed. If
+      // recall recovers at a tolerable wall, the clamp default is the
+      // only thing to tune at this decade; if the wall explodes, this
+      // is the measured point where OPQ (recall-per-byte) becomes the
+      // next notch.
+      if (mult >= 10000 && on("maxr")) {
+        s.conf.set("spark.graft.pq.rerankMax", "262144")
+        try {
+          val (rS3, tS3) = recallOf("q7S_ann_ivfpq")
+          val k3 = LlmOps.ivfModel(s, dir)._1.size
+          val np3 = LlmOps.ivfNProbe(k3)
+          val autoR3 = LlmOps.pqRerank(s, k3, nVec.toLong)
+          println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+            f""""variant":"rerankMax=262144",""" +
+            f""""q7S_recall":$rS3%.2f,"q7S_sec":$tS3%.1f,""" +
+            f""""ivf_k":$k3,"nprobe":$np3,"auto_r":$autoR3,""" +
+            f""""vec_per_cell":${nVec.toDouble / k3}%.1f,""" +
+            f""""scanned_frac":${np3.toDouble / k3}%.2f}""")
+        } finally s.conf.unset("spark.graft.pq.rerankMax")
         LlmOps.release(s)
       }
     }
