@@ -514,6 +514,12 @@ object Scale {
       .map(_.split(',').map(_.trim).toSet)
     def on(st: String): Boolean = stages.forall(_.contains(st))
     for ((mult, nVec) <- scales) {
+      // A variants-only rerun (STAGES without `base`) has nothing to
+      // measure below the fifth decade — skip those corpora entirely
+      // rather than paying their generation + truth for no output row.
+      val decadeStages = "base" +:
+        (if (mult >= 10000) Seq("maxk", "maxr", "nprobe", "full") else Nil)
+      if (decadeStages.exists(on)) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
         LlmOps.release(s) // cold: the wall includes model/bucket build
@@ -536,7 +542,7 @@ object Scale {
       val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7S run
       // (recallOf released before q7S, which retrained both models —
       // training is deterministic, so this is the same model q7G used)
-      val nprobe = LlmOps.ivfNProbe(k)
+      val nprobe = LlmOps.ivfNProbe(s, k)
       val pq = LlmOps.pqModel(s, dir) // cached from the q7S run
       val autoR = LlmOps.pqRerank(s, k, nVec.toLong)
       println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
@@ -560,7 +566,7 @@ object Scale {
           val (rG2, tG2) = recallOf("q7G_ann_ivf")
           val (rS2, tS2) = recallOf("q7S_ann_ivfpq")
           val k2 = LlmOps.ivfModel(s, dir)._1.size
-          val np2 = LlmOps.ivfNProbe(k2)
+          val np2 = LlmOps.ivfNProbe(s, k2)
           val autoR2 = LlmOps.pqRerank(s, k2, nVec.toLong)
           println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
             f""""variant":"maxK=8192",""" +
@@ -588,7 +594,7 @@ object Scale {
         try {
           val (rS3, tS3) = recallOf("q7S_ann_ivfpq")
           val k3 = LlmOps.ivfModel(s, dir)._1.size
-          val np3 = LlmOps.ivfNProbe(k3)
+          val np3 = LlmOps.ivfNProbe(s, k3)
           val autoR3 = LlmOps.pqRerank(s, k3, nVec.toLong)
           println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
             f""""variant":"rerankMax=262144",""" +
@@ -598,6 +604,54 @@ object Scale {
             f""""scanned_frac":${np3.toDouble / k3}%.2f}""")
         } finally s.conf.unset("spark.graft.pq.rerankMax")
         LlmOps.release(s)
+      }
+      // the nprobe dial at the clamped decade (q7G only): at K = 4096
+      // the auto nprobe √K = 64 scans 1.6 % of cells, and the base row
+      // measured q7G's first recall dent (0.98) — off-center queries
+      // can now miss a true neighbor's cell. Forcing nprobe = 128
+      // (3.1 % scanned, candidate pool ×2) measures what the dent
+      // costs to buy back — the query-side-only dial a 100 TB
+      // deployment turns per query class, not per index.
+      if (mult >= 10000 && on("nprobe")) {
+        s.conf.set("spark.graft.ivf.nprobe", "128")
+        try {
+          val (rG4, tG4) = recallOf("q7G_ann_ivf")
+          val k4 = LlmOps.ivfModel(s, dir)._1.size
+          val np4 = LlmOps.ivfNProbe(s, k4)
+          println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+            f""""variant":"nprobe=128",""" +
+            f""""q7G_recall":$rG4%.2f,"q7G_sec":$tG4%.1f,""" +
+            f""""ivf_k":$k4,"nprobe":$np4,""" +
+            f""""vec_per_cell":${nVec.toDouble / k4}%.1f,""" +
+            f""""scanned_frac":${np4.toDouble / k4}%.2f}""")
+        } finally s.conf.unset("spark.graft.ivf.nprobe")
+        LlmOps.release(s)
+      }
+      // both query-side dials together (q7S): nprobe = 128 doubles the
+      // ADC pool to ~1.56M and the lifted ceiling lets auto-R track it
+      // (pool/4 ≈ 390k → clamped 262,144) — the "what does ≥0.95 cost
+      // at 5·10⁷" row, all of it query-side: the INDEX (cells + codes)
+      // is untouched, so one build serves every recall/latency class.
+      if (mult >= 10000 && on("full")) {
+        s.conf.set("spark.graft.ivf.nprobe", "128")
+        s.conf.set("spark.graft.pq.rerankMax", "262144")
+        try {
+          val (rS5, tS5) = recallOf("q7S_ann_ivfpq")
+          val k5 = LlmOps.ivfModel(s, dir)._1.size
+          val np5 = LlmOps.ivfNProbe(s, k5)
+          val autoR5 = LlmOps.pqRerank(s, k5, nVec.toLong)
+          println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+            f""""variant":"nprobe=128+rerankMax=262144",""" +
+            f""""q7S_recall":$rS5%.2f,"q7S_sec":$tS5%.1f,""" +
+            f""""ivf_k":$k5,"nprobe":$np5,"auto_r":$autoR5,""" +
+            f""""vec_per_cell":${nVec.toDouble / k5}%.1f,""" +
+            f""""scanned_frac":${np5.toDouble / k5}%.2f}""")
+        } finally {
+          s.conf.unset("spark.graft.ivf.nprobe")
+          s.conf.unset("spark.graft.pq.rerankMax")
+        }
+        LlmOps.release(s)
+      }
       }
     }
   }
@@ -690,7 +744,7 @@ object Scale {
           if (doubleR) s.conf.set("spark.graft.pq.rerank", r.toString)
           recallRun(s, dir, truth, "q7S_ann_ivfpq") // discarded warm-up
           val (rec, t) = recallRun(s, dir, truth, "q7S_ann_ivfpq")
-          val nprobe = LlmOps.ivfNProbe(k)
+          val nprobe = LlmOps.ivfNProbe(s, k)
           val pool = nprobe.toLong * (nVec.toLong / k)
           println(f"""{"mode":"maxk","vectors":$nVec,"variant":"$label",""" +
             f""""ivf_k":$k,"nprobe":$nprobe,"pool":$pool,"rerank":$r,""" +

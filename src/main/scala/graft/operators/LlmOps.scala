@@ -1073,7 +1073,7 @@ object LlmOps {
       val probes = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nsq").as("qn"),
-          explode(ivfProbeIdx(cents, col("e"))).as("pidx"))
+          explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
         .select(col("q_id"), col("qe"), col("qn"),
           cidOfIdx(cents, col("pidx")).as("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -1577,9 +1577,24 @@ object LlmOps {
     * with the corpus, each cell shrinks ~n/K, so probing √K cells keeps
     * the scanned FRACTION falling (√K·(n/K)/n = 1/√K → 0) while recall
     * decays far slower than a fixed 3-cell probe would at large K.
+    *
+    * `spark.graft.ivf.nprobe` FORCES the value (clamped to ≤ K; 0 =
+    * auto) — the third auto dial's override, symmetric with
+    * `spark.graft.ivf.k` (K) and `spark.graft.pq.rerank` (R). Added in
+    * r13 when the fifth decade (50M vectors) measured q7G's first
+    * recall dent at any scale (0.98): there K sits at its 4,096
+    * `ivf.maxK` ceiling, so √K = 64 probes scan only 1.6 % of cells —
+    * the dial a query with a higher recall target turns is nprobe, and
+    * until r13 it had no override. Query-side only: nprobe is not part
+    * of any model cache key, so flipping it between queries is free.
     */
-  private[graft] def ivfNProbe(k: Int): Int =
-    math.max(3, math.min(64, math.round(math.sqrt(k.toDouble)).toInt))
+  private[graft] def ivfNProbe(s: SparkSession, k: Int): Int = {
+    val forced = s.conf.get("spark.graft.ivf.nprobe", "0").toInt
+    require(forced >= 0,
+      s"spark.graft.ivf.nprobe must be 0 (auto) or positive, got $forced")
+    if (forced > 0) math.min(forced, k)
+    else math.max(3, math.min(64, math.round(math.sqrt(k.toDouble)).toInt))
+  }
 
   /** One IVF centroid. `cnsq` = ‖ce‖² so assignment only needs a dot. */
   case class IvfCent(cid: Int, ce: Seq[Double], cnsq: Double)
@@ -1786,8 +1801,9 @@ object LlmOps {
     * its queries as long as its assigned cell ranks within the flat
     * top-nprobe.
     */
-  private def ivfProbeIdx(cents: Seq[IvfCent], e: Column): Column =
-    ivfTopIdx(cents, e, ivfNProbe(cents.size))
+  private def ivfProbeIdx(s: SparkSession, cents: Seq[IvfCent],
+      e: Column): Column =
+    ivfTopIdx(cents, e, ivfNProbe(s, cents.size))
 
   private def ivfCid(cents: Seq[IvfCent], e: Column): Column =
     cidOfIdx(cents, ivfTopIdx(cents, e, 1).getItem(0))
@@ -2105,7 +2121,7 @@ object LlmOps {
         s"spark.graft.pq.rerankMax must be >= 64, got $maxR")
       val frac = s.conf.get("spark.graft.pq.poolFrac", "4").toInt
       require(frac >= 1, s"spark.graft.pq.poolFrac must be >= 1, got $frac")
-      val pool = ivfNProbe(k).toLong * math.max(1L, n / math.max(1, k))
+      val pool = ivfNProbe(s, k).toLong * math.max(1L, n / math.max(1, k))
       math.max(64L, math.min(maxR.toLong, math.max(k.toLong, pool / frac))).toInt
     }
   }
@@ -2380,7 +2396,7 @@ object LlmOps {
     val probes = lake.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nsq").as("qn"),
-        explode(ivfProbeIdx(cents, col("e"))).as("pidx"))
+        explode(ivfProbeIdx(s, cents, col("e"))).as("pidx"))
       .select(col("q_id"), col("qe"), col("qn"),
         cidOfIdx(cents, col("pidx")).as("cid"),
         call_function("graft_dot", col("qe"),

@@ -379,5 +379,40 @@ class AnnSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException] {
       LlmOps.pqRerank(spark, 69, 5000L)
     } finally spark.conf.unset("spark.graft.pq.rerankMax")
+    // FIFTH decade (r13, 50M vectors): the default rerankMax binds for
+    // the first time — pool/4 wants 195,312 but ships 65,536, the
+    // arithmetic behind the measured 0.80 recall (SCALE_r13.jsonl);
+    // lifting the ceiling restores the pool-fraction rule.
+    assert(LlmOps.pqRerank(spark, 4096, 50000000L) === 65536,
+      "fifth decade: default ceiling binds")
+    spark.conf.set("spark.graft.pq.rerankMax", "262144")
+    try assert(LlmOps.pqRerank(spark, 4096, 50000000L) === 195312,
+      "fifth decade: lifted ceiling restores pool/4")
+    finally spark.conf.unset("spark.graft.pq.rerankMax")
+  }
+
+  test("nprobe geometry: auto √K in [3, 64], spark.graft.ivf.nprobe forces") {
+    // The third auto dial's override (r13): K has ivf.k, R has
+    // pq.rerank, nprobe had no forcing conf until the fifth decade
+    // measured q7G's first recall dent (0.98 at 50M — K at its 4,096
+    // ceiling, √K = 64 probes = 1.6 % of cells scanned). Pin the auto
+    // values each measured decade used, the [3, 64] clamp, and the
+    // forced path's ≤ K bound.
+    import graft.operators.LlmOps
+    Seq(69 -> 8, 224 -> 15, 704 -> 27, 2236 -> 47, 4096 -> 64)
+      .foreach { case (k, want) =>
+        assert(LlmOps.ivfNProbe(spark, k) === want, s"auto nprobe at K=$k")
+      }
+    assert(LlmOps.ivfNProbe(spark, 4) === 3, "lower clamp")
+    assert(LlmOps.ivfNProbe(spark, 16384) === 64, "upper clamp")
+    spark.conf.set("spark.graft.ivf.nprobe", "128")
+    try {
+      assert(LlmOps.ivfNProbe(spark, 16384) === 128, "forced past the cap")
+      assert(LlmOps.ivfNProbe(spark, 50) === 50, "forced bounded by K")
+    } finally spark.conf.unset("spark.graft.ivf.nprobe")
+    spark.conf.set("spark.graft.ivf.nprobe", "-1")
+    try intercept[IllegalArgumentException] {
+      LlmOps.ivfNProbe(spark, 69)
+    } finally spark.conf.unset("spark.graft.ivf.nprobe")
   }
 }
