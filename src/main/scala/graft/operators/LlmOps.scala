@@ -2099,8 +2099,14 @@ object LlmOps {
     * deserializes grow with K). So through at least 5·10⁶ vectors R is
     * the cheap dial and K is the expensive one — the r12 scaladoc's
     * "past ~10⁷ raise maxK instead" is REJECTED at this decade by
-    * measurement (SCALING.md `maxk` table); if a later decade pushes
-    * R's clamp again, re-measure there rather than assuming K wins.
+    * measurement (SCALING.md `maxk` table), and REJECTED AGAIN at
+    * 5·10⁷ — the decade the claim was actually about — where released
+    * K = √n = 7,071 lost recall on both tiers (nprobe capped at 64
+    * halves the scanned cell share) and wall on q7G, while lifting
+    * this clamp recovered q7S 0.80 → 0.92 at a flat wall and adding
+    * forced nprobe = 128 reached 0.94, all query-side (SCALING.md
+    * fifth-decade dial table). Dial order at the clamped decade:
+    * R first, nprobe second, K never past the cap.
     *
     * The upper clamp is conf-scaled (round 12; a fixed 4096 saturated
     * at the 1000× decade — the same falling-share mechanism that caused
