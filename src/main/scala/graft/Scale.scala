@@ -518,7 +518,8 @@ object Scale {
       // measure below the fifth decade — skip those corpora entirely
       // rather than paying their generation + truth for no output row.
       val decadeStages = "base" +:
-        (if (mult >= 10000) Seq("maxk", "maxr", "nprobe", "full") else Nil)
+        (if (mult >= 10000) Seq("maxk", "maxr", "nprobe", "full", "deep")
+         else Nil)
       if (decadeStages.exists(on)) {
       val (dir, truth) = annCorpus(s, nVec)
       def recallOf(key: String): (Double, Double) = {
@@ -646,6 +647,35 @@ object Scale {
             f""""ivf_k":$k5,"nprobe":$np5,"auto_r":$autoR5,""" +
             f""""vec_per_cell":${nVec.toDouble / k5}%.1f,""" +
             f""""scanned_frac":${np5.toDouble / k5}%.2f}""")
+        } finally {
+          s.conf.unset("spark.graft.ivf.nprobe")
+          s.conf.unset("spark.graft.pq.rerankMax")
+        }
+        LlmOps.release(s)
+      }
+      // the last rung: can R alone finish the job at 5·10⁷? At
+      // nprobe = 128 the pool is ~1.56M and the `full` row's 262k
+      // ceiling reranked 17 % of it for 0.94. Lifting the ceiling one
+      // more doubling (524,288 — pool/4 ≈ 390k now binds UNclamped)
+      // asks whether the remaining loss is still rerank-share or the
+      // pool itself; the refetch build side reaches |q|·R ≈ 3.9M rows,
+      // the first point where "R is metadata" is no longer obviously
+      // true — so this row also measures where the R dial's free ride
+      // ends.
+      if (mult >= 10000 && on("deep")) {
+        s.conf.set("spark.graft.ivf.nprobe", "128")
+        s.conf.set("spark.graft.pq.rerankMax", "524288")
+        try {
+          val (rS6, tS6) = recallOf("q7S_ann_ivfpq")
+          val k6 = LlmOps.ivfModel(s, dir)._1.size
+          val np6 = LlmOps.ivfNProbe(s, k6)
+          val autoR6 = LlmOps.pqRerank(s, k6, nVec.toLong)
+          println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+            f""""variant":"nprobe=128+rerankMax=524288",""" +
+            f""""q7S_recall":$rS6%.2f,"q7S_sec":$tS6%.1f,""" +
+            f""""ivf_k":$k6,"nprobe":$np6,"auto_r":$autoR6,""" +
+            f""""vec_per_cell":${nVec.toDouble / k6}%.1f,""" +
+            f""""scanned_frac":${np6.toDouble / k6}%.2f}""")
         } finally {
           s.conf.unset("spark.graft.ivf.nprobe")
           s.conf.unset("spark.graft.pq.rerankMax")

@@ -2103,8 +2103,10 @@ object LlmOps {
     * 5·10⁷ — the decade the claim was actually about — where released
     * K = √n = 7,071 lost recall on both tiers (nprobe capped at 64
     * halves the scanned cell share) and wall on q7G, while lifting
-    * this clamp recovered q7S 0.80 → 0.92 at a flat wall and adding
-    * forced nprobe = 128 reached 0.94, all query-side (SCALING.md
+    * this clamp recovered q7S 0.80 → 0.92 at a flat wall, adding
+    * forced nprobe = 128 reached 0.94, and one more ceiling doubling
+    * (pool/4 = 390k binding unclamped, |q|·R ≈ 3.9M refetch rows
+    * still cheap) reached 1.00 at 516 s — all query-side (SCALING.md
     * fifth-decade dial table). Dial order at the clamped decade:
     * R first, nprobe second, K never past the cap.
     *

@@ -415,4 +415,35 @@ class AnnSpec extends AnyFunSuite {
       LlmOps.ivfNProbe(spark, 69)
     } finally spark.conf.unset("spark.graft.ivf.nprobe")
   }
+
+  test("ivf.nprobe is query-side only: flipping it reuses the cached models") {
+    import graft.operators.LlmOps
+    // The claim behind the fifth-decade dial ladder — "nprobe is not
+    // part of any model cache key, so flipping it between queries is
+    // free" — pinned by OBJECT IDENTITY: the same session must serve a
+    // forced-nprobe query from the SAME trained centroid and codebook
+    // instances, not a retrain. (Every conf that shapes the model —
+    // ivf.k, maxK, trainAssign, hierThreshold, localTrainLimit, the PQ
+    // dims — IS in its cache key and does retrain; nprobe and the
+    // rerank confs are the query-side exceptions, which is what lets
+    // one 50M index serve every recall class in SCALE_r13.jsonl.)
+    LlmOps.release(spark)
+    val base = avgRecall("q7G_ann_ivf") // trains the IVF model
+    val cents = LlmOps.ivfModel(spark, sf0001)._1 // cache hit by key
+    SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001).collect() // + PQ
+    val pq = LlmOps.pqModel(spark, sf0001)
+    spark.conf.set("spark.graft.ivf.nprobe", "13")
+    try {
+      val forced = avgRecall("q7G_ann_ivf")
+      assert(LlmOps.ivfModel(spark, sf0001)._1 eq cents,
+        "an nprobe flip retrained the IVF model")
+      // 13 probes > the fixture's √K ≈ 5 auto — a wider probe list
+      // must hold the family's recall floor
+      assert(forced >= 0.45 && forced >= base - 1e-9,
+        s"forced-nprobe recall@5 = $forced (auto-nprobe base $base)")
+      SparkEntry.queries("q7S_ann_ivfpq")(spark, sf0001).collect()
+      assert(LlmOps.pqModel(spark, sf0001) eq pq,
+        "an nprobe flip retrained the PQ codebooks")
+    } finally spark.conf.unset("spark.graft.ivf.nprobe")
+  }
 }
