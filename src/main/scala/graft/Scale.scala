@@ -959,9 +959,24 @@ object Scale {
         val recalls = truth.map { case (q, want) =>
           want.count(byQ.getOrElse(q, Set.empty[Long]).contains) / 5.0 }
         val rec = recalls.sum / recalls.size
+        // the r13 drift DETECTOR priced on the same corpus: the
+        // arrivals' batch-mean squared assignment residual over the
+        // model lake's baseline — exactly the ratio S15's observed
+        // metric reports per micro-batch. Under stale models it must
+        // separate with drift_frac; under fresh models (which trained
+        // on the arrivals) it is the ≈1 control at every fraction.
+        val baseResid = graft.streaming.VecIngest.baselineResid(s, d)
+        val prepArr = arrivals
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+          .withColumn("nsq", expr("graft_dot(e, e)"))
+        val arrResid = LlmOps.pqEncodeRows(prepArr, cents, pq,
+            withResid = true)
+          .agg(avg(col("resid_nsq"))).head.getDouble(0)
         println(f"""{"mode":"vecdrift","drift_frac":$frac%.2f,""" +
           f""""index":"$label","ivf_k":${cents.size},"pq_ks":${pq.ks},""" +
-          f""""recall":$rec%.2f,"search_sec":$t%.1f}""")
+          f""""recall":$rec%.2f,"search_sec":$t%.1f,""" +
+          f""""detector_ratio":${arrResid / baseResid}%.2f}""")
       }
       LlmOps.release(s)
     }

@@ -32,7 +32,7 @@ object LlmOps {
     * The element cast is a plain `Cast` (codegen'd, exact float→double
     * widening — same values as the per-element HOF cast it replaced).
     */
-  private def vectors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s)
     graft.functions.IvfTop.register(s)
     graft.functions.PqKernels.register(s)
@@ -2336,17 +2336,33 @@ object LlmOps {
     * runs identically on a static read or a STREAM (S15's index
     * maintenance). Caller must have the kernels registered
     * ([[graft.functions.PqKernels.register]] etc. — [[vectors]] does).
+    *
+    * `withResid` appends `resid_nsq` = ‖x − c(x)‖² — the squared
+    * assignment residual, the r13 drift statistic: its batch mean
+    * against a model-time baseline is how S15 detects that arrivals
+    * stopped looking like the training distribution
+    * (graft.streaming.VecIngest.driftRatios). Same `pidx`, same
+    * residual expression the codes quantize (whole-stage CSE folds the
+    * shared subexpressions), so the statistic measures exactly the
+    * quantity whose growth degrades PQ recall.
     */
   private[graft] def pqEncodeRows(df: DataFrame,
-      cents: Seq[IvfCent], pq: PqModel): DataFrame =
+      cents: Seq[IvfCent], pq: PqModel,
+      withResid: Boolean = false): DataFrame = {
+    val resid = residCol(cents, col("e"), col("pidx"))
+    val base = Seq(col("vec_id"),
+      cidOfIdx(cents, col("pidx")).as("cid"),
+      call_function("graft_pq_enc", resid,
+        typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"),
+      col("nsq"))
+    val cols =
+      if (withResid)
+        base :+ call_function("graft_dot", resid, resid).as("resid_nsq")
+      else base
     df.select(col("vec_id"), col("nsq"), col("e"),
         ivfAssignIdx(df.sparkSession, cents, col("e")).as("pidx"))
-      .select(col("vec_id"),
-        cidOfIdx(cents, col("pidx")).as("cid"),
-        call_function("graft_pq_enc",
-          residCol(cents, col("e"), col("pidx")),
-          typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"),
-        col("nsq"))
+      .select(cols: _*)
+  }
 
   /** q7S's query pipeline over ANY `(cid, n_id, codes, nn)` serving
     * index — the lake-built [[pqIndex]] (the registry entry) or the

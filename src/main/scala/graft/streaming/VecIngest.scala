@@ -39,10 +39,32 @@ import graft.operators.LlmOps
   * distribution shift), so retrain on detected arrival-distribution
   * shift or a coarse schedule — never per batch; the registry MERGE
   * makes the re-encode an idempotent overwrite.
+  *
+  * "Detected arrival-distribution shift" is a CODE PATH, not advice
+  * (r13): every encoded row already computes its squared assignment
+  * residual ‖x − c(x)‖² — exactly the quantity whose growth degrades
+  * PQ recall — so [[encoded]] publishes the batch mean through
+  * `Dataset.observe` (an [[DRIFT_METRIC observed metric]]: aggregated
+  * INSIDE the existing encode stage by an accumulator — zero extra
+  * jobs, zero shuffle, nothing driver-side per row). [[baselineResid]]
+  * prices the same statistic over the lake the models trained on (one
+  * agg job at attach time), [[driftRatios]] reads the per-batch
+  * mean/baseline ratios off the query's progress, and [[retrainDue]]
+  * is the trigger. MEASURED separation (Scale `vecdrift`,
+  * SCALE_r13.jsonl): in-distribution batches read 1.00–1.02, arrivals
+  * half-drawn from unseen cluster centers read 3.67, fully drifted
+  * 6.33 — and the fresh-retrain controls stay ≤ 1.21 — so the default
+  * tolerance sits between noise and signal with multiples of margin
+  * on both sides.
   */
 object VecIngest {
 
   val TABLE = "vec_index"
+
+  /** Name of the per-batch observed metric [[encoded]] publishes:
+    * `mean_resid` (mean ‖x − c(x)‖² of the batch) and `rows`.
+    */
+  val DRIFT_METRIC = "graft_vecdrift"
 
   /** One BIGINT per vector: codes packed big-endian by subspace.
     * Spelled with shift/or, NOT `acc * 256 + c`: with ks = 256 the top
@@ -72,10 +94,58 @@ object VecIngest {
       .withColumn("e", col("embedding").cast("array<double>"))
       .withColumn("nsq", expr("graft_dot(e, e)"))
       .select("vec_id", "e", "nsq")
-    LlmOps.pqEncodeRows(prepped, cents, pq)
+    LlmOps.pqEncodeRows(prepped, cents, pq, withResid = true)
+      .observe(DRIFT_METRIC,
+        avg(col("resid_nsq")).as("mean_resid"),
+        count(lit(1L)).as("rows"))
       .select(col("vec_id"), col("cid"),
         packCodes(col("codes")).as("codes_packed"), col("nsq"))
   }
+
+  /** The drift baseline: mean squared assignment residual of the lake
+    * at `d` under the session's cached models — what [[DRIFT_METRIC]]
+    * reads on arrivals that look like the training distribution. One
+    * agg job; price it once at attach time and hand the value to
+    * [[driftRatios]]/[[retrainDue]] (a retrained model needs a fresh
+    * baseline, which the model cache keys already force the caller to
+    * think about).
+    */
+  def baselineResid(s: SparkSession, d: String): Double = {
+    val (cents, _) = LlmOps.ivfModel(s, d)
+    val pq = LlmOps.pqModel(s, d)
+    LlmOps.pqEncodeRows(LlmOps.vectors(s, d), cents, pq, withResid = true)
+      .agg(avg(col("resid_nsq"))).head.getDouble(0)
+  }
+
+  /** Per-batch drift ratios `(batchId, meanResid / baseline)` from a
+    * query attached through [[attach]], oldest→newest, empty batches
+    * skipped. Reads the progress history (no job): the observed metric
+    * was already aggregated inside each batch's encode stage.
+    */
+  def driftRatios(q: StreamingQuery, baseline: Double): Seq[(Long, Double)] = {
+    require(baseline > 0, s"drift baseline must be positive, got $baseline")
+    q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get(DRIFT_METRIC)).collect {
+        case row if row.getAs[Long]("rows") > 0L =>
+          p.batchId -> row.getAs[Double]("mean_resid") / baseline
+      }
+    }
+  }
+
+  /** The retrain trigger: latest non-empty batch's drift ratio above
+    * `1 + tol`. Default tol = 0.5 triggers at ratio 1.5 — under half
+    * the measured half-drift signal (3.67) and a quarter of total
+    * drift (6.33), yet above every measured in-distribution and
+    * fresh-control reading (1.00–1.21) — `Scale vecdrift`,
+    * SCALE_r13.jsonl — so it fires on real shift and not on
+    * batch-size jitter.
+    * On `true`: batch-retrain the models and re-encode — the keyed
+    * MERGE makes that an idempotent overwrite (the scaladoc's cadence
+    * guidance, now with the trigger measured instead of scheduled).
+    */
+  def retrainDue(q: StreamingQuery, baseline: Double,
+      tol: Double = 0.5): Boolean =
+    driftRatios(q, baseline).lastOption.exists(_._2 > 1.0 + tol)
 
   /** Wires the streaming MERGE: models train in BATCH from the lake at
     * `d` (cached per session like every q7G/q7S consumer), the stream

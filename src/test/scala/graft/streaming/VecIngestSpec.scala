@@ -135,6 +135,45 @@ class VecIngestSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) == 1.0)
   }
 
+  test("S15 drift detector: in-distribution batches read ratio ≈ 1, drifted arrivals trip retrainDue") {
+    // The r13 trigger behind the scaladoc's "retrain on detected
+    // arrival-distribution shift": the observed metric aggregates the
+    // squared assignment residual inside the encode stage, and its
+    // batch mean over baseline separates cleanly — in-distribution
+    // chunks of the SAME lake the models trained on must sit near 1,
+    // arrivals from shifted centers must jump by multiples. Order is
+    // made deterministic by draining the clean chunks first, then
+    // appending the drifted file to the same source.
+    val dir = tmpDir("graft-s15-drift")
+    stageVecs(dir, 3)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-drift-db")}/db;create=true"
+    val baseline = VecIngest.baselineResid(spark, sf0001)
+    assert(baseline > 0)
+    val q = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-drift-ckpt"), spark, sf0001)
+    try {
+      q.processAllAvailable()
+      val clean = VecIngest.driftRatios(q, baseline)
+      assert(clean.size >= 3, s"want >= 3 observed batches, got $clean")
+      clean.foreach { case (b, r) =>
+        assert(r > 0.5 && r < 1.5, s"clean batch $b drift ratio $r") }
+      assert(!VecIngest.retrainDue(q, baseline))
+
+      // the drift: every dimension shifted +5 — arrivals from centers
+      // the quantizers never saw, under fresh ids
+      graft.sources.Tables.embeddings(spark, sf0001)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val all = VecIngest.driftRatios(q, baseline)
+      assert(all.size > clean.size, s"drifted batch not observed: $all")
+      assert(all.take(clean.size) == clean, "history must be stable")
+      assert(all.last._2 > 2.0, s"drifted batch ratio ${all.last._2}")
+      assert(VecIngest.retrainDue(q, baseline))
+    } finally q.stop()
+  }
+
   test("S15: packed codes round-trip and the cell ids come from the model") {
     val (cents, _) = LlmOps.ivfModel(spark, sf0001)
     val pq = LlmOps.pqModel(spark, sf0001)
