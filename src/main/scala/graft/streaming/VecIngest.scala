@@ -139,9 +139,16 @@ object VecIngest {
     * fresh-control reading (1.00–1.21) — `Scale vecdrift`,
     * SCALE_r13.jsonl — so it fires on real shift and not on
     * batch-size jitter.
-    * On `true`: batch-retrain the models and re-encode — the keyed
-    * MERGE makes that an idempotent overwrite (the scaladoc's cadence
-    * guidance, now with the trigger measured instead of scheduled).
+    * On `true`, the retrain recipe: fold the landing zone into the
+    * lake (or point `d` at the grown lake), retrain — the model
+    * caches key by (session, lake dir, confs), so a NEW dir retrains
+    * by construction and an in-place-grown dir needs
+    * `LlmOps.release(s)` first — take a fresh [[baselineResid]] from
+    * the new models, and re-attach over the full source with a fresh
+    * checkpoint: the keyed MERGE makes the re-encode an idempotent
+    * overwrite, after which the registry again equals the batch index
+    * of the grown lake and the same arrivals read ratio ≈ 1.
+    * VecIngestSpec pins this whole loop.
     */
   def retrainDue(q: StreamingQuery, baseline: Double,
       tol: Double = 0.5): Boolean =

@@ -174,6 +174,85 @@ class VecIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S15 retrain loop: trip -> retrain over the grown lake -> same arrivals read ratio ≈ 1") {
+    // The retrainDue scaladoc's recipe, executed end-to-end: a drifted
+    // append trips the trigger; folding the arrivals into the lake,
+    // retraining (a NEW lake dir retrains by construction — the model
+    // caches key by (session, dir, confs)), and re-attaching with a
+    // fresh checkpoint MERGE-overwrites the registry; after which the
+    // SAME drifted arrivals read ratio ≈ 1 under the new baseline and
+    // the registry equals the batch index of the grown lake.
+    val dir = tmpDir("graft-s15-loop")
+    stageVecs(dir, 2)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-loop-db")}/db;create=true"
+    val baseline = VecIngest.baselineResid(spark, sf0001)
+    val q = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-loop-ckpt"), spark, sf0001)
+    val drifted = graft.sources.Tables.embeddings(spark, sf0001)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    val driftedPre = try {
+      q.processAllAvailable()
+      drifted.select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(VecIngest.retrainDue(q, baseline), "drift must trip first")
+      VecIngest.driftRatios(q, baseline).last._2
+    } finally q.stop()
+    assert(driftedPre > 2.0, s"pre-retrain drift signal $driftedPre")
+
+    // retrain: the grown lake = old lake ∪ arrivals under a new dir
+    val lake2 = tmpDir("graft-s15-loop-lake2")
+    graft.sources.Tables.embeddings(spark, sf0001).unionByName(drifted)
+      .write.mode("overwrite").parquet(s"$lake2/embeddings.parquet")
+    val baseline2 = VecIngest.baselineResid(spark, lake2)
+    val q2 = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-loop-ckpt2"), spark, lake2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // closure: the batch that TRIPPED is in-distribution for the
+    // retrained models, the trigger is quiet, and every batch sits far
+    // below the pre-retrain drift signal. Deliberately NOT asserted:
+    // per-batch ratios ≈ 1 — this fixture's batches are
+    // subpopulation-PURE (each chunk is all-original or all-drifted),
+    // and against a 50/50 bimodal lake a pure batch honestly reads its
+    // subpopulation's mean over the LAKE-WIDE baseline (measured ~1.8
+    // for the original chunks here). The tol calibration is for
+    // deployment batches, which mix arrivals (Scale vecdrift's fresh
+    // controls: ≤ 1.21); strongly stratified batches want windowed
+    // means — documented in SCALING.md.
+    val ratios2 = VecIngest.driftRatios(q2, baseline2)
+    assert(ratios2.size >= 3, s"want all batches re-observed, got $ratios2")
+    assert(ratios2.last._2 < 1.5,
+      s"the tripping batch must read in-distribution after retrain: $ratios2")
+    ratios2.foreach { case (b, r) =>
+      assert(r < driftedPre / 2,
+        s"post-retrain batch $b ratio $r vs pre-retrain signal $driftedPre") }
+    assert(!VecIngest.retrainDue(q2, baseline2))
+
+    // and the MERGE overwrite left the registry ≡ the grown lake's
+    // batch serving index (stream ≡ batch, now for the NEW models)
+    val pq2 = LlmOps.pqModel(spark, lake2)
+    val want = LlmOps.pqIndex(spark, lake2).collect().map { r =>
+      val packed = r.getSeq[Int](r.fieldIndex("codes"))
+        .foldLeft(0L)((acc, c) => (acc << 8) | c)
+      r.getLong(r.fieldIndex("n_id")) ->
+        ((r.getInt(r.fieldIndex("cid")), packed,
+          r.getDouble(r.fieldIndex("nn"))))
+    }.toMap
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", VecIngest.TABLE).load()
+      .select("vec_id", "cid", "codes_packed", "nsq")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.toMap
+    assert(got.size == want.size && got == want,
+      s"registry after retrain must equal the grown lake's batch index " +
+        s"(first diff: ${(want.keySet ++ got.keySet).toSeq.sorted
+          .find(k => want.get(k) != got.get(k))})")
+    assert(pq2.m <= 8 && pq2.ks <= 256) // loop stayed packable
+  }
+
   test("S15: packed codes round-trip and the cell ids come from the model") {
     val (cents, _) = LlmOps.ivfModel(spark, sf0001)
     val pq = LlmOps.pqModel(spark, sf0001)
