@@ -132,13 +132,27 @@ object VecIngest {
     }
   }
 
-  /** The retrain trigger: latest non-empty batch's drift ratio above
-    * `1 + tol`. Default tol = 0.5 triggers at ratio 1.5 — under half
-    * the measured half-drift signal (3.67) and a quarter of total
-    * drift (6.33), yet above every measured in-distribution and
+  /** The retrain trigger: the ROW-WEIGHTED mean residual of the last
+    * `window` non-empty batches, over baseline, above `1 + tol`.
+    * Default tol = 0.5 triggers at ratio 1.5 — under half the
+    * measured half-drift signal (3.67) and a quarter of total drift
+    * (6.33), yet above every measured in-distribution and
     * fresh-control reading (1.00–1.21) — `Scale vecdrift`,
     * SCALE_r13.jsonl — so it fires on real shift and not on
     * batch-size jitter.
+    *
+    * `window` (default 1 = latest batch only) is the stratification
+    * dial: the statistic compares a batch mean against a LAKE-wide
+    * baseline, so a source whose batches are subpopulation-PURE (one
+    * tenant per file) can read above tol on an ordinary batch of a
+    * heterogeneous lake with no drift at all (measured ~1.8 on the
+    * VecIngestSpec bimodal fixture). Windowing across several batches
+    * re-mixes the populations — row-weighted, so a small pure file
+    * cannot outvote a large one — and the same fixture reads quiet at
+    * `window` = its batch count while a genuine drift signal (6.33×)
+    * still trips straight through a window that includes clean
+    * batches.
+    *
     * On `true`, the retrain recipe: fold the landing zone into the
     * lake (or point `d` at the grown lake), retrain — the model
     * caches key by (session, lake dir, confs), so a NEW dir retrains
@@ -151,8 +165,21 @@ object VecIngest {
     * VecIngestSpec pins this whole loop.
     */
   def retrainDue(q: StreamingQuery, baseline: Double,
-      tol: Double = 0.5): Boolean =
-    driftRatios(q, baseline).lastOption.exists(_._2 > 1.0 + tol)
+      tol: Double = 0.5, window: Int = 1): Boolean = {
+    require(baseline > 0, s"drift baseline must be positive, got $baseline")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val obs = q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get(DRIFT_METRIC)).collect {
+        case row if row.getAs[Long]("rows") > 0L =>
+          (row.getAs[Double]("mean_resid"), row.getAs[Long]("rows"))
+      }
+    }.takeRight(window)
+    obs.nonEmpty && {
+      val rows = obs.map(_._2).sum.toDouble
+      val mean = obs.map { case (m, n) => m * n }.sum / rows
+      mean / baseline > 1.0 + tol
+    }
+  }
 
   /** Wires the streaming MERGE: models train in BATCH from the lake at
     * `d` (cached per session like every q7G/q7S consumer), the stream

@@ -171,6 +171,10 @@ class VecIngestSpec extends AnyFunSuite {
       assert(all.take(clean.size) == clean, "history must be stable")
       assert(all.last._2 > 2.0, s"drifted batch ratio ${all.last._2}")
       assert(VecIngest.retrainDue(q, baseline))
+      // a genuine drift signal trips THROUGH a window that includes a
+      // clean batch: the row-weighted mean still clears 1+tol
+      assert(VecIngest.retrainDue(q, baseline, window = 2),
+        "windowed trigger must still see real drift")
     } finally q.stop()
   }
 
@@ -229,6 +233,15 @@ class VecIngestSpec extends AnyFunSuite {
       assert(r < driftedPre / 2,
         s"post-retrain batch $b ratio $r vs pre-retrain signal $driftedPre") }
     assert(!VecIngest.retrainDue(q2, baseline2))
+    // the stratification caveat, measured: this source's batches are
+    // subpopulation-PURE, and on the now-bimodal lake at least one
+    // clean batch reads above the tol trigger with zero drift (~1.8)
+    // — while the windowed trigger re-mixes the populations and reads
+    // quiet. The `window` dial closing the caveat, not just advice.
+    assert(ratios2.exists(_._2 > 1.5),
+      s"fixture should exhibit pure-batch wander: $ratios2")
+    assert(!VecIngest.retrainDue(q2, baseline2, window = ratios2.size),
+      s"windowed trigger must ride out stratification: $ratios2")
 
     // and the MERGE overwrite left the registry ≡ the grown lake's
     // batch serving index (stream ≡ batch, now for the NEW models)
