@@ -33,10 +33,11 @@ import graft.streaming.LlmIngest
   *  - `clique` — q7R's contraction on the densest plausible pair graph
   *    (the closed-vocab 100× regime's 100-member cliques), built
   *    directly so the measurement isolates the cluster step.
-  *  - `embdedup` — q7H's probe trade: single- vs multi-probe candidate
-  *    volume against sampled removal recall at 1×/10×; `big` adds the
-  *    100× decade (analytic candidate count + sample-restricted pair
-  *    recall — the full join is ~35 B rows there).
+  *  - `embdedup` — q7H's candidate-volume law under the r14 n-scaled
+  *    SimHash geometry, on a dedup-realistic corpus (bounded near-dup
+  *    groups over an isotropic background): real + analytic candidate
+  *    counts, per-cosine-regime pair recall, end-to-end removal walls;
+  *    `big` adds the 100× decade, `huge` the 1000× (5M-vector) decade.
   *  - `ingest` — S13/S14 soak: keep-all vs three TTL horizons (recall
   *    per horizon vs the keep-all drop set), plus TUNED-retention runs
   *    (post-compaction SST + purged changelog checkpoint = the disk
@@ -243,17 +244,25 @@ object Scale {
   }
 
   private def openvocab(s: SparkSession, big: Boolean,
-      huge: Boolean): Unit = {
+      huge: Boolean, ultra: Boolean = false): Unit = {
     val scales = Seq((1, 5000, 2000), (10, 50000, 20000)) ++
       // the 100× point also crosses the dfreq broadcast row gate (its
       // dictionary exceeds 4M distinct shingles), so it exercises the
       // shuffle-fallback branch at real scale — pass `big` to include it
-      (if (big || huge) Seq((100, 500000, 200000)) else Nil) ++
+      (if (big || huge || ultra) Seq((100, 500000, 200000)) else Nil) ++
       // `huge` adds the fourth decade (5M docs, 2M-word dictionary) —
       // generated DISTRIBUTED (zipfCorpusDist); the smaller points keep
       // the driver generator so their rows stay comparable with the
       // published tables
-      (if (huge) Seq((1000, 5000000, 2000000)) else Nil)
+      (if (huge || ultra) Seq((1000, 5000000, 2000000)) else Nil) ++
+      // `ultra` adds the FIFTH decade (50M docs, 20M-word dictionary —
+      // VERDICT r13 #3): the text-dedup family's first measurement at
+      // the scale the ANN family reached in r13. Run it with
+      // SPARK_GRAFT_SHUFFLE scaled up (the fourth decade measured the
+      // partition-width law: ~8M (doc, shingle) rows per shuffle task
+      // is past the locality knee) and SPARK_GRAFT_SOLO to skip the
+      // already-published smaller decades.
+      (if (ultra) Seq((10000, 50000000, 20000000)) else Nil)
     // `solo`: only the largest selected point (re-measurement runs —
     // e.g. the fourth decade under a different shuffle-partition count
     // — without re-paying the smaller decades)
@@ -517,7 +526,7 @@ object Scale {
       // A variants-only rerun (STAGES without `base`) has nothing to
       // measure below the fifth decade — skip those corpora entirely
       // rather than paying their generation + truth for no output row.
-      val decadeStages = "base" +:
+      val decadeStages = Seq("base", "simhash") ++
         (if (mult >= 10000) Seq("maxk", "maxr", "nprobe", "full", "deep")
          else Nil)
       if (decadeStages.exists(on)) {
@@ -527,17 +536,15 @@ object Scale {
         recallRun(s, dir, truth, key)
       }
       if (on("base")) {
-      // q7C stops at the fourth decade on THIS container: its band
-      // equi-join shuffles bands × corpus rows WITH their full vectors
-      // (4 × 50M × 256 B ≈ 51 GB write + the sort-merge spill on top),
-      // which exceeded the scratch disk twice (ENOSPC, r13) — the
-      // measured version of the reason q7S exists: the PQ index
-      // shuffles 8-byte codes and broadcasts the query side, so it
-      // fits where the vector-carrying shape does not. -1 marks the
-      // skip in the JSON row.
-      val (rC, tC) =
-        if (nVec > 10000000) (-1.0, -1.0)
-        else recallOf("q7C_ann_simhash")
+      // q7C at the fifth decade (VERDICT r13 #2): the r13 shape was
+      // infeasible there — its band equi-join shuffled bands × corpus
+      // rows WITH their full vectors (4 × 50M × 256 B ≈ 51 GB write +
+      // sort-merge spill, ENOSPC ×2). The r14 shape broadcasts the
+      // probe buckets onto an id-only banded view and broadcasts the
+      // hit shortlist back onto the corpus scan for the exact pass, so
+      // the corpus never shuffles at all — this row is the measured
+      // re-admission (or measured rejection) of the operator past 10M.
+      val (rC, tC) = recallOf("q7C_ann_simhash")
       val (rG, tG) = recallOf("q7G_ann_ivf")
       val (rS, tS) = recallOf("q7S_ann_ivfpq")
       val k = LlmOps.ivfModel(s, dir)._1.size // cached from the q7S run
@@ -555,6 +562,17 @@ object Scale {
         f""""vec_per_cell":${nVec.toDouble / k}%.1f,""" +
         f""""scanned_frac":${nprobe.toDouble / k}%.2f}""")
       LlmOps.release(s)
+      }
+      // `simhash`-only stage (r14): re-measure JUST q7C at a decade —
+      // the VERDICT r13 #2 re-admission row on an unchanged reused
+      // corpus without re-paying the IVF tiers' ~25-min model builds.
+      if (!on("base") && on("simhash")) {
+        val (rC, tC) = recallOf("q7C_ann_simhash")
+        val (bands, bits) = LlmOps.simhashGeom(s, dir)
+        println(f"""{"mode":"ann","mult":$mult,"vectors":$nVec,""" +
+          f""""variant":"simhash-r14","bands":$bands,"bits":$bits,""" +
+          f""""q7C_recall":$rC%.2f,"q7C_sec":$tC%.1f}""")
+        LlmOps.release(s)
       }
       // the maxK dial at the clamped decade: re-run the two IVF tiers
       // with the ceiling lifted past √n (q7C has no K, unaffected) —
@@ -982,46 +1000,125 @@ object Scale {
     }
   }
 
-  /** `embdedup` — q7H's recall/cost trade, single- vs multi-probe
-    * (VERDICT r11 #6): q7C's query-side Hamming-1 probing was free
-    * because the probe set is 10 rows; on q7H's corpus-vs-corpus join
-    * the expanded side is the corpus itself, so the trade (candidate
-    * pairs × probe factor vs removal recall) has to be MEASURED, not
-    * assumed. Ground truth is sampled: ~2,000 ids j, flag = exists
-    * i < j with cosine ≥ 0.38, computed distributed (broadcast sample
-    * against the corpus through the codegen'd graft_dot) — the driver
-    * never holds corpus-scale data; removal soundness (AnnSpec) makes
-    * sample recall = |flagged ∩ removed| / |flagged| exact on the
-    * sample.
+  /** `embdedup` — q7H's candidate-volume law and recall under the r14
+    * n-scaled SimHash geometry (VERDICT r13 #1). The r13 table measured
+    * the fixed 4×4-bit banding at Θ(n²/16) candidates (35 B analytic at
+    * 500k, 100× end-to-end infeasible); this campaign measures the
+    * replacement: candidates growing ~bands·n·occupancy, the 100×
+    * end-to-end removal actually run, and pair recall split by cosine
+    * regime (near-τ [0.38,0.5) / mid [0.5,0.9) / duplicate [0.9,1] —
+    * the bands-law of [[LlmOps.simhashGeom]] is designed to hold the
+    * DUPLICATE regime as bits widen; the boundary decays by the LSH
+    * ρ-bound and is routed to the exact passes by `dedupProbeFor`).
+    * Ground truth is sampled: ~2,000 ids j, exact pairs (i < j, cos ≥
+    * 0.38) computed distributed (broadcast sample against the corpus
+    * through the codegen'd graft_dot) — the driver never holds
+    * corpus-scale data.
     */
   /** Exact candidate-row count of q7H's band join from the bucket
-    * histogram — the arithmetic twin of `embedDedupPairs(…).count()`,
-    * O(bands·16) driver work instead of a join that reaches ~35 B rows
-    * at the 100× decade. Per band: same-bucket pairs C(c,2) (both
-    * modes), plus for multi the four Hamming-1 cross masks, each
-    * unordered cross pair surviving the id_a < id_b filter exactly once
-    * (the XOR relation is symmetric, so the pre-filter join held both
-    * directions). Validated against the real count at the 1×/10×
-    * decades in the same artifact row.
+    * histogram — the arithmetic twin of `embedCandidates(…).count()`,
+    * computed DISTRIBUTED (the r13 driver-side 4·16-entry fold stopped
+    * fitting when buckets became 2^bits per band): per band, same-
+    * bucket pairs Σ c·(c−1) div 2 in both modes, plus for multi the
+    * `bits` Hamming-1 cross masks via a histogram self-join on (band,
+    * bval⊕2^k) — each unordered cross pair survives the id_a < id_b
+    * filter exactly once (the XOR relation is symmetric, so the
+    * pre-filter join held both directions), giving Σ c(v)·c(v⊕2^k)/2.
+    * Validated against the real count at every decade where the join
+    * is affordable, in the same artifact row.
     */
-  private def candCountAnalytic(hist: Map[(Int, Int), Long],
+  private def candCountAnalytic(s: SparkSession, dir: String, bits: Int,
       multi: Boolean): Long = {
-    val bands = hist.keys.map(_._1).toSeq.distinct
-    bands.map { b =>
-      val c = (0 until 16).map(v => hist.getOrElse((b, v), 0L))
-      val same = c.map(n => n * (n - 1) / 2).sum
-      val cross = if (!multi) 0L else
-        Seq(1, 2, 4, 8).map(m =>
-          (0 until 16).map(v => c(v) * c(v ^ m)).sum / 2).sum
-      same + cross
-    }.sum
+    val hist = LlmOps.embedBanded(s, dir).groupBy("band", "bval").count()
+    val same = hist.agg(coalesce(sum(expr("count * (count - 1) DIV 2")),
+      lit(0L))).head().getLong(0)
+    val cross = if (!multi) 0L else {
+      val h2 = hist.select(col("band"), col("bval").as("bv2"),
+        col("count").as("c2"))
+      hist.select(col("band"), col("count").as("c1"),
+          explode(array((0 until bits).map(k =>
+            col("bval").bitwiseXOR(lit(1 << k))): _*)).as("bv2"))
+        .join(h2, Seq("band", "bv2"))
+        .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)))
+        .head().getLong(0) / 2
+    }
+    same + cross
   }
 
-  private def embdedup(s: SparkSession, big: Boolean = false): Unit = {
+  /** Dedup-REALISTIC synthetic embeddings: an isotropic N(0,1)⁶⁴
+    * background with near-dup groups of 4 consecutive ids injected at a
+    * fixed 20% row rate in four intra-group cosine flavors (σ = 0.1 /
+    * 0.33 / 0.72 / 1.2 about a shared group base ⇒ cos ≈ 0.99 / 0.90 /
+    * 0.66 / 0.41). TRUE duplicate pairs grow ~n here (bounded groups at
+    * a fixed rate) — the corpus shape on which a sub-quadratic candidate
+    * generator can be MEASURED as sub-quadratic; on the clustered `ann`
+    * corpora every intra-cluster pair clears τ = 0.38, so the true pair
+    * set itself is Θ(n²) and every SOUND generator is too. (The d=64
+    * chance-pair floor remains: cos 0.38 is ~3σ of the null, so ~1.2e-3
+    * of background pairs qualify — those live in the near-τ regime and
+    * are exactly what `dedupProbeFor` routes to the exact passes.)
+    * Deterministic per id (splitmix-scrambled per-id RNG; the group
+    * base from the group id's own stream), generated distributed.
+    */
+  private def dedupCorpus(s: SparkSession, nVec: Int): String = {
+    import s.implicits._
+    val dim = 64
+    val reuse = sys.env.get("SPARK_GRAFT_DEDUP_REUSE")
+      .filter(d => d.contains(s"dedup$nVec") && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")))
+    val dir = reuse.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft-scale-dedup$nVec").toString)
+    if (reuse.isEmpty) {
+      s.range(0L, nVec.toLong, 1L, 64).as[Long].mapPartitions { it =>
+        def rng(seed: Long) = {
+          val r = new scala.util.Random(
+            seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+          r.nextLong(); r.nextLong(); r
+        }
+        val sigmas = Array(0.1, 0.33, 0.72, 1.2)
+        it.map { id =>
+          val g = id >> 2
+          val flavor = (((g * 0x9E3779B97F4A7C15L) >>> 33) % 20).toInt
+          val r = rng(id)
+          val e =
+            if (flavor >= sigmas.length) Array.fill(dim)(r.nextGaussian())
+            else {
+              val rb = rng(~g) // negative seed space: disjoint from ids
+              val base = Array.fill(dim)(rb.nextGaussian())
+              val sg = sigmas(flavor)
+              Array.tabulate(dim)(j => base(j) + sg * r.nextGaussian())
+            }
+          (id, s"g$g", e.map(_.toFloat).toSeq)
+        }
+      }.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    dir
+  }
+
+  /** `simgeom` — resolved SimHash geometry + q7C/q7H walls at the three
+    * sf fixtures: the r14 smoke diagnostic for the n-scaled banding.
+    */
+  private def simgeom(s: SparkSession): Unit =
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = s.read.parquet(s"$d/embeddings.parquet").count()
+      val (bands, bits) = LlmOps.simhashGeom(s, d)
+      val ((c7c, kept), t) = timed((
+        SparkEntry.queries("q7C_ann_simhash")(s, d).count(),
+        SparkEntry.queries("q7H_dedup_embed")(s, d).count()))
+      println(f"""{"mode":"simgeom","dir":"$d","n":$n,"bands":$bands,""" +
+        f""""bits":$bits,"q7c_rows":$c7c,"q7h_kept":$kept,"sec":$t%.1f}""")
+      LlmOps.release(s)
+    }
+
+  private def embdedup(s: SparkSession, big: Boolean = false,
+      huge: Boolean = false): Unit = {
     val scales = Seq((1, 5000), (10, 50000)) ++
-      (if (big) Seq((100, 500000)) else Nil)
+      (if (big || huge) Seq((100, 500000)) else Nil) ++
+      (if (huge) Seq((1000, 5000000)) else Nil)
     for ((mult, nVec) <- scales) {
-      val (dir, _) = annCorpus(s, nVec)
+      val dir = dedupCorpus(s, nVec)
       graft.functions.DotProduct.register(s)
       val v = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -1029,13 +1126,11 @@ object Scale {
       val step = math.max(1, nVec / 2000)
       val samp = v.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("j"), col("e").as("ej"), col("nsq").as("nj"))
-      // exact PAIRS (i < j, cos ≥ τ) for the sampled j — id-level
-      // removal saturates at this τ/dim/n (nearly every id has SOME
-      // smaller near-dup: cos τ = 0.38 is 3σ of the d=64 null, so
-      // chance partners alone give each id ~n·1.2e-3 of them), so the
-      // discriminating metric is PAIR recall: which exact pairs does
-      // the bucketing actually surface, overall and near the threshold
-      // (the band LSH is most likely to miss).
+      // exact PAIRS (i < j, cos ≥ 0.38) for the sampled j — id-level
+      // removal saturates at this τ/dim/n (the chance-pair floor above
+      // gives each id ~n·1.2e-3 partners), so the discriminating metric
+      // is PAIR recall per cosine regime: which exact pairs does the
+      // bucketing actually surface.
       val exactPairs = v.join(broadcast(samp), col("vec_id") < col("j"))
         .withColumn("cos", call_function("graft_dot", col("e"), col("ej")) /
           sqrt(col("nsq") * col("nj")))
@@ -1044,21 +1139,18 @@ object Scale {
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
         .toMap
       val flagged = exactPairs.keySet.map(_._2)
-      // bucket histogram: probe-independent, ≤ 4·16 groups — feeds the
-      // analytic candidate count (exact; the 100× decade's only option)
-      val hist = LlmOps.embedBanded(s, dir)
-        .groupBy("band", "bval").count().collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val (bands, bits) = LlmOps.simhashGeom(s, dir)
       for (probe <- Seq("single", "multi")) {
         s.conf.set("spark.graft.simhash.dedupProbe", probe)
         try {
           LlmOps.release(s)
-          val analytic = candCountAnalytic(hist, probe == "multi")
-          // the REAL join count validates the arithmetic where it is
-          // affordable; at 100× it would be a ~35 B-row (single) /
-          // ~160 B-row (multi) join — analytic only, marked in the row
+          val analytic = candCountAnalytic(s, dir, bits, probe == "multi")
+          // the REAL join count validates the arithmetic where the join
+          // is affordable (~≤2·10⁹ rows); past that it is analytic only,
+          // marked in the row by cand_sec: -1
+          val countable = analytic <= 2000000000L
           val (nCand, tCand) =
-            if (mult < 100) timed(LlmOps.embedDedupPairs(s, dir).count())
+            if (countable) timed(LlmOps.embedCandidates(s, dir).count())
             else (analytic, -1.0)
           // pair recall via the SAMPLE-restricted band join: every exact
           // pair has its larger id j in the sample, and the surviving
@@ -1067,13 +1159,13 @@ object Scale {
           // matched) — so joining the full expanded A side against the
           // ~2k-row sampled B side surfaces exactly the candidate hits
           // among the exact sample pairs, at linear cost (this is what
-          // makes the 100× decade measurable at all)
+          // makes the large decades measurable at all)
           val banded = LlmOps.embedBanded(s, dir)
+            .select("vec_id", "band", "bval")
           val aBval =
             if (probe == "single") col("bval")
-            else explode(array(col("bval"), col("bval").bitwiseXOR(lit(8)),
-              col("bval").bitwiseXOR(lit(4)), col("bval").bitwiseXOR(lit(2)),
-              col("bval").bitwiseXOR(lit(1))))
+            else explode(array(col("bval") +: (0 until bits).map(k =>
+              col("bval").bitwiseXOR(lit(1 << k))): _*))
           val aSide = banded.select(col("vec_id").as("id_a"), col("band"),
             aBval.as("bval"))
           val bSamp = banded.filter(col("vec_id") % step === 0)
@@ -1093,13 +1185,14 @@ object Scale {
           }
           val (hitAll, nAll) = recallIn(0.38, 2.0)
           val (hitNear, nNear) = recallIn(0.38, 0.5)
+          val (hitMid, nMid) = recallIn(0.5, 0.9)
+          val (hitDup, nDup) = recallIn(0.9, 2.0)
           LlmOps.release(s)
-          // the operator wall is cand-count-driven (verified flat per
-          // candidate at 1×/10×); at 100× the full run is the same
-          // ~35 B/160 B-pair join — reported as the analytic count, not
-          // burned as hours of wall
+          // end-to-end removal wherever the candidate join is affordable
+          // — which r14's geometry makes true for single mode at EVERY
+          // measured decade (the r13 gap this campaign exists to close)
           val (removedN, recall, t) =
-            if (mult < 100) {
+            if (countable) {
               val (kept, t0) = timed(
                 SparkEntry.queries("q7H_dedup_embed")(s, dir)
                   .collect().map(_.getLong(0)).toSet)
@@ -1108,11 +1201,15 @@ object Scale {
               (nVec - kept.size, r, t0)
             } else (-1, -1.0, -1.0)
           println(f"""{"mode":"embdedup","mult":$mult,"vectors":$nVec,""" +
+            f""""corpus":"dedup","bands":$bands,"bits":$bits,""" +
             f""""probe":"$probe","cand_pairs":$nCand,"cand_sec":$tCand%.1f,""" +
             f""""cand_pairs_analytic":$analytic,""" +
             f""""pair_recall":${hitAll.toDouble / math.max(nAll, 1)}%.3f,""" +
             f""""pair_recall_near":${hitNear.toDouble / math.max(nNear, 1)}%.3f,""" +
+            f""""pair_recall_mid":${hitMid.toDouble / math.max(nMid, 1)}%.3f,""" +
+            f""""pair_recall_dup":${hitDup.toDouble / math.max(nDup, 1)}%.3f,""" +
             f""""exact_pairs_sample":$nAll,"near_pairs_sample":$nNear,""" +
+            f""""mid_pairs_sample":$nMid,"dup_pairs_sample":$nDup,""" +
             f""""removed":$removedN,"flagged_sample":${flagged.size},""" +
             f""""id_recall":$recall%.3f,"sec":$t%.1f}""")
         } finally s.conf.unset("spark.graft.simhash.dedupProbe")
@@ -1522,7 +1619,7 @@ object Scale {
     val s = session()
     args.headOption.getOrElse("openvocab") match {
       case "openvocab" => openvocab(s, big = args.contains("big"),
-        huge = args.contains("huge"))
+        huge = args.contains("huge"), ultra = args.contains("ultra"))
       case "closed10x" => closed10x(s)
       case "hub"       => hub(s)
       case "ccgate"    => ccgate(s)
@@ -1532,7 +1629,9 @@ object Scale {
       case "clique"    => clique(s)
       case "pqsweep"   => pqsweep(s, huge = args.contains("huge"))
       case "maxk"      => maxkSweep(s, deep = args.contains("deep"))
-      case "embdedup"  => embdedup(s, big = args.contains("big"))
+      case "embdedup"  => embdedup(s, big = args.contains("big"),
+        huge = args.contains("huge"))
+      case "simgeom"   => simgeom(s)
       case "vecdrift"  => vecdrift(s)
       case "zipf"      => zipf(s)
       case "ingest"    => useRocksDb(s); ingest(s, big = args.contains("big"))

@@ -194,6 +194,16 @@ object Aql {
     * visible inside, inner LETs shadow them. `^.x` (outer-row field
     * references) are COLUMN references by definition and never
     * substitute. Idempotent (the result carries no lets).
+    *
+    * DOCUMENTED capture (ADVICE r13): JSON props are open-world, so the
+    * shadow-name validation above can only reject envelope columns and
+    * grammar atoms — a bare name inside a subQuery body that happens to
+    * match an outer LET resolves to the BINDING, not to a same-named
+    * JSON prop of the inner rows. This is standard lexical scoping (the
+    * binding is in scope; `^.x` exists precisely to reach outer-ROW
+    * fields), and the escape hatches are to rename the LET or spell the
+    * prop access through an envelope path. Changing it to prop-wins
+    * would make scoping depend on runtime payload shape — worse.
     */
   private[aql] def expand(q: Query): Query = expandWith(q, Map.empty)
 

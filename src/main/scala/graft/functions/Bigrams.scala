@@ -41,11 +41,19 @@ object Bigrams {
     val seen = new java.util.LinkedHashSet[UTF8String]
     var i = 0
     var l1 = UTF8String.numBytesForFirstByte(bytes(0))
-    while (i + l1 < n) {
+    var ok = true
+    while (ok && i + l1 < n) {
       val l2 = UTF8String.numBytesForFirstByte(bytes(i + l1))
-      seen.add(UTF8String.fromBytes(bytes, i, l1 + l2))
-      i += l1
-      l1 = l2
+      // a truncated tail char whose declared length runs past the buffer
+      // yields no bigram (the old split/zip_with spelling tolerated such
+      // input) — never a window whose hashCode/getBytes would read past
+      // the array (ADVICE r13)
+      if (i + l1 + l2 > n) ok = false
+      else {
+        seen.add(UTF8String.fromBytes(bytes, i, l1 + l2))
+        i += l1
+        l1 = l2
+      }
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()

@@ -92,7 +92,11 @@ object BpeTrain {
   def train(s: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
     val lim = s.conf.get("spark.graft.bpe.localVocabLimit", "2000000").toLong
     require(lim >= 0, s"spark.graft.bpe.localVocabLimit must be >= 0, got $lim")
-    val small = lim > 0 && words.limit((lim + 1).toInt).count() <= lim
+    // probe limit clamped: a conf at/above Int.MaxValue must not wrap
+    // the LIMIT negative (ADVICE r13) — past ~2³¹ words the distributed
+    // loop is the only sane path anyway
+    val probeLim = math.min(lim, Int.MaxValue - 1L).toInt + 1
+    val small = lim > 0 && words.limit(probeLim).count() <= lim
     if (small) {
       val table = words.select(col("w"), col("wc")).collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))

@@ -531,10 +531,12 @@ object LlmOps {
     (cand, dfreq)
   }
 
-  /** Fixed ±1 random hyperplanes for SimHash ANN bucketing (q7C):
-    * 16 planes of dim 64 with signs drawn from a seeded splitmix64-style
-    * mix, rendered as SQL array literals so the sign test runs through
-    * the codegen'd graft_dot. Deterministic run-to-run.
+  /** Fixed ±1 random hyperplanes for SimHash bucketing (q7C/q7H):
+    * plane i's 64 signs drawn from a seeded splitmix64-style mix,
+    * rendered as SQL array literals so the sign test runs through the
+    * codegen'd graft_dot. Deterministic run-to-run; plane index =
+    * band·bits + j, so a fixed (bands, bits) geometry always reuses the
+    * same planes.
     */
   private object AnnPlanes {
     private def mix(z0: Long): Long = {
@@ -547,47 +549,108 @@ object LlmOps {
       (0 until 64)
         .map(k => if ((mix(i.toLong * 1000003 + k) & 1L) == 0L) "1D" else "-1D")
         .mkString("array(", ",", ")")
-    /** One 4-bit LSH band = the sign bits of 4 hyperplane projections. */
-    def bandExpr(band: Int): String =
-      (0 until 4).map { j =>
-        s"IF(graft_dot(e, ${sql(band * 4 + j)}) >= 0D, ${1 << (3 - j)}, 0)"
+    /** One `bits`-wide LSH band = the sign bits of `bits` hyperplane
+      * projections (plane band·bits + j contributes bit bits−1−j).
+      */
+    def bandExpr(band: Int, bits: Int): String =
+      (0 until bits).map { j =>
+        s"IF(graft_dot(e, ${sql(band * bits + j)}) >= 0D, ${1 << (bits - 1 - j)}, 0)"
       }.mkString(" + ")
   }
 
-  /** q7H's candidate pair stream — SimHash band buckets met by equi-join
-    * on (band, bval), BEFORE the exact-cosine filter (public so the
-    * Scale `embdedup` probe can measure candidate volume against removal
-    * recall on the same join the operator runs). Probe policy via
-    * `spark.graft.simhash.dedupProbe`:
-    *  - `single` (default): one bucket per band per side. Measured pair
-    *    recall (Scale embdedup, clustered 64-dim corpora, sampled exact
-    *    pairs): 0.86 overall / 0.53 in the near-threshold cos [0.38,
-    *    0.5) band, flat across 5k → 50k vectors.
-    *  - `multi`: side A also probes the four Hamming-1 buckets of every
-    *    band (Lv et al., VLDB'07 — the trade q7C adopted query-side in
-    *    r11; XOR symmetry makes one-sided expansion cover both
-    *    directions). Measured: pair recall 1.00 overall / 0.95 near-τ
-    *    at BOTH decades — but for 4.6× the candidate pairs and ~4× the
-    *    operator wall on dense corpora, because unlike q7C the expanded
-    *    side here is the CORPUS, so the multiplier lands on the big
-    *    side of the join and scales with it. That is why single stays
-    *    the default: at 100 TB the candidate join is the budget, the
-    *    missed pairs are concentrated at the decision boundary, and the
-    *    exhaustive route already exists (q7N/q77 batch sweeps). Flip to
-    *    `multi` when near-threshold completeness is worth 4–5× on this
-    *    one stage; AnnSpec pins the recall floors of both modes.
+  /** Hard caps on the auto geometry: 24 bits keeps bval a small Int
+    * (16M buckets per band is past any plausible per-band occupancy
+    * target), 64 bands bounds the banded-view cost at bands·bits ≤
+    * 1,536 in-row dot products per vector.
     */
-  /** The per-vector band/bucket view q7H's candidate join runs over —
-    * (vec_id, e, nsq, band ∈ [0,4), bval ∈ [0,16)). Public for the Scale
-    * `embdedup` probe, whose 100× decade point computes candidate VOLUME
-    * from this view's bucket histogram (exact arithmetic over ≤64
-    * (band,bval) groups) instead of counting a join too large to run.
+  private val MaxBandBits = 24
+  private val MaxBands = 64
+
+  /** n-SCALED SimHash geometry (VERDICT r13 #1). The pre-r14 shape —
+    * 4 bands × 4 bits = 64 buckets TOTAL regardless of corpus size —
+    * made q7H's candidate self-join Θ(n²/16) by pigeonhole (measured:
+    * 35 B analytic candidate pairs at 500k vectors) and q7C's per-query
+    * candidate set Θ(n). The fix is the same law the IVF tier uses:
+    * scale the structure with the corpus.
+    *
+    *  - bits per band ≈ log₂(n / targetOccupancy), so expected bucket
+    *    occupancy stays ≈ `spark.graft.simhash.targetOccupancy`
+    *    (default 256) and same-bucket candidate pairs grow ~n·c·bands,
+    *    not n²: sub-quadratic by construction.
+    *  - bands ≈ ln(10)/p₀^bits with p₀ = 1 − arccos(0.9)/π ≈ 0.856 —
+    *    the band count that holds ≥~0.9 collision recall for a
+    *    DUPLICATE-regime pair (cos 0.9) as the bands widen (each band
+    *    is an independent p₀^bits trial; ln(10) targets 1−e⁻²·³ ≈ 0.9).
+    *    Near the τ=0.38 decision boundary recall still decays with
+    *    bits — that is the documented LSH trade ([[dedupProbeFor]]):
+    *    hyperplane LSH at p(τ)=0.63 cannot hold boundary recall
+    *    sub-quadratically at any geometry (ρ ≈ 0.67), so boundary-
+    *    complete dedup belongs to the exact passes (q7N/q76/q77).
+    *
+    * At the fixture decades n ≤ c·16 keeps (4, 4) — bit-identical to
+    * the pre-r14 geometry, so every AnnSpec floor pins the same
+    * construction. `spark.graft.simhash.bandBits` / `.bands` pin either
+    * dial explicitly (specs, reproducibility); when both are pinned the
+    * corpus-count probe is skipped entirely. The count itself is the
+    * ivf trainCorpus LIMIT-probe, shared through trainNCache with
+    * quantizer training — one probe per (session, dir).
+    */
+  /** Corpus row count feeding the SimHash geometry and the q7H
+    * broadcast gate — the ivf trainCorpus LIMIT-probe, shared through
+    * trainNCache with quantizer training (one probe per (session,
+    * dir); exact at every size because the probe escalates to a full
+    * count past the sample limit).
+    */
+  private def simhashN(s: SparkSession, d: String): Long = {
+    val sampleLimit =
+      s.conf.get("spark.graft.ivf.trainSampleLimit", "1000000").toLong
+    trainCorpus(s, d, vectors(s, d), sampleLimit)._1
+  }
+
+  def simhashGeom(s: SparkSession, d: String): (Int, Int) = {
+    val occ = s.conf.get("spark.graft.simhash.targetOccupancy", "256").toLong
+    require(occ > 0,
+      s"spark.graft.simhash.targetOccupancy must be positive, got $occ")
+    val pinBits = s.conf.get("spark.graft.simhash.bandBits", "0").toInt
+    val pinBands = s.conf.get("spark.graft.simhash.bands", "0").toInt
+    require(pinBits >= 0 && pinBits <= MaxBandBits,
+      s"spark.graft.simhash.bandBits must be in [0,$MaxBandBits] (0 = auto), got $pinBits")
+    require(pinBands >= 0 && pinBands <= MaxBands,
+      s"spark.graft.simhash.bands must be in [0,$MaxBands] (0 = auto), got $pinBands")
+    lazy val n = simhashN(s, d)
+    val bits =
+      if (pinBits > 0) pinBits
+      else {
+        val raw = math.ceil(
+          math.log(math.max(1.0, n.toDouble / occ)) / math.log(2.0)).toInt
+        math.min(MaxBandBits, math.max(4, raw))
+      }
+    val bands =
+      if (pinBands > 0) pinBands
+      else {
+        val p0 = 1.0 - math.acos(0.9) / math.Pi
+        val raw = math.round(math.log(10.0) / math.pow(p0, bits)).toInt
+        math.min(MaxBands, math.max(4, raw))
+      }
+    (bands, bits)
+  }
+
+  /** The per-vector band/bucket view q7C/q7H run over — (vec_id, e,
+    * nsq, band ∈ [0,bands), bval ∈ [0,2^bits)) under [[simhashGeom]].
+    * Consumers that only need the BUCKETS select (vec_id, band, bval)
+    * and Catalyst prunes e/nsq out of every exchange — the id-only join
+    * discipline that replaced the r13 vector-carrying band join
+    * (measured there: 51 GB shuffle at the 50M decade, ENOSPC). Public
+    * for the Scale `embdedup` probe, whose large decades compute
+    * candidate VOLUME from this view's bucket histogram (distributed
+    * Σ c·(c−1)/2 arithmetic) instead of counting a join too large to
+    * run.
     */
   def embedBanded(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
-    val nBands = 4
+    val (bands, bits) = simhashGeom(s, d)
     v.select(col("vec_id"), col("e"), col("nsq"),
-      posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
+      posexplode(array((0 until bands).map(b => expr(AnnPlanes.bandExpr(b, bits))): _*))
         .as(Seq("band", "bval")))
   }
 
@@ -611,21 +674,90 @@ object LlmOps {
     else "exact"
   }
 
-  def embedDedupPairs(s: SparkSession, d: String): DataFrame = {
+  /** q7H's RAW candidate rows — SimHash band buckets met by an id-only
+    * equi-join on (band, bval): one (id_a, id_b) row per bucket
+    * collision, duplicates across bands/probes included (this count is
+    * the operator's cost driver, so the Scale `embdedup` probe counts
+    * THIS stream and checks it against the bucket-histogram
+    * arithmetic). The join carries 20-byte rows, never vectors — the
+    * exact pass refetches them by id ([[embedDedupPairs]]).
+    * Probe policy via `spark.graft.simhash.dedupProbe`:
+    *  - `single` (default): one bucket per band per side — candidates
+    *    are the budget at 100 TB and the bands-law already holds
+    *    duplicate-regime recall (see [[simhashGeom]]).
+    *  - `multi`: side A also probes every Hamming-1 bucket of every
+    *    band (Lv et al., VLDB'07) — bits+1 keys per (vector, band).
+    *    XOR symmetry makes one-sided expansion cover both directions.
+    *    Buys boundary recall for ~(bits+1)× the candidate rows; the
+    *    multiplier lands on the corpus side, so it scales with n.
+    */
+  def embedCandidates(s: SparkSession, d: String): DataFrame = {
     val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
     require(probe == "single" || probe == "multi",
       s"spark.graft.simhash.dedupProbe must be single|multi, got $probe")
-    val banded = embedBanded(s, d)
+    val (_, bits) = simhashGeom(s, d)
+    val banded = embedBanded(s, d).select("vec_id", "band", "bval")
     val aBval =
       if (probe == "single") col("bval")
-      else explode(array(col("bval"), col("bval").bitwiseXOR(lit(8)),
-        col("bval").bitwiseXOR(lit(4)), col("bval").bitwiseXOR(lit(2)),
-        col("bval").bitwiseXOR(lit(1))))
-    val a = banded.select(col("vec_id").as("id_a"), col("e").as("ea"),
-      col("nsq").as("na"), col("band"), aBval.as("bval"))
-    val b = banded.select(col("vec_id").as("id_b"), col("e").as("eb"),
-      col("nsq").as("nb"), col("band"), col("bval"))
+      else explode(array(col("bval") +: (0 until bits).map(k =>
+        col("bval").bitwiseXOR(lit(1 << k))): _*))
+    val a = banded.select(col("vec_id").as("id_a"), col("band"),
+      aBval.as("bval"))
+    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("bval"))
     a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** q7H's candidate pairs WITH vectors, ready for the exact-cosine
+    * filter: distinct (id_a, id_b) collisions from [[embedCandidates]],
+    * then a vector REFETCH by id against the corpus (q7S's shortlist
+    * shape) — the cosine runs once per distinct pair, and no exchange
+    * anywhere in the pipeline ships an embedding keyed by anything but
+    * its own vec_id.
+    */
+  def embedDedupPairs(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    embedCandidates(s, d).distinct()
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nsq").as("na")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nsq").as("nb")), "id_b")
+      .select("id_a", "ea", "na", "id_b", "eb", "nb")
+  }
+
+  /** q7H's REMOVED id set — every vec_id with a DETECTED smaller-id
+    * near-dup (cosine ≥ 0.38) among its SimHash candidates. Two
+    * exact-pass shapes behind a size gate
+    * (`spark.graft.simhash.vecBroadcastLimit`, rows, default 1M ≈
+    * 520 MB of dim-64 doubles + norms as a broadcast table; 0
+    * disables — size the limit down for fatter embedding dims):
+    *  - n ≤ limit: the RAW candidate stream flows map-side through two
+    *    broadcast-hash vector refetches and the cosine filter — no
+    *    pair-granularity exchange anywhere (the only shuffle left is
+    *    the id-level distinct on the removal set, ~8 bytes per removed
+    *    id). A pair colliding in several bands re-verifies the same
+    *    cosine (bounded, cheap arithmetic) instead of paying a
+    *    candidate-scale distinct shuffle first.
+    *  - n > limit: distinct-first ([[embedDedupPairs]]) so each pair's
+    *    vectors cross the wire exactly once — the honest distributed
+    *    shape once the corpus no longer broadcasts.
+    * Both paths produce the identical removal set (same candidate
+    * stream, same exact filter; AnnSpec pins the equivalence).
+    */
+  def embedRemovedIds(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val lim =
+      s.conf.get("spark.graft.simhash.vecBroadcastLimit", "1000000").toLong
+    val pairs =
+      if (lim > 0 && simhashN(s, d) <= lim)
+        embedCandidates(s, d)
+          .join(broadcast(v.select(col("vec_id").as("id_a"),
+            col("e").as("ea"), col("nsq").as("na"))), "id_a")
+          .join(broadcast(v.select(col("vec_id").as("id_b"),
+            col("e").as("eb"), col("nsq").as("nb"))), "id_b")
+      else embedDedupPairs(s, d)
+    pairs.filter(cosine("ea", "eb", "na", "nb") >= 0.38)
+      .select(col("id_b").as("vec_id")).distinct()
   }
 
   /** Winnowing document fingerprints (q7E): hash every word 4-gram, then
@@ -986,42 +1118,54 @@ object LlmOps {
     }),
 
     // bucketed ANN (§2.10 q7C) — the scale path for similarity SEARCH
-    // (q7A covers near-dup dedup): random-hyperplane SimHash splits each
-    // vector's 16 sign bits into 4 LSH bands; query and candidate meet
+    // (q7A covers near-dup dedup): random-hyperplane SimHash splits
+    // bands·bits sign bits into `bands` LSH bands — the n-scaled
+    // geometry of [[simhashGeom]]; query and candidate meet
     // via an equi-join on (band, band_value) — never a cross join — and
     // only bucket-mates get the exact cosine rerank. Bucket membership is
     // hash-construction-specific → rows-only check; recall vs the exact
     // 5-NN is asserted in AnnSpec.
     "q7C_ann_simhash" -> ((s, d) => {
       val v = vectors(s, d)
-      val nBands = 4
-      val banded = v.select(col("vec_id"), col("e"), col("nsq"),
-        posexplode(array((0 until nBands).map(b => expr(AnnPlanes.bandExpr(b))): _*))
-          .as(Seq("band", "bval")))
+      val (_, bits) = simhashGeom(s, d)
+      val banded = embedBanded(s, d)
       // multi-probe (Lv et al., VLDB'07): each QUERY also probes the
-      // four Hamming-distance-1 buckets of every band — a near miss
+      // `bits` Hamming-distance-1 buckets of every band — a near miss
       // that flips one sign bit still meets its neighbors. Query-side
-      // only (5× rows on the tiny probe set), the corpus side keeps one
-      // bucket per band per vector — the published way to buy recall
-      // without multiplying corpus-side index rows the way more bands
-      // would. Measured: fixture recall@5 0.46 → 0.92 (AnnSpec floor
-      // raised to 0.85), clustered Scale corpora 0.92 → 1.00 at all of
-      // 1×/10×/100× with walls unchanged.
+      // only ((bits+1)× rows on the tiny probe set), the corpus side
+      // keeps one bucket per band per vector — the published way to buy
+      // recall without multiplying corpus-side index rows the way more
+      // bands would. Measured (4,4): fixture recall@5 0.46 → 0.92
+      // (AnnSpec floor 0.85), clustered Scale corpora 0.92 → 1.00.
       val probes = banded.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"),
-          col("nsq").as("qn"), col("band"),
-          explode(array(col("bval"), col("bval").bitwiseXOR(lit(8)),
-            col("bval").bitwiseXOR(lit(4)), col("bval").bitwiseXOR(lit(2)),
-            col("bval").bitwiseXOR(lit(1)))).as("bval"))
-      val cands = banded
-        .select(col("vec_id").as("n_id"), col("e").as("ne"),
-          col("nsq").as("nn"), col("band"), col("bval"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-      probes.join(cands, Seq("band", "bval"))
+        .select(col("vec_id").as("q_id"), col("band"),
+          explode(array(col("bval") +: (0 until bits).map(k =>
+            col("bval").bitwiseXOR(lit(1 << k))): _*)).as("bval"))
+      // id-only band join (r14): the corpus side ships (n_id, band,
+      // bval), never the embedding (r13 measured the vector-carrying
+      // join at 51 GB shuffle / ENOSPC at the 50M decade) — and the
+      // probe side is ≤ 10·bands·(bits+1) rows, so the hint keeps the
+      // bucket meet a broadcast join: the corpus side never shuffles.
+      val cands = banded.select(col("vec_id").as("n_id"), col("band"),
+        col("bval"))
+      val hits = cands.join(broadcast(probes), Seq("band", "bval"))
         .filter(col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id")
+        .distinct() // a pair can collide in several bands/probes
+      // exact pass: refetch the ~|q|·bands·(bits+1)·occupancy shortlist
+      // vectors by id — the SHORTLIST broadcasts (bounded by the probe
+      // budget, ids only) so the corpus-side vector scan never
+      // shuffles; the 10 query vectors broadcast onto the result
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nsq").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      v.select(col("vec_id").as("n_id"), col("e").as("ne"),
+          col("nsq").as("nn"))
+        .join(broadcast(hits), "n_id")
+        .join(broadcast(q), "q_id")
         .select(col("q_id"), col("n_id"),
           cosine("qe", "ne", "qn", "nn").as("sim"))
-        .distinct() // a pair can collide in several bands
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("q_id", "n_id", "sim", "rn")
@@ -1031,7 +1175,8 @@ object LlmOps {
     // embedding-cosine near-dup DEDUP (§2.10 q7H) — the survivors
     // operator completing the dedup family: q77 finds the near-dup PAIRS
     // by declared-exact brute force; this returns the KEPT corpus at
-    // scale. SimHash bands (same 16-bit construction as q7C) bucket the
+    // scale. SimHash bands (q7C's n-scaled [[simhashGeom]] construction,
+    // id-only candidate join + vector refetch — r14) bucket the
     // candidates, only bucket-mates get the exact cosine check, and the
     // standard one-pass rule removes every vector with a DETECTED
     // near-dup (cosine ≥ 0.38) of smaller vec_id — deterministic,
@@ -1042,10 +1187,7 @@ object LlmOps {
     // the exact removal set are asserted in AnnSpec.
     "q7H_dedup_embed" -> ((s, d) => {
       val v = vectors(s, d)
-      val removed = embedDedupPairs(s, d)
-        .filter(cosine("ea", "eb", "na", "nb") >= 0.38)
-        .select(col("id_b").as("vec_id"))
-        .distinct()
+      val removed = embedRemovedIds(s, d)
       v.join(removed, Seq("vec_id"), "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
@@ -1508,7 +1650,10 @@ object LlmOps {
       val lim = localCcLimit(s)
       val probed =
         if (lim > 0) {
-          val rows = edges.limit(lim + 1).collect()
+          // lim is an Int conf, so lim + 1 at Int.MaxValue would wrap
+          // the LIMIT negative (ADVICE r13) — clamp the probe
+          val rows = edges.limit(
+            (math.min(lim.toLong, Int.MaxValue - 1L) + 1).toInt).collect()
           if (rows.length <= lim)
             Some(rows.map(r => (r.getLong(0), r.getLong(1))))
           else None

@@ -288,6 +288,93 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
 
+  test("r14 n-scaled SimHash geometry: the occupancy/bands law and the conf pins") {
+    import graft.operators.LlmOps
+    // fixture n=500 ≤ 16·256 → the (4,4) construction every recall
+    // floor in this suite pins — bit-identical to the pre-r14 shape
+    assert(LlmOps.simhashGeom(spark, sf0001) == ((4, 4)))
+    try {
+      // occupancy dial: n=500 at c=25 → bits = ceil(log₂ 20) = 5; the
+      // bands-law at 5 bits: round(ln 10 / p₀⁵) = 5, p₀ = 1−acos(.9)/π
+      spark.conf.set("spark.graft.simhash.targetOccupancy", "25")
+      assert(LlmOps.simhashGeom(spark, sf0001) == ((5, 5)))
+      // n/c = 250 → bits = 8; bands = round(2.3026/0.2894) = 8
+      spark.conf.set("spark.graft.simhash.targetOccupancy", "2")
+      assert(LlmOps.simhashGeom(spark, sf0001) == ((8, 8)))
+      // explicit pins override both dials independently
+      spark.conf.set("spark.graft.simhash.bandBits", "6")
+      spark.conf.set("spark.graft.simhash.bands", "11")
+      assert(LlmOps.simhashGeom(spark, sf0001) == ((11, 6)))
+      // out-of-range pins fail loudly, naming the conf
+      spark.conf.set("spark.graft.simhash.bandBits", "30")
+      intercept[IllegalArgumentException](LlmOps.simhashGeom(spark, sf0001))
+    } finally {
+      Seq("spark.graft.simhash.targetOccupancy",
+        "spark.graft.simhash.bandBits",
+        "spark.graft.simhash.bands").foreach(spark.conf.unset)
+    }
+  }
+
+  test("r14 id-only candidate discipline: embedCandidates ships ids, " +
+    "embedDedupPairs refetches each distinct pair's vectors once") {
+    import graft.operators.LlmOps
+    val cand = LlmOps.embedCandidates(spark, sf0001)
+    assert(cand.columns.toSeq == Seq("id_a", "id_b"))
+    val pairs = LlmOps.embedDedupPairs(spark, sf0001)
+    assert(pairs.columns.toSeq == Seq("id_a", "ea", "na", "id_b", "eb", "nb"))
+    val n = pairs.count()
+    assert(n > 0 && n == pairs.select("id_a", "id_b").distinct().count())
+    // the raw stream double-counts across bands; the refetch never does
+    assert(cand.count() >= n)
+  }
+
+  test("q7H stays SOUND under a forced wider geometry (parametric path end-to-end)") {
+    // force a large-decade shape (8 bands × 8 bits) on the fixture:
+    // removals must still all be justified by exact near-dup pairs —
+    // geometry moves RECALL, never soundness, because the exact-cosine
+    // refetch pass is geometry-independent
+    spark.conf.set("spark.graft.simhash.bandBits", "8")
+    spark.conf.set("spark.graft.simhash.bands", "8")
+    try {
+      val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+        .collect().map(_.getLong(0)).toSet
+      val removed = vecs.keySet -- kept
+      val ids = vecs.keySet.toSeq.sorted
+      val exactRemoved = ids.filter { j =>
+        ids.exists(i => i < j && cosine(vecs(i), vecs(j)) >= 0.38)
+      }.toSet
+      val unjustified = removed.filterNot(exactRemoved)
+      assert(unjustified.isEmpty,
+        s"removed without an exact smaller near-dup: ${unjustified.take(5)}")
+      assert(kept contains ids.head)
+      val recall = removed.size.toDouble / exactRemoved.size
+      // deterministic pin (fixed planes + data); measured at r14
+      // adoption time — wider bands thin each bucket, the bands-law
+      // compensates in the duplicate regime only
+      assert(recall >= 0.10,
+        s"wide-geometry dedup recall $recall (${removed.size}/${exactRemoved.size})")
+      info(f"wide-geometry (8 bands x 8 bits) id recall = $recall%.3f")
+    } finally {
+      spark.conf.unset("spark.graft.simhash.bandBits")
+      spark.conf.unset("spark.graft.simhash.bands")
+    }
+  }
+
+  test("q7H's two exact-pass shapes (broadcast refetch vs distinct-first " +
+    "shuffle) produce the identical kept set") {
+    // fixture n=500 ≤ the 1M-row default gate → the default run takes
+    // the broadcast map-side shape; forcing the gate to 0 exercises the
+    // distinct-first distributed fallback on the same candidates
+    val bcast = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.graft.simhash.vecBroadcastLimit", "0")
+    try {
+      val shuffled = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+        .collect().map(_.getLong(0)).toSeq
+      assert(bcast.nonEmpty && bcast == shuffled)
+    } finally spark.conf.unset("spark.graft.simhash.vecBroadcastLimit")
+  }
+
   test("local-trained quantizers (r13 fast path) match the distributed " +
     "loop's geometry and hold the recall floors on both paths") {
     import graft.operators.LlmOps

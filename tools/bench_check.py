@@ -51,7 +51,26 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
     print(f"judging {path}")
     d = json.loads(open(path).read())
-    qs = d["queries"]
+    if "queries" in d:
+        qs = d["queries"]
+    elif "tail" in d:
+        # Driver-format BENCH_r{N}.json (VERDICT r13 #4): the driver
+        # stores the bench one-liner inside a possibly FRONT-TRUNCATED
+        # stdout "tail" string, so json.loads can't see a queries dict.
+        # Recover every intact "qXX":sec pair by regex -- a pair cut at
+        # the truncation boundary simply fails the pattern and is
+        # skipped, degrading to "fewer pinned queries checked", never a
+        # KeyError.
+        qs = {m.group(1): float(m.group(2))
+              for m in re.finditer(r'"(q\w+)":([0-9.]+)', d["tail"])}
+        print(f"driver-format file: recovered {len(qs)} query timings "
+              f"from the stdout tail")
+        if not qs:
+            print("no query timings recoverable from tail")
+            return 2
+    else:
+        print("unrecognized bench format: no 'queries' dict, no 'tail'")
+        return 2
     pins = {m.group(1): float(m.group(2))
             for m in re.finditer(r"\| (q\w+) \| ([\d.]+) \|", open("BASELINE.md").read())}
     both = [q for q in qs if q in pins]
