@@ -88,6 +88,14 @@ object BpeTrain {
     * paths — the local comparator compares raw UTF-8 bytes rather than
     * Java's UTF-16 `compareTo`, because Spark's string ordering is
     * binary UTF-8 and the two disagree past the BMP.
+    *
+    * Driver-heap sizing when raising the limit: the collect holds one
+    * boxed `Row` plus one (Array[String], Long) per distinct word —
+    * with per-word symbol arrays that is ~(150 + ~40·symbols) B per
+    * entry, so at typical ≤8-symbol words budget ≈ 500 B × limit of
+    * headroom (default 2M ≈ 1 GB transient peak; size the conf to the
+    * driver, not the corpus — the word table is vocabulary-bounded, so
+    * corpus growth past the open-vocab knee barely moves it).
     */
   def train(s: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
     val lim = s.conf.get("spark.graft.bpe.localVocabLimit", "2000000").toLong

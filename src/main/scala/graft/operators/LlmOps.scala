@@ -1676,6 +1676,14 @@ object LlmOps {
   /** `spark.graft.cc.localLimit` — the edge count (near-dup survivor
     * pairs) below which q7R's components run driver-local (default
     * 1,000,000 ≈ 16 MB of (long, long) rows). 0 disables the local path.
+    *
+    * Driver-heap sizing for operators raising the limit: the probing
+    * collect transiently holds limit+1 boxed `Row`s (~120 B each ⇒
+    * ~120 MB at the default) before the primitive (long, long)
+    * conversion, and the union-find keeps one HashMap entry per
+    * DISTINCT node (≤ 2·limit boxed-Long entries, ~50 B each) — so
+    * budget ≈ 220 B × limit of headroom, linear in the conf (default ≈
+    * 0.2 GB transient; a 10× raise needs ~2 GB free driver heap).
     */
   private def localCcLimit(s: SparkSession): Int = {
     val l = s.conf.get("spark.graft.cc.localLimit", "1000000").toInt
@@ -2091,6 +2099,14 @@ object LlmOps {
   /** `spark.graft.ivf.localTrainLimit` — the corpus size (rows) below
     * which quantizer training runs driver-local (default 20,000 ≈ 10 MB
     * of 64-dim doubles). 0 disables the local path.
+    *
+    * Driver-heap sizing when raising it: [[collectTrainRows]] holds one
+    * boxed `Row` plus one unpacked (long, long, double[dim]) per row —
+    * ~(250 + 8·dim) B each transiently, ~(16 + 8·dim) B retained for
+    * the Lloyd sweeps — so at dim 64 budget ≈ 770 B × limit of headroom
+    * (default ≈ 15 MB; the limit already also bounds
+    * `ivf.trainSampleLimit`-style work, so raises past ~10⁶ buy little:
+    * the sample cut keeps training input bounded anyway).
     */
   private def localTrainLimit(s: SparkSession): Long = {
     val l = s.conf.get("spark.graft.ivf.localTrainLimit", "20000").toLong
