@@ -77,6 +77,12 @@ class BpeTrainSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.bpe.localVocabLimit", "0")
     try assert(BpeTrain.train(spark, words, 5) == dist.take(5))
     finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
+    // ADVICE r13: a limit at/above Int.MaxValue must not wrap the
+    // LIMIT-probe negative — the probe clamps and the query still runs
+    spark.conf.set("spark.graft.bpe.localVocabLimit",
+      Int.MaxValue.toString)
+    try assert(BpeTrain.train(spark, words, 5) == dist.take(5))
+    finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
   }
 
   test("q7T: the first merge decision is q7Q's top pair") {

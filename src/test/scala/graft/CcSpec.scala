@@ -174,6 +174,17 @@ class CcSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.cc.localLimit")
       LlmOps.release(spark)
     }
+    // ADVICE r13: a limit at Int.MaxValue must not wrap the LIMIT-probe
+    // negative — the probe clamps and the (local) run still succeeds
+    spark.conf.set("spark.graft.cc.localLimit", Int.MaxValue.toString)
+    try {
+      val clamped = SparkEntry.queries("q7R_dedup_components")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(clamped == local)
+    } finally {
+      spark.conf.unset("spark.graft.cc.localLimit")
+      LlmOps.release(spark)
+    }
   }
 
   test("q7R: end-to-end equals union-find over the q7N pair table") {

@@ -396,6 +396,29 @@ class KernelSpec extends AnyFunSuite {
     assert(bg("中文中") == Seq("中文", "文中"))
   }
 
+  test("graft_bigrams clamps malformed/truncated UTF-8 instead of reading " +
+    "past the buffer (ADVICE r13)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bgBytes(bytes: Array[Byte]): Seq[String] = {
+      val arr = graft.functions.Bigrams.distinct(
+        UTF8String.fromBytes(bytes))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    // a string ending in the FIRST byte of a multi-byte char: the
+    // declared length of the tail char runs past the array — must
+    // yield the well-formed prefix's bigrams, never an AIOOBE
+    val truncated2 = "ab".getBytes("UTF-8") :+ 0xC3.toByte       // "ab" + ½ of é
+    assert(bgBytes(truncated2) == Seq("ab"))
+    val truncated3 = "ab".getBytes("UTF-8") ++
+      "中".getBytes("UTF-8").take(2)                             // "ab" + ⅔ of 中
+    assert(bgBytes(truncated3) == Seq("ab"))
+    // lone truncated lead byte, and lead byte as the SECOND char
+    assert(bgBytes(Array(0xE4.toByte)) == Seq())
+    assert(bgBytes("a".getBytes("UTF-8") :+ 0xF0.toByte) == Seq())
+    // well-formed text is unaffected by the clamp
+    assert(bgBytes("aé".getBytes("UTF-8")) == Seq("aé"))
+  }
+
   test("interpreted eval matches codegen path") {
     // nullSafeEval is exercised directly (the non-codegen fallback)
     import org.apache.spark.sql.catalyst.util.ArrayData
