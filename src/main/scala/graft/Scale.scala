@@ -38,6 +38,11 @@ import graft.streaming.LlmIngest
   *    groups over an isotropic background): real + analytic candidate
   *    counts, per-cosine-regime pair recall, end-to-end removal walls;
   *    `big` adds the 100× decade, `huge` the 1000× (5M-vector) decade.
+  *  - `vecloop` — the S15 drift→retrain loop as ONE live stream run:
+  *    arrivals drift mid-stream, the trigger fires, retrain + handoff
+  *    (files landing while detached), recall before/at/after + registry
+  *    integrity (rows lost/duplicated = 0 through the fresh-checkpoint
+  *    replay's idempotent MERGE).
   *  - `ingest` — S13/S14 soak: keep-all vs three TTL horizons (recall
   *    per horizon vs the keep-all drop set), plus TUNED-retention runs
   *    (post-compaction SST + purged changelog checkpoint = the disk
@@ -1331,6 +1336,175 @@ object Scale {
     }
   }
 
+  /** `vecloop` — the S15 drift→retrain loop exercised as ONE live
+    * stream campaign (VERDICT r13 #6). Everything the parts already
+    * measure/pin separately (the detector's separation — `vecdrift`;
+    * the trigger calibration and batch-mode retrain recipe —
+    * VecIngestSpec) is here composed into a single run under arrival
+    * drift: files stream in one at a time, the arrival distribution
+    * flips to unseen centers mid-stream, `retrainDue` fires off the
+    * observed metric, the operator keeps consuming for two more files
+    * (detection→decision latency, stale models), detaches, folds the
+    * landing zone into the lake and retrains — while two MORE drifted
+    * files land with NO query attached (the handoff gap) — then
+    * re-attaches over the same source with a fresh checkpoint. Measured
+    * per the verdict's done-bar: recall BEFORE the drift / AT the trip
+    * (stale models serving drifted arrivals) / AFTER the handoff
+    * (retrained models, full replay), each against exact 5-NN truth
+    * over the corpus served at that moment with queries drawn from the
+    * DRIFTED distribution (worst case); the trip batch + ratio; the
+    * retrain wall; and the registry's integrity through the handoff —
+    * rows lost and rows duplicated, both of which must be ZERO because
+    * the fresh-checkpoint replay re-encodes every file and the keyed
+    * MERGE makes that an idempotent overwrite (gap files included: the
+    * replay covers what landed while detached).
+    */
+  private def vecloop(s: SparkSession): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val dim = 64
+    val rndA = new scala.util.Random(1234L)
+    val centersA = Array.fill(50, dim)(rndA.nextGaussian())
+    val rndB = new scala.util.Random(987654321L)
+    val centersB = Array.fill(50, dim)(rndB.nextGaussian())
+    val bcA = s.sparkContext.broadcast(centersA)
+    val bcB = s.sparkContext.broadcast(centersB)
+    def gen(lo: Long, hi: Long, fromB: Boolean): DataFrame =
+      s.range(lo, hi, 1L, 32).as[Long].mapPartitions { it =>
+        val cs = if (fromB) bcB.value else bcA.value
+        it.map { id =>
+          val r = new scala.util.Random(
+            id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+          r.nextLong(); r.nextLong()
+          val c = cs(r.nextInt(cs.length))
+          (id, "x", Array.tabulate(dim)(j =>
+            (c(j) + 0.5 * r.nextGaussian()).toFloat).toSeq)
+        }
+      }.toDF("vec_id", "label", "embedding")
+    graft.functions.DotProduct.register(s)
+    val nBase = 50000L; val nChunk = 5000L
+    val queries = gen(0L, 10L, fromB = true) // worst case: drifted qs
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-vecloop").toString
+    val lake0 = s"$tmp/lake0"
+    queries.union(gen(10L, 10L + nBase, fromB = false))
+      .write.parquet(s"$lake0/embeddings.parquet")
+    val src = s"$tmp/src"
+    var nextId = 10L
+    def writeChunk(n: Long, fromB: Boolean): Unit = {
+      gen(nextId, nextId + n, fromB).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(src)
+      nextId += n
+      Thread.sleep(5) // strictly increasing mtimes (Staging's argument)
+    }
+    (0 until 5).foreach(_ => writeChunk(nBase / 5, fromB = false))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def readVecs() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val url = s"jdbc:derby:$tmp/db;create=true"
+
+    // recall over the corpus served AT THIS MOMENT (= the files landed
+    // so far), truth exact 5-NN recomputed per measure point — the
+    // registry serves through VecIngest.search, i.e. the real JDBC
+    // index + pack→unpack path, payload = the landing zone itself
+    def recallNow(lakeDir: String): Double = {
+      val sv = s.read.parquet(src).select("vec_id", "embedding")
+      val v = sv.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("nsq", expr("graft_dot(e, e)")).persist()
+      val qs = queries.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val truth = qs.map { case (q, qe) =>
+        val qn = qe.map(x => x * x).sum
+        q -> v.select(col("vec_id"),
+            round(call_function("graft_dot", col("e"), lit(qe.toArray)) /
+              sqrt(lit(qn) * col("nsq")), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+      }
+      v.unpersist()
+      val out = graft.streaming.VecIngest.search(s, lakeDir, url, Some(sv))
+        .collect()
+      val byQ = out.groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, w) =>
+        w.count(byQ.getOrElse(q, Set.empty[Long]).contains) / 5.0 }
+        .sum / truth.size
+    }
+
+    val baseline = graft.streaming.VecIngest.baselineResid(s, lake0)
+    val q1 = graft.streaming.VecIngest.attach(readVecs(), url,
+      s"$tmp/ck1", s, lake0)
+    var tripBatch = -1L; var tripRatio = -1.0
+    var recBefore = -1.0; var recTrip = -1.0
+    try {
+      q1.processAllAvailable() // drain the base files
+      (0 until 5).foreach { _ =>
+        writeChunk(nChunk, fromB = false); q1.processAllAvailable() }
+      require(!graft.streaming.VecIngest.retrainDue(q1, baseline),
+        "clean arrivals must not trip the trigger")
+      recBefore = recallNow(lake0)
+      var k = 0
+      while (tripBatch < 0 && k < 5) {
+        writeChunk(nChunk, fromB = true); q1.processAllAvailable()
+        if (graft.streaming.VecIngest.retrainDue(q1, baseline)) {
+          val (b, r) =
+            graft.streaming.VecIngest.driftRatios(q1, baseline).last
+          tripBatch = b; tripRatio = r
+        }
+        k += 1
+      }
+      require(tripBatch >= 0, "drift never tripped the trigger")
+      recTrip = recallNow(lake0) // stale models serving drifted rows
+      // detection→decision latency: two more drifted files land and
+      // are consumed while the operator is still deciding
+      (0 until 2).foreach { _ =>
+        writeChunk(nChunk, fromB = true); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // the retrain window: snapshot the landing zone into the grown
+    // lake and retrain — two MORE drifted files land mid-retrain, with
+    // no query attached (the handoff gap)
+    val lake1 = s"$tmp/lake1"
+    val (_, tRetrain) = timed {
+      queries.unionByName(
+          s.read.parquet(src).select(col("vec_id"),
+            lit("x").as("label"), col("embedding")))
+        .write.parquet(s"$lake1/embeddings.parquet")
+      writeChunk(nChunk, fromB = true) // gap file 1
+      LlmOps.ivfModel(s, lake1); LlmOps.pqModel(s, lake1)
+      writeChunk(nChunk, fromB = true) // gap file 2
+    }
+    val baseline2 = graft.streaming.VecIngest.baselineResid(s, lake1)
+    val q2 = graft.streaming.VecIngest.attach(readVecs(), url,
+      s"$tmp/ck2", s, lake1)
+    val ((recAfter, postRatio, dueAfter), tReplay) = try timed {
+      q2.processAllAvailable() // full replay incl. the gap files
+      (recallNow(lake1),
+        graft.streaming.VecIngest.driftRatios(q2, baseline2).last._2,
+        graft.streaming.VecIngest.retrainDue(q2, baseline2))
+    } finally q2.stop()
+
+    // integrity through the handoff: every streamed id exactly once
+    val reg = s.read.format("jdbc").option("url", url)
+      .option("dbtable", graft.streaming.VecIngest.TABLE).load()
+    val total = reg.count()
+    val distinct = reg.select("vec_id").distinct().count()
+    val streamed = nextId - 10L
+    println(f"""{"mode":"vecloop","n_streamed":$streamed,""" +
+      f""""trip_batch":$tripBatch,"trip_ratio":$tripRatio%.2f,""" +
+      f""""recall_before":$recBefore%.2f,"recall_at_trip":$recTrip%.2f,""" +
+      f""""recall_after":$recAfter%.2f,"retrain_sec":$tRetrain%.1f,""" +
+      f""""replay_sec":$tReplay%.1f,"gap_rows":${2 * nChunk},""" +
+      f""""registry_rows":$total,"lost_rows":${streamed - distinct},""" +
+      f""""dup_rows":${total - distinct},"post_ratio":$postRatio%.2f,""" +
+      f""""retrain_due_after":$dueAfter}""")
+    LlmOps.release(s)
+  }
+
   /** `clique` — the cluster step on the DENSEST plausible pair graph:
     * the closed-vocabulary regime at 100× yields ~100-member near-dup
     * cliques (closed10x's construction with 100 replicas per base doc),
@@ -1637,6 +1811,7 @@ object Scale {
       case "ingest"    => useRocksDb(s); ingest(s, big = args.contains("big"))
       case "ingestdiag" => useRocksDb(s); ingestdiag(s)
       case "vecingest" => useRocksDb(s); vecingest(s)
+      case "vecloop"   => vecloop(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()

@@ -266,6 +266,70 @@ class VecIngestSpec extends AnyFunSuite {
     assert(pq2.m <= 8 && pq2.ks <= 256) // loop stayed packable
   }
 
+  test("S15 handoff: arrivals landing while DETACHED for retrain are neither lost nor duplicated") {
+    // The retrain HANDOFF itself (the piece the retrain-loop test above
+    // drives with the source quiescent): files that land in the gap —
+    // after the old query stops, before the retrained one attaches —
+    // must come out the other side exactly once. The mechanism is the
+    // fresh-checkpoint replay (it starts from offset zero, so the gap
+    // files are just unread input) plus the keyed MERGE (so re-encoding
+    // the already-indexed files is an idempotent overwrite, now under
+    // the NEW models). Pinned by the strongest available equality: the
+    // post-handoff registry must equal the grown lake's batch serving
+    // index row-for-row — which simultaneously proves zero loss (every
+    // id present), zero duplication (exactly one row per id; MERGE key),
+    // and that EVERY row — gap arrivals and pre-handoff rows alike —
+    // carries the retrained models' encoding, not leftovers.
+    val dir = tmpDir("graft-s15-handoff")
+    stageVecs(dir, 2)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-handoff-db")}/db;create=true"
+    val q1 = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-handoff-ckpt"), spark, sf0001)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // the gap arrivals: drifted vectors under fresh ids, landing with
+    // NO query attached — exactly the retrain window
+    val gap = graft.sources.Tables.embeddings(spark, sf0001)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    gap.select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    // retrain over the grown lake (new dir ⇒ new models by cache key),
+    // re-attach with a fresh checkpoint over the SAME source
+    val lake2 = tmpDir("graft-s15-handoff-lake2")
+    graft.sources.Tables.embeddings(spark, sf0001).unionByName(gap)
+      .write.mode("overwrite").parquet(s"$lake2/embeddings.parquet")
+    val q2 = VecIngest.attach(readVecs(dir), url,
+      tmpDir("graft-s15-handoff-ckpt2"), spark, lake2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val want = LlmOps.pqIndex(spark, lake2).collect().map { r =>
+      val packed = r.getSeq[Int](r.fieldIndex("codes"))
+        .foldLeft(0L)((acc, c) => (acc << 8) | c)
+      r.getLong(r.fieldIndex("n_id")) ->
+        ((r.getInt(r.fieldIndex("cid")), packed,
+          r.getDouble(r.fieldIndex("nn"))))
+    }.toMap
+    val rows = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", VecIngest.TABLE).load()
+      .select("vec_id", "cid", "codes_packed", "nsq")
+      .collect()
+    // zero duplication, stated directly (not only via the Map collapse)
+    assert(rows.length == rows.map(_.getLong(0)).distinct.length,
+      "registry must hold each vec_id exactly once")
+    val got = rows.map { r =>
+      r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }.toMap
+    // zero loss (gap ids included) + new-model encoding, in one equality
+    assert(got.size == want.size && got == want,
+      s"post-handoff registry must equal the grown lake's batch index " +
+        s"(first diff: ${(want.keySet ++ got.keySet).toSeq.sorted
+          .find(k => want.get(k) != got.get(k))
+          .map(k => s"$k want=${want.get(k)} got=${got.get(k)}")})")
+    assert(want.keySet.exists(_ >= 1000000L), "gap ids must be in play")
+  }
+
   test("S15: packed codes round-trip and the cell ids come from the model") {
     val (cents, _) = LlmOps.ivfModel(spark, sf0001)
     val pq = LlmOps.pqModel(spark, sf0001)

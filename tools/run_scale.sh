@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Scale-campaign runner: launches graft.Scale (or any main) from the
+# sbt-compiled classes with the same JVM options build.sbt injects for
+# forked runs, WITHOUT holding sbt's project lock — so campaigns can run
+# for an hour while sbt keeps compiling/testing the working tree.
+#
+#   tools/run_scale.sh [-m MEM] <mainClass|mode...>
+#   tools/run_scale.sh embdedup huge            # graft.Scale embdedup huge
+#   tools/run_scale.sh -m 48g openvocab ultra
+#
+# Env passthrough: SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_CPUS / SPARK_GRAFT_*
+# are read by graft.Scale itself.
+set -euo pipefail
+MEM="${SPARK_DRIVER_MEM:-16g}"
+if [ "${1:-}" = "-m" ]; then MEM="$2"; shift 2; fi
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+MAIN="graft.Scale"
+case "${1:-}" in graft.*) MAIN="$1"; shift;; esac
+exec java -cp "$CP" $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.legacy.parquet.nanosAsLong=true \
+  -XX:ReservedCodeCacheSize=512m \
+  -Xmx"$MEM" \
+  "$MAIN" "$@"
