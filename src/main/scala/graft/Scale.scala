@@ -1122,13 +1122,31 @@ object Scale {
     val scales = Seq((1, 5000), (10, 50000)) ++
       (if (big || huge) Seq((100, 500000)) else Nil) ++
       (if (huge) Seq((1000, 5000000)) else Nil)
-    for ((mult, nVec) <- scales) {
+    // SPARK_GRAFT_SOLO: only the largest selected decade (re-measurement
+    // runs over a reused corpus — the openvocab convention)
+    val selected =
+      if (sys.env.contains("SPARK_GRAFT_SOLO")) scales.takeRight(1)
+      else scales
+    // where the REAL candidate join is counted / the removal run end to
+    // end vs analytic-only: ~2·10⁹ rows is the conservative default for
+    // a shared round sweep; the fifth-decade single-mode stream (~9·10⁹
+    // rows, all map-side through the broadcast refetch) is affordable
+    // alone — raise via SPARK_GRAFT_EMB_COUNT_LIMIT for that run
+    val countLimit = sys.env.get("SPARK_GRAFT_EMB_COUNT_LIMIT")
+      .map(_.toLong).getOrElse(2000000000L)
+    for ((mult, nVec) <- selected) {
       val dir = dedupCorpus(s, nVec)
       graft.functions.DotProduct.register(s)
       val v = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("nsq", expr("graft_dot(e, e)"))
-      val step = math.max(1, nVec / 2000)
+      // ODD step: dup groups are 4 consecutive ids, so a step ≡ 0
+      // (mod 4) samples only ids that are the SMALLEST of their group —
+      // no exact dup pair then has its larger id in the sample and the
+      // dup-regime recall column reads 0/0 (measured: the first 1000×
+      // run at step 2500 sampled dup_pairs = 0; step 2501 restores the
+      // bucket). An odd step cycles through all residues mod 4.
+      val step = math.max(1, nVec / 2000) | 1
       val samp = v.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("j"), col("e").as("ej"), col("nsq").as("nj"))
       // exact PAIRS (i < j, cos ≥ 0.38) for the sampled j — id-level
@@ -1153,7 +1171,7 @@ object Scale {
           // the REAL join count validates the arithmetic where the join
           // is affordable (~≤2·10⁹ rows); past that it is analytic only,
           // marked in the row by cand_sec: -1
-          val countable = analytic <= 2000000000L
+          val countable = analytic <= countLimit
           val (nCand, tCand) =
             if (countable) timed(LlmOps.embedCandidates(s, dir).count())
             else (analytic, -1.0)

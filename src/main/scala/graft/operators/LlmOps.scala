@@ -654,24 +654,54 @@ object LlmOps {
         .as(Seq("band", "bval")))
   }
 
-  /** Probe-mode selection rule for q7H (pinned in AnnSpec; VERDICT r12
-    * #5): pick by the NEAR-THRESHOLD pair-recall target — the band the
-    * LSH actually misses (cos ∈ [τ, 0.5)); overall pair recall is higher
-    * in both modes. Measured on the Scale embdedup clustered corpora:
-    * single = 0.53–0.55 near-τ (0.85–0.86 overall) at 1× the candidate
-    * budget; multi = 0.95 near-τ (1.00 overall) at 4.6× the candidates.
-    * So: target ≤ 0.5 → `single` (the default — candidates are the
-    * budget at 100 TB); ≤ 0.9 → `multi` (buy the boundary with 4.6×
-    * candidates); above 0.9 → no probe mode is honest, use the
-    * exhaustive exact passes (q7N shingle PPJoin / q76–q77 block-grid)
-    * — returned as `exact`.
+  /** Probe-mode selection rule for q7H, RE-DERIVED for the n-scaled
+    * geometry (VERDICT r13 #1; the r12 rule's fixed 0.5/0.9 boundaries
+    * were exactly the (4, 4) instance of this formula and stopped
+    * describing the operator once bits scale with n). Pick by the
+    * NEAR-THRESHOLD pair-recall target — the band the LSH actually
+    * misses (cos ∈ [τ, 0.5)); overall and duplicate-regime recall are
+    * higher in both modes (the bands-law of [[simhashGeom]] holds the
+    * duplicate regime by construction).
+    *
+    * The rule is the standard hyperplane-LSH hit probability at the
+    * WORST near-τ pair (cos = τ = 0.38 ⇒ per-plane agreement
+    * p = 1 − arccos(0.38)/π ≈ 0.627):
+    *  - single: P(hit) = 1 − (1 − p^bits)^bands
+    *  - multi (Hamming ≤ 1 per band): per-band
+    *    p^bits + bits·p^(bits−1)·(1 − p), same band union.
+    * Validated against the Scale `embdedup` regime tables (analytic vs
+    * measured near-τ recall: (5,5) single 0.398/0.405, multi
+    * 0.911/0.919; (8,8) single 0.176/0.195, multi 0.694/0.720 — the
+    * formula under-promises by ≤ 0.03 because real near-band pairs sit
+    * above τ). Return: the cheapest mode whose analytic near-τ recall
+    * reaches the target — `single` (1× candidates) before `multi`
+    * (~(bits+1)× candidates), else `exact`: past the geometry's reach
+    * no probe mode is honest (the ρ ≈ 0.67 bound — boundary-complete
+    * dedup belongs to q7N PPJoin / q76–q77 block-grid). As n grows,
+    * bits grow and both mode ceilings FALL — callers asking for a
+    * fixed boundary recall are routed to `exact` earlier on bigger
+    * corpora, which is the honest answer, not a regression.
     */
-  def dedupProbeFor(nearRecallTarget: Double): String = {
+  def dedupProbeFor(nearRecallTarget: Double, bands: Int, bits: Int): String = {
     require(nearRecallTarget >= 0.0 && nearRecallTarget <= 1.0,
       s"near-recall target must be in [0,1], got $nearRecallTarget")
-    if (nearRecallTarget <= 0.5) "single"
-    else if (nearRecallTarget <= 0.9) "multi"
+    require(bands >= 1 && bits >= 1, s"geometry ($bands, $bits) invalid")
+    val p = 1.0 - math.acos(0.38) / math.Pi
+    def union(perBand: Double): Double =
+      1.0 - math.pow(1.0 - perBand, bands.toDouble)
+    val single = union(math.pow(p, bits.toDouble))
+    val multi = union(math.pow(p, bits.toDouble) +
+      bits * math.pow(p, (bits - 1).toDouble) * (1.0 - p))
+    if (single >= nearRecallTarget) "single"
+    else if (multi >= nearRecallTarget) "multi"
     else "exact"
+  }
+
+  /** [[dedupProbeFor]] under the corpus's own resolved geometry. */
+  def dedupProbeFor(s: SparkSession, d: String,
+      nearRecallTarget: Double): String = {
+    val (bands, bits) = simhashGeom(s, d)
+    dedupProbeFor(nearRecallTarget, bands, bits)
   }
 
   /** q7H's RAW candidate rows — SimHash band buckets met by an id-only

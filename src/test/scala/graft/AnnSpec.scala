@@ -409,21 +409,37 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.localTrainLimit")
   }
 
-  test("q7H probe-mode selection rule: near-τ recall target → mode") {
-    // The measured basis (Scale embdedup, SCALING.md): single = 0.53–
-    // 0.55 near-τ recall at 1× candidates, multi = 0.95 near-τ at 4.6×
-    // candidates, and NO probe mode reaches past ~0.95 — that band
-    // belongs to the exhaustive exact passes. The rule is the documented
-    // operator policy (VERDICT r12 #5); pin its boundaries so a retuned
-    // banding must re-derive it from fresh measurements, not drift.
+  test("q7H probe-mode selection rule: near-τ recall target → mode, geometry-aware") {
+    // Re-derived for the n-scaled banding (the r12 fixed 0.5/0.9
+    // boundaries were the (4,4) instance). Rule = analytic hyperplane-
+    // LSH hit probability at the worst near-τ pair; validated against
+    // the Scale embdedup regime tables, where it under-promises by
+    // ≤ 0.03 (analytic/measured near-τ: (5,5) single 0.39/0.405, multi
+    // 0.91/0.919; (8,8) single 0.17/0.195, multi 0.68/0.720). Pinned so
+    // the policy's shape — ceilings FALLING as bits grow, exact past
+    // the geometry's reach — can't drift.
     import graft.operators.LlmOps.dedupProbeFor
-    assert(dedupProbeFor(0.0) == "single")
-    assert(dedupProbeFor(0.5) == "single")
-    assert(dedupProbeFor(0.51) == "multi")
-    assert(dedupProbeFor(0.9) == "multi")
-    assert(dedupProbeFor(0.95) == "exact")
-    assert(dedupProbeFor(1.0) == "exact")
-    intercept[IllegalArgumentException](dedupProbeFor(1.5))
+    // the fixture geometry (4,4): analytic single 0.48, multi 0.95
+    assert(dedupProbeFor(0.0, 4, 4) == "single")
+    assert(dedupProbeFor(0.45, 4, 4) == "single")
+    assert(dedupProbeFor(0.5, 4, 4) == "multi")
+    assert(dedupProbeFor(0.9, 4, 4) == "multi")
+    assert(dedupProbeFor(0.95, 4, 4) == "exact")
+    // the 10×-decade geometry (8,8): analytic single 0.17, multi 0.68
+    assert(dedupProbeFor(0.15, 8, 8) == "single")
+    assert(dedupProbeFor(0.5, 8, 8) == "multi")
+    assert(dedupProbeFor(0.68, 8, 8) == "multi")
+    assert(dedupProbeFor(0.7, 8, 8) == "exact")
+    // both mode ceilings fall monotonically with bits: the same 0.5
+    // target that multi buys at small geometry is out of ANY probe
+    // mode's reach at the cap geometry — the honest route is exact
+    assert(dedupProbeFor(0.5, 64, 24) == "exact")
+    // the corpus-resolved overload: sf0.001 sits at the (4,4) fixture
+    // geometry, so the two spellings must agree
+    assert(dedupProbeFor(spark, sf0001, 0.9) == "multi")
+    assert(dedupProbeFor(spark, sf0001, 0.45) == "single")
+    intercept[IllegalArgumentException](dedupProbeFor(1.5, 4, 4))
+    intercept[IllegalArgumentException](dedupProbeFor(0.5, 0, 4))
   }
 
   test("auto-R pins the measured decade geometry and the clamp counterfactual") {

@@ -22,10 +22,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 MAIN="graft.Scale"
 case "${1:-}" in graft.*) MAIN="$1"; shift;; esac
+# SCALE_EXTRA_OPTS: extra -D flags (e.g. a spark.graft.* conf override
+# for one campaign — SparkConf picks up spark.* system properties).
 exec java -cp "$CP" $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.legacy.parquet.nanosAsLong=true \
   -XX:ReservedCodeCacheSize=512m \
   -Xmx"$MEM" \
+  ${SCALE_EXTRA_OPTS:-} \
   "$MAIN" "$@"
