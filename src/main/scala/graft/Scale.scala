@@ -531,11 +531,19 @@ object Scale {
       // A variants-only rerun (STAGES without `base`) has nothing to
       // measure below the fifth decade — skip those corpora entirely
       // rather than paying their generation + truth for no output row.
-      val decadeStages = Seq("base", "simhash") ++
+      val decadeStages = Seq("base", "simhash", "gen") ++
         (if (mult >= 10000) Seq("maxk", "maxr", "nprobe", "full", "deep")
          else Nil)
       if (decadeStages.exists(on)) {
       val (dir, truth) = annCorpus(s, nVec)
+      // `gen`-only stage: corpus + exact truth materialized (both
+      // UNTIMED by design — no measurement row besides provenance), so
+      // a later timed stage can reuse them via SPARK_GRAFT_ANN_REUSE
+      // without the ~25-min generation sitting inside its run window.
+      if (on("gen") && !decadeStages.filterNot(_ == "gen").exists(on)) {
+        println(s"""{"mode":"ann","variant":"gen-only","vectors":$nVec,""" +
+          s""""dir":"$dir","truth_qs":${truth.size}}""")
+      }
       def recallOf(key: String): (Double, Double) = {
         LlmOps.release(s) // cold: the wall includes model/bucket build
         recallRun(s, dir, truth, key)

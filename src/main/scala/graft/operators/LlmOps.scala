@@ -270,6 +270,33 @@ object LlmOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
 
+  /** Storage level for the dedup family's two corpus-scale caches (the
+    * shingle sets and the open-vocab dfreq table):
+    * `spark.graft.dedup.cacheStorage` ∈ memory_and_disk (default) |
+    * memory_only | none. The default is right on a CLUSTER, where
+    * aggregate local disk dwarfs the cache and a spill beats
+    * re-scanning the raw corpus. `memory_only` trades recompute for
+    * zero disk — the dial for a host whose scratch disk is the binding
+    * resource (measured r14: the 50M-doc decade's shingle cache alone
+    * wants ~60+ GB of spill on a box with ~78 GB free, so the fifth-
+    * decade campaign runs memory_only; partitions that don't fit are
+    * recomputed from the parquet scan, correctness unchanged). `none`
+    * disables the persist outright (every consumer re-shingles).
+    */
+  private def dedupCacheLevel(s: SparkSession): Option[StorageLevel] =
+    s.conf.get("spark.graft.dedup.cacheStorage", "memory_and_disk") match {
+      case "memory_and_disk" => Some(StorageLevel.MEMORY_AND_DISK)
+      case "memory_only"     => Some(StorageLevel.MEMORY_ONLY)
+      case "none"            => None
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.cacheStorage must be " +
+          s"memory_and_disk|memory_only|none, got $other")
+    }
+
+  private def persistAtLevel(df: DataFrame,
+      level: Option[StorageLevel]): DataFrame =
+    level.map(df.persist).getOrElse(df)
+
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     cachedDf(shingleCache, s, d) {
       // Persisted because every consumer references it 3×+ (q7A: sig +
@@ -287,10 +314,11 @@ object LlmOps {
       // hash set.
       // Every other consumer (q7A MinHash, q7P explode) is
       // order-insensitive.
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), expr(ShingleSql).as("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      persistAtLevel(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), expr(ShingleSql).as("shingles")),
+        dedupCacheLevel(s))
     }
 
   /** The word-3-shingle set expression over a `w` (split words) column —
@@ -458,8 +486,23 @@ object LlmOps {
     */
   private[graft] def jaccardCandidates(
       s: SparkSession, sh: DataFrame): (DataFrame, DataFrame) = {
+    // Dictionary-hash the shingles ONCE at the explode (xxhash64 → one
+    // 8-byte key) and run every candidate-stage exchange on the hash:
+    // the dfreq aggregation and the tok ⋈ dfreq rank join both shuffle
+    // corpus-scale rows in the open-vocab regime, and an ~25-byte
+    // 3-word string key per row is most of their bytes (measured r14:
+    // the 50M-doc decade's string-keyed shuffles wanted more scratch
+    // disk than the host has). Standard PPJoin practice (Xiao et al.
+    // use integer token ids): any consistent total order works for the
+    // prefix rank, so (df, h) replaces (df, g); a 64-bit collision can
+    // only MERGE two shingles' df counts / posting lists, which widens
+    // a prefix or adds a candidate — completeness-safe in the direction
+    // that matters, and the verify stage re-joins the full STRING
+    // shingle sets, so pair exactness is untouched (JaccardSpec's
+    // brute-force re-proof covers the whole path).
     val tok = sh.select(col("doc_id"), col("sz"),
-      explode(col("shingles")).as("g"))
+        explode(col("shingles")).as("g"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("h"))
     // The df table joins back against every shingle instance, so it is
     // broadcast when — and only when — it is measured to be model-sized.
     // Catalyst can't size the aggregate statically (it shuffle-sorts 10×
@@ -468,17 +511,23 @@ object LlmOps {
     // cardinality and its raw key bytes; the hint applies only under
     // BOTH spark.graft.jaccard.broadcastShingleLimit (default 4M rows)
     // and spark.graft.jaccard.broadcastShingleMaxBytes (default 128 MB
-    // ESTIMATED footprint: raw UTF8 key bytes + 64 B/row for the
-    // UTF8String/long/HashedRelation-slot overhead — a row-count gate
-    // alone undercounts multi-word string shingles by that overhead,
-    // ADVICE r7). Above either bound — the open-domain case, where the
+    // ESTIMATED footprint: 8 B hashed key + 64 B/row for the
+    // long/HashedRelation-slot overhead — the r14 hashed keys make the
+    // estimate exact where the old raw-UTF8 length probe undercounted
+    // string overhead, ADVICE r7). Above either bound — the open-domain case, where the
     // shingle dictionary grows with the corpus — the plain shuffle
     // equi-join, which never puts corpus-scale data on the driver.
     // JaccardSpec exercises both branches.
-    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dfreq is corpus-scale in the OPEN-vocab regime (most 3-shingles
+    // are unique, so its row count tracks total shingle volume) — it
+    // honors the same [[dedupCacheLevel]] dial as the shingle cache;
+    // under `none` the probe and the join each re-run the aggregation.
+    val dfreq = persistAtLevel(
+      tok.groupBy("h").agg(count(lit(1)).as("df")), dedupCacheLevel(s))
+    // hashed keys are a fixed 8 bytes, so the byte estimate is exact
+    // (8 + the 64 B/row HashedRelation-slot overhead)
     val probe = dfreq.agg(count(lit(1)).as("rows"),
-      coalesce(sum(length(col("g"))), lit(0L)).as("bytes")).head()
+      (count(lit(1)) * 8L).as("bytes")).head()
     val bcLimit = s.conf.get("spark.graft.jaccard.broadcastShingleLimit",
       "4000000").toLong
     val bcMaxBytes = s.conf.get("spark.graft.jaccard.broadcastShingleMaxBytes",
@@ -488,15 +537,15 @@ object LlmOps {
       if (probe.getLong(0) <= bcLimit && estBytes <= bcMaxBytes)
         broadcast(dfreq)
       else dfreq
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
-    val prefix = tok.join(dfJoin, "g")
+    val prefix = tok.join(dfJoin, "h")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
       // a df=1 shingle lives in one doc's prefix only — it can never
       // produce a pair, so drop it before the inverted-index join
       .filter(col("df") > 1)
-      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
+      .select(col("h"), col("doc_id"), col("sz"), col("rk"))
     // Candidate pairs via the prefix ⋈ prefix equi-join (the inverted
     // index realized as a join). The r5 alternative — groupBy(g) +
     // collect_list + in-row pair enumeration, to build each posting
@@ -520,7 +569,7 @@ object LlmOps {
     // sf0.1 — the verify stage is the cost center), completeness holds
     // (JaccardSpec re-proves vs brute force, fixture + random corpora).
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 3 <= col("b.sz") * 5 &&
           col("b.sz") * 3 <= col("a.sz") * 5 &&
           (lit(1) + least(col("a.sz") - col("a.rk"),
