@@ -267,7 +267,17 @@ object Scale {
       // partition-width law: ~8M (doc, shingle) rows per shuffle task
       // is past the locality knee) and SPARK_GRAFT_SOLO to skip the
       // already-published smaller decades.
-      (if (ultra) Seq((10000, 50000000, 20000000)) else Nil)
+      (if (ultra) {
+        // SPARK_GRAFT_ULTRA_DOCS sizes the fifth-decade point to the
+        // HOST's scratch-disk envelope: the candidate query carries
+        // three corpus-scale exchanges whose shuffle files coexist
+        // (dfreq agg, rank join, window sort — measured r14: ~1.6 GB
+        // of zstd shuffle per 1M docs, so 50M wants > 78 GB and
+        // ENOSPC'd twice; 30M fits). Vocab keeps the 0.4·docs law.
+        val d = sys.env.get("SPARK_GRAFT_ULTRA_DOCS").map(_.toInt)
+          .getOrElse(50000000)
+        Seq((d / 5000, d, (d.toLong * 2 / 5).toInt))
+      } else Nil)
     // `solo`: only the largest selected point (re-measurement runs —
     // e.g. the fourth decade under a different shuffle-partition count
     // — without re-paying the smaller decades)

@@ -605,7 +605,40 @@ object LlmOps {
       (0 until bits).map { j =>
         s"IF(graft_dot(e, ${sql(band * bits + j)}) >= 0D, ${1 << (bits - 1 - j)}, 0)"
       }.mkString(" + ")
+    /** The same ±1 planes FLATTENED for the graft_simhash_bands kernel:
+      * plane p = band·bits + j occupies entries [p·64, p·64 + 64) —
+      * entry k is +1 exactly when [[sql]](p)'s k-th literal is "1D", so
+      * the kernel's band values are bit-identical to the expression
+      * tree it replaced ([[bandExpr]] kept for the KernelSpec parity
+      * pin).
+      */
+    def flat(bands: Int, bits: Int): Array[Double] = {
+      val out = new Array[Double](bands * bits * 64)
+      var p = 0
+      while (p < bands * bits) {
+        var k = 0
+        while (k < 64) {
+          out(p * 64 + k) =
+            if ((mix(p.toLong * 1000003 + k) & 1L) == 0L) 1.0 else -1.0
+          k += 1
+        }
+        p += 1
+      }
+      out
+    }
   }
+
+  /** Test-only: the pre-r14 SQL banding spelling over the same planes,
+    * so KernelSpec can pin graft_simhash_bands bit-for-bit against the
+    * expression tree it replaced (at geometries small enough for that
+    * tree to still codegen).
+    */
+  private[graft] def legacyBandSql(band: Int, bits: Int): String =
+    AnnPlanes.bandExpr(band, bits)
+
+  /** The flattened plane literal for a geometry (test + embedBanded). */
+  private[graft] def planesFlat(bands: Int, bits: Int): Array[Double] =
+    AnnPlanes.flat(bands, bits)
 
   /** Hard caps on the auto geometry: 24 bits keeps bval a small Int
     * (16M buckets per band is past any plausible per-band occupancy
@@ -696,10 +729,19 @@ object LlmOps {
     * run.
     */
   def embedBanded(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimhashBands.register(s)
     val v = vectors(s, d)
     val (bands, bits) = simhashGeom(s, d)
+    // one codegen'd kernel call for ALL band values (r14): the per-plane
+    // IF-chain expression tree was O(bands·bits) generated code and fell
+    // out of whole-stage codegen past the 64 KB method limit at the
+    // n-scaled geometries ((24,15)/(37,18) — measured fallbacks in the
+    // r14 campaign logs); the kernel is an O(1)-size plan at any
+    // geometry, bit-identical by KernelSpec pin
     v.select(col("vec_id"), col("e"), col("nsq"),
-      posexplode(array((0 until bands).map(b => expr(AnnPlanes.bandExpr(b, bits))): _*))
+      posexplode(call_function("graft_simhash_bands", col("e"),
+        typedLit(AnnPlanes.flat(bands, bits).toSeq),
+        lit(bands), lit(bits)))
         .as(Seq("band", "bval")))
   }
 

@@ -419,6 +419,51 @@ class KernelSpec extends AnyFunSuite {
     assert(bgBytes("aé".getBytes("UTF-8")) == Seq("aé"))
   }
 
+  test("graft_simhash_bands equals the per-plane IF-chain spelling it replaced, every geometry") {
+    // The r14 banding kernel must be bit-identical to the SQL tree —
+    // same seeded ±1 planes, same `>= 0` sign test, same bit order —
+    // including at geometries where the old tree still codegens. The
+    // tree's generated code is O(bands·bits) and crossed the JVM 64 KB
+    // method limit at the n-scaled geometries ((24,15)/(37,18)); the
+    // kernel exists precisely so the corpus-scale banding pass stays in
+    // whole-stage codegen there, so it must not change a single bucket.
+    graft.functions.SimhashBands.register(spark)
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    val rows = (0 until 120).map { i =>
+      val seed = org.scalacheck.rng.Seed(1000 + i.toLong)
+      Tuple1(vecGen.pureApply(params, seed))
+    } :+ Tuple1(List.fill(64)(0.0)) :+ Tuple1(List(1.0, -2.0)) // zero + short
+    val df = rows.toDF("e")
+    for ((bands, bits) <- Seq((4, 4), (5, 5), (8, 8), (13, 11))) {
+      val legacy = df.withColumn("bv",
+        array((0 until bands).map(b =>
+          expr(graft.operators.LlmOps.legacyBandSql(b, bits))): _*))
+      val kernel = df.withColumn("bv",
+        call_function("graft_simhash_bands", col("e"),
+          typedLit(graft.operators.LlmOps.planesFlat(bands, bits).toSeq),
+          lit(bands), lit(bits)))
+      val want = legacy.select("bv").collect().map(_.getSeq[Int](0))
+      val got = kernel.select("bv").collect().map(_.getSeq[Int](0))
+      assert(got.length == want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
+        assert(g == w, s"geometry ($bands,$bits) row $r: kernel $g vs tree $w")
+      }
+    }
+    // the geometry the tree CANNOT serve (64 KB fallback): the kernel
+    // must still produce well-formed band values under codegen
+    val big = df.withColumn("bv",
+        call_function("graft_simhash_bands", col("e"),
+          typedLit(graft.operators.LlmOps.planesFlat(24, 15).toSeq),
+          lit(24), lit(15)))
+      .select("bv").collect().map(_.getSeq[Int](0))
+    big.foreach { bv =>
+      assert(bv.length == 24)
+      assert(bv.forall(v => v >= 0 && v < (1 << 15)))
+    }
+  }
+
   test("interpreted eval matches codegen path") {
     // nullSafeEval is exercised directly (the non-codegen fallback)
     import org.apache.spark.sql.catalyst.util.ArrayData
