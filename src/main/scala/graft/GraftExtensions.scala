@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SortedIntersect, SortedIntersectGe, VecSub}
+import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SimhashBands, SortedIntersect, SortedIntersectGe, VecSub}
 
 /** Cluster-wide registration of the graft codegen kernels via the
   * standard Spark extension point:
@@ -25,7 +25,7 @@ import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEnco
   * CLONES from, so `spark.sql("SELECT graft_dot(a, b) …")` works in SQL
   * text with no Scala imports at all.
   *
-  * Injected here are the nine Catalyst `Expression` kernels (all
+  * Injected here are the ten Catalyst `Expression` kernels (all
   * codegen'd, all whole-stage-codegen friendly):
   *
   *  - `graft_dot(a, b)` — double-array dot product (q76/q77/q78/q7C).
@@ -42,6 +42,9 @@ import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEnco
   *    residual at index-build time).
   *  - `graft_bigrams(text)` — distinct char-bigram set (q7F/S14's
   *    language-ID features) in one byte-level pass.
+  *  - `graft_simhash_bands(e, planes, bands, bits)` — all SimHash LSH
+  *    band values in one pass (q7C/q7H's bucketing; O(1)-size plan at
+  *    any n-scaled geometry).
   *
   * The one non-Expression function, the `graft_minhash` UDAF (the
   * explode-based aggregation spelling kept for parity testing), stays
@@ -82,5 +85,7 @@ object GraftExtensions {
     ("graft_vec_sub", classOf[VecSub],
       args => VecSub(args.head, args(1))),
     ("graft_bigrams", classOf[BigramSet],
-      args => BigramSet(args.head)))
+      args => BigramSet(args.head)),
+    ("graft_simhash_bands", classOf[SimhashBands],
+      args => SimhashBands(args.head, args(1), args(2), args(3))))
 }

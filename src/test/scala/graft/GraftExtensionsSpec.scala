@@ -48,7 +48,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |               array(1.0D, 0.0D, 0.0D, 1.0D), 2) AS codes,
           |  graft_pq_adc(array(1.0D, 2.0D), array(0, 1),
           |               array(array(3.0D), array(4.0D), array(5.0D), array(6.0D))) AS adc,
-          |  graft_vec_sub(array(5.0D, 3.0D), array(2.0D, 4.0D)) AS vsub
+          |  graft_vec_sub(array(5.0D, 3.0D), array(2.0D, 4.0D)) AS vsub,
+          |  graft_simhash_bands(array(1.0D), array_repeat(1.0D, 128), 2, 1) AS bands,
+          |  graft_simhash_bands(array(-1.0D), array_repeat(1.0D, 128), 2, 1) AS bands_neg
           |""".stripMargin).head()
       assert(row.getDouble(0) == 32.0)
       assert(row.getInt(1) == graft.functions.MinHash.K)
@@ -59,6 +61,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Int](5) == Seq(0, 0))
       assert(row.getDouble(6) == 1.0 * 3.0 + 2.0 * 6.0)
       assert(row.getSeq[Double](7) == Seq(3.0, -1.0))
+      // all-(+1) planes: dot(e, plane) = ±1.0, sign sets bit 0 per band
+      assert(row.getSeq[Int](8) == Seq(1, 1))
+      assert(row.getSeq[Int](9) == Seq(0, 0))
     }
   }
 
@@ -71,6 +76,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.functions.SortedIntersect.register(s)
     graft.functions.IvfTop.register(s)
     graft.functions.PqKernels.register(s)
+    graft.functions.Bigrams.register(s)
+    graft.functions.SimhashBands.register(s)
     val sessionRegistered = s.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val injected = GraftExtensions.kernels.map(_._1).toSet
