@@ -50,6 +50,7 @@ case class SimhashBands(first: Expression, second: Expression,
     val pl = plAny.asInstanceOf[ArrayData]
     val bands = bandsAny.asInstanceOf[Int]
     val bits = bitsAny.asInstanceOf[Int]
+    SimhashBands.checkArgs(bands, bits, pl.numElements())
     val dim = math.min(W, e.numElements())
     val out = new Array[Int](bands)
     var b = 0
@@ -81,6 +82,7 @@ case class SimhashBands(first: Expression, second: Expression,
       val dot = ctx.freshName("dot")
       val d = ctx.freshName("d")
       s"""
+         |graft.functions.SimhashBands.checkArgs($bands, $bits, $pl.numElements());
          |final int $dim = java.lang.Math.min($W, $e.numElements());
          |final int[] $out = new int[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
@@ -112,6 +114,25 @@ object SimhashBands {
     * length, same as graft_dot did).
     */
   val PlaneWidth = 64
+
+  /** Geometry/length guard shared by eval and the generated code
+    * (ADVICE r14): the function is SQL-exposed cluster-wide, and
+    * `UnsafeArrayData.getDouble` is NOT bounds-checked — a malformed
+    * call (short planes literal, bits > 31's shift wrap) would return
+    * silent garbage under codegen where the interpreted path happens to
+    * throw. Fail loudly in BOTH paths, naming the expected length.
+    * Static (not MODULE$) so the generated Java call site is plain.
+    */
+  @throws[IllegalArgumentException]
+  def checkArgs(bands: Int, bits: Int, planesLen: Int): Unit = {
+    if (bands < 1 || bits < 1 || bits > 31 ||
+        planesLen.toLong < bands.toLong * bits * PlaneWidth)
+      throw new IllegalArgumentException(
+        s"graft_simhash_bands: need bands >= 1, 1 <= bits <= 31 and " +
+          s"|planes| >= bands*bits*$PlaneWidth = " +
+          s"${bands.toLong * bits * PlaneWidth}; got bands=$bands, " +
+          s"bits=$bits, |planes|=$planesLen")
+  }
 
   /** Idempotent registration, same defensive pattern as the other
     * kernels (Verify/Bench build their own sessions).

@@ -494,12 +494,17 @@ object LlmOps {
     // the 50M-doc decade's string-keyed shuffles wanted more scratch
     // disk than the host has). Standard PPJoin practice (Xiao et al.
     // use integer token ids): any consistent total order works for the
-    // prefix rank, so (df, h) replaces (df, g); a 64-bit collision can
-    // only MERGE two shingles' df counts / posting lists, which widens
-    // a prefix or adds a candidate — completeness-safe in the direction
-    // that matters, and the verify stage re-joins the full STRING
-    // shingle sets, so pair exactness is untouched (JaccardSpec's
-    // brute-force re-proof covers the whole path).
+    // prefix rank, so (df, h) replaces (df, g); a CROSS-doc 64-bit
+    // collision can only MERGE two shingles' df counts / posting
+    // lists, which widens a prefix or adds a candidate — safe. One
+    // caveat (ADVICE r14): a WITHIN-doc collision makes row_number
+    // hand one hashed token two prefix ranks, consuming a prefix slot
+    // and in principle pushing a doc's first common token past its
+    // prefix — a ~2⁻⁶⁴-scale theoretical miss, accepted (ranking over
+    // distinct (doc_id, h) would close it for an extra exchange). The
+    // verify stage re-joins the full STRING shingle sets, so any pair
+    // that IS a candidate is judged exactly (JaccardSpec's brute-force
+    // re-proof covers the whole path).
     val tok = sh.select(col("doc_id"), col("sz"),
         explode(col("shingles")).as("g"))
       .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("h"))
@@ -811,11 +816,21 @@ object LlmOps {
     *    XOR symmetry makes one-sided expansion cover both directions.
     *    Buys boundary recall for ~(bits+1)× the candidate rows; the
     *    multiplier lands on the corpus side, so it scales with n.
+    *  - `exact` (r15): [[dedupProbeFor]]'s third answer, now an
+    *    executable plan instead of prose (VERDICT r14 #1 — a caller
+    *    piping the policy's answer into this conf used to hit the
+    *    `require`). Candidates are ALL unordered pairs, enumerated
+    *    through the q76 block-grid ([[pairs]]) — declared O(n²) total
+    *    work (boundary-complete recall demands it) but bounded
+    *    per-task input and skew-free by construction; each pair
+    *    appears exactly once, already id_a < id_b. The LSH geometry
+    *    is never consulted.
     */
   def embedCandidates(s: SparkSession, d: String): DataFrame = {
     val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
-    require(probe == "single" || probe == "multi",
-      s"spark.graft.simhash.dedupProbe must be single|multi, got $probe")
+    require(probe == "single" || probe == "multi" || probe == "exact",
+      s"spark.graft.simhash.dedupProbe must be single|multi|exact, got $probe")
+    if (probe == "exact") return pairs(s, d).select("id_a", "id_b")
     val (_, bits) = simhashGeom(s, d)
     val banded = embedBanded(s, d).select("vec_id", "band", "bval")
     val aBval =
@@ -864,8 +879,21 @@ object LlmOps {
     *    shape once the corpus no longer broadcasts.
     * Both paths produce the identical removal set (same candidate
     * stream, same exact filter; AnnSpec pins the equivalence).
+    *
+    * Under `dedupProbe=exact` (r15) neither shape runs: the removal set
+    * is read straight off the q76/q77 block-grid survivors table
+    * ([[simPairs]] — the at-threshold rows ARE the full exact near-dup
+    * pair set, since q7H's 0.38 IS [[SimThreshold]]), so the cosine is
+    * computed in-cell where the vectors already sit — no candidate
+    * materialization, no refetch join — and the table is shared with
+    * q76/q77. Policy → conf → plan is one closed loop: AnnSpec pins
+    * that this removal set equals the brute-force removal set exactly.
     */
   def embedRemovedIds(s: SparkSession, d: String): DataFrame = {
+    val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
+    if (probe == "exact")
+      return simPairs(s, d).filter(col("sim") >= SimThreshold)
+        .select(col("id_b").as("vec_id")).distinct()
     val v = vectors(s, d)
     val lim =
       s.conf.get("spark.graft.simhash.vecBroadcastLimit", "1000000").toLong

@@ -288,6 +288,36 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
 
+  test("r15 dedupProbe=exact: the policy's third answer is an executable " +
+    "plan whose removal set equals brute force exactly") {
+    import graft.operators.LlmOps
+    // the policy itself routes here: at the fixture's (4,4) geometry a
+    // 0.95 near-threshold recall ask is past both LSH modes' reach
+    val advised = LlmOps.dedupProbeFor(spark, sf0001, 0.95)
+    assert(advised == "exact")
+    // piping the policy's answer into the conf must not throw (the r14
+    // gap) and must produce the boundary-complete result
+    spark.conf.set("spark.graft.simhash.dedupProbe", advised)
+    try {
+      val kept = SparkEntry.queries("q7H_dedup_embed")(spark, sf0001)
+        .collect().map(_.getLong(0)).toSet
+      val removed = vecs.keySet -- kept
+      val ids = vecs.keySet.toSeq.sorted
+      val exactRemoved = ids.filter { j =>
+        ids.exists(i => i < j && cosine(vecs(i), vecs(j)) >= 0.38)
+      }.toSet
+      assert(removed == exactRemoved,
+        s"exact-mode removal diverges: extra=${(removed -- exactRemoved).take(5)} " +
+          s"missing=${(exactRemoved -- removed).take(5)}")
+      // the candidate surface in exact mode is the block-grid pair
+      // enumeration: every unordered pair exactly once, ids only
+      val cand = LlmOps.embedCandidates(spark, sf0001)
+      assert(cand.columns.toSeq == Seq("id_a", "id_b"))
+      val n = vecs.size.toLong
+      assert(cand.count() == n * (n - 1) / 2)
+    } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
+  }
+
   test("r14 n-scaled SimHash geometry: the occupancy/bands law and the conf pins") {
     import graft.operators.LlmOps
     // fixture n=500 ≤ 16·256 → the (4,4) construction every recall

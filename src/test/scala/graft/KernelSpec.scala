@@ -464,6 +464,37 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("r15 graft_simhash_bands rejects malformed geometry/planes in BOTH paths") {
+    // ADVICE r14: the function is SQL-exposed cluster-wide and
+    // UnsafeArrayData.getDouble is not bounds-checked — a short planes
+    // literal silently returned garbage under codegen. Both the
+    // interpreted and generated paths must now throw, naming the
+    // expected length.
+    graft.functions.SimhashBands.register(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(List.fill(64)(1.0))).toDF("e")
+    def run(planes: Seq[Double], bands: Int, bits: Int): Unit =
+      df.select(call_function("graft_simhash_bands", col("e"),
+        typedLit(planes), lit(bands), lit(bits))).collect()
+    val ok = graft.operators.LlmOps.planesFlat(4, 4).toSeq
+    run(ok, 4, 4) // well-formed call passes the guard
+    // planes literal one double short of bands*bits*64 (codegen path)
+    val short = ok.dropRight(1)
+    val e1 = intercept[Exception](run(short, 4, 4))
+    assert(e1.getMessage.contains("graft_simhash_bands") ||
+      Option(e1.getCause).exists(_.getMessage.contains("graft_simhash_bands")))
+    // bits out of [1,31] (shift wrap), bands < 1
+    intercept[Exception](run(ok, 4, 32))
+    intercept[Exception](run(ok, 0, 4))
+    // interpreted path: nullSafeEval directly
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val eArr = ArrayData.toArrayData(Array.fill(64)(1.0))
+    val plArr = ArrayData.toArrayData(short.toArray)
+    val expr = graft.functions.SimhashBands(null, null, null, null)
+    intercept[IllegalArgumentException](
+      expr.nullSafeEval(eArr, plArr, 4, 4))
+  }
+
   test("interpreted eval matches codegen path") {
     // nullSafeEval is exercised directly (the non-codegen fallback)
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -101,6 +101,17 @@ def main():
 
     diag_path = (sys.argv[2] if len(sys.argv) > 2
                  else os.path.join(os.path.dirname(path) or ".", "bench_diag.json"))
+    if not os.path.exists(diag_path) and len(sys.argv) <= 2:
+        # Round-artifact naming (VERDICT r14 #7): a committed
+        # BENCH_r{N}.json / BENCHFULL_r{N}.json has its per-pass diag
+        # next to it as BENCHDIAG_r{N}.jsonl, not bench_diag.json --
+        # look there so driver-format runs get the full rule too.
+        m = re.match(r"BENCH(?:FULL)?_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            cand = os.path.join(os.path.dirname(path) or ".",
+                                f"BENCHDIAG_r{m.group(1)}.jsonl")
+            if os.path.exists(cand):
+                diag_path = cand
     if os.path.exists(diag_path):
         print(f"judging diag {diag_path}")
         # .get defaults throughout: a truncated last line from an

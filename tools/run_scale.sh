@@ -10,10 +10,15 @@
 #
 # Env passthrough: SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_CPUS / SPARK_GRAFT_*
 # are read by graft.Scale itself.
+#
+# Caveat: this runs whatever classes sbt LAST compiled — run `sbt
+# compile` after editing sources or the campaign silently uses stale
+# code (the lock-free design can't ask sbt to recompile).
 set -euo pipefail
 MEM="${SPARK_DRIVER_MEM:-16g}"
 if [ "${1:-}" = "-m" ]; then MEM="$2"; shift 2; fi
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
