@@ -194,6 +194,58 @@ object VecIngest {
       .start()
   }
 
+  /** The retrain recipe of [[retrainDue]]'s scaladoc as ONE call
+    * (VERDICT r14 #5 — the r14 vecloop campaign drove the detach →
+    * retrain → re-attach choreography from campaign code; an operator
+    * shouldn't re-implement the swap). Given a tripped trigger and a
+    * GROWN lake at `d` (the old lake plus the drifted arrivals — the
+    * caller owns the fold, because landing-zone compaction is
+    * deployment-specific), this:
+    *
+    *  1. stops `old` (if still running) — the detached window begins;
+    *     files landing from here until the new query drains are the
+    *     handoff gap, covered by step 3's replay;
+    *  2. drops the session's cached models (`LlmOps.release`) so the
+    *     attach RETRAINS even when `d` is an in-place-grown dir — the
+    *     model caches key by (session, dir, confs), and a reused dir
+    *     would otherwise silently serve the stale models the trigger
+    *     just condemned (a NEW dir retrains by construction; the
+    *     release also drops the session's other cached frames, the
+    *     price of a guaranteed-fresh swap);
+    *  3. re-attaches over the SAME source with the REQUIRED-fresh
+    *     checkpoint `ckpt`: starting from offset zero re-encodes every
+    *     file under the new models, and the keyed MERGE makes that an
+    *     idempotent overwrite — zero rows lost or duplicated through
+    *     the handoff, gap files included (VecIngestSpec pins registry
+    *     ≡ the grown lake's batch index). A RESUMED checkpoint would
+    *     skip already-read files and leave their registry rows encoded
+    *     by the condemned models, so an existing `ckpt` path is
+    *     rejected loudly;
+    *  4. prices the fresh drift baseline from the new models — the
+    *     value the caller's next [[driftRatios]]/[[retrainDue]] needs.
+    *
+    * Returns (the attached query, the new baseline). The caller drains
+    * with `processAllAvailable`/awaits normally; [[search]] against `d`
+    * serves through the swapped registry immediately after the drain.
+    */
+  def retrainAndSwap(old: Option[StreamingQuery], vecs: DataFrame,
+      url: String, ckpt: String, s: SparkSession, d: String)
+      : (StreamingQuery, Double) = {
+    // "fresh" = no committed offsets (an empty pre-created dir is fine
+    // — Spark lays the checkpoint out inside it; the hazard is resumed
+    // OFFSETS, which would skip files and leave stale-encoded rows)
+    val off = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+    val fs = off.getFileSystem(s.sessionState.newHadoopConf())
+    require(!fs.exists(off) || fs.listStatus(off).isEmpty,
+      s"retrainAndSwap needs a FRESH checkpoint (full-source replay is " +
+        s"the re-encode mechanism; resuming $ckpt would leave rows " +
+        s"encoded by the condemned models)")
+    old.foreach(_.stop())
+    LlmOps.release(s)
+    val q = attach(vecs, url, ckpt, s, d)
+    (q, baselineResid(s, d))
+  }
+
   /** q7S's search pipeline ANSWERED BY the stream-maintained registry:
     * the JDBC `vec_index` rows unpack back to code arrays via a static
     * chain of codegen'd shift/mask expressions (m is model metadata, so

@@ -205,13 +205,14 @@ class VecIngestSpec extends AnyFunSuite {
     } finally q.stop()
     assert(driftedPre > 2.0, s"pre-retrain drift signal $driftedPre")
 
-    // retrain: the grown lake = old lake ∪ arrivals under a new dir
+    // retrain: the grown lake = old lake ∪ arrivals under a new dir,
+    // then the swap through the ONE public call (r15 — the API owns
+    // stop → release → fresh-ckpt re-attach → fresh baseline)
     val lake2 = tmpDir("graft-s15-loop-lake2")
     graft.sources.Tables.embeddings(spark, sf0001).unionByName(drifted)
       .write.mode("overwrite").parquet(s"$lake2/embeddings.parquet")
-    val baseline2 = VecIngest.baselineResid(spark, lake2)
-    val q2 = VecIngest.attach(readVecs(dir), url,
-      tmpDir("graft-s15-loop-ckpt2"), spark, lake2)
+    val (q2, baseline2) = VecIngest.retrainAndSwap(Some(q), readVecs(dir),
+      url, tmpDir("graft-s15-loop-ckpt2"), spark, lake2)
     try q2.processAllAvailable() finally q2.stop()
 
     // closure: the batch that TRIPPED is in-distribution for the
@@ -295,14 +296,22 @@ class VecIngestSpec extends AnyFunSuite {
     gap.select("vec_id", "embedding")
       .coalesce(1).write.mode("append").parquet(dir)
 
-    // retrain over the grown lake (new dir ⇒ new models by cache key),
-    // re-attach with a fresh checkpoint over the SAME source
+    // retrain over the grown lake through the public swap call (r15):
+    // the API stops the old query (already stopped here — None), drops
+    // the cached models, re-attaches with the fresh checkpoint
     val lake2 = tmpDir("graft-s15-handoff-lake2")
     graft.sources.Tables.embeddings(spark, sf0001).unionByName(gap)
       .write.mode("overwrite").parquet(s"$lake2/embeddings.parquet")
-    val q2 = VecIngest.attach(readVecs(dir), url,
-      tmpDir("graft-s15-handoff-ckpt2"), spark, lake2)
+    val ckpt2 = tmpDir("graft-s15-handoff-ckpt2")
+    val (q2, _) = VecIngest.retrainAndSwap(None, readVecs(dir), url,
+      ckpt2, spark, lake2)
     try q2.processAllAvailable() finally q2.stop()
+
+    // the guard: re-running the swap onto the now-COMMITTED checkpoint
+    // is exactly the stale-row hazard, and must be rejected loudly
+    intercept[IllegalArgumentException] {
+      VecIngest.retrainAndSwap(None, readVecs(dir), url, ckpt2, spark, lake2)
+    }
 
     val want = LlmOps.pqIndex(spark, lake2).collect().map { r =>
       val packed = r.getSeq[Int](r.fieldIndex("codes"))
