@@ -508,6 +508,32 @@ object LlmOps {
     val tok = sh.select(col("doc_id"), col("sz"),
         explode(col("shingles")).as("g"))
       .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("h"))
+    // Staged-footprint dial (r15, VERDICT r14 #3):
+    // `spark.graft.jaccard.stageDir` (path; empty = off, the default).
+    // When set, the two candidate-stage intermediates CHECKPOINT to
+    // parquet under it, each in its OWN job with a GC nudge between —
+    // cutting lineage so a finished stage's shuffle files free (the
+    // ContextCleaner collects the now-unreachable ShuffleDependency)
+    // before the next stage's land. Without it the candidate query is
+    // ONE job whose corpus-scale exchanges coexist on scratch disk
+    // (dfreq agg + the window sort — TWICE, because the self-join
+    // plans its prefix side twice); peak scratch is their SUM
+    // (measured r14: >78 GB at 50M docs, ENOSPC). Staged, peak = the
+    // largest single stage — the max-not-sum arithmetic a disk-bound
+    // host (or a 100 TB run that would rather checkpoint than hold
+    // three corpus footprints) needs. The staged prefix table is tiny
+    // (post-rank, df>1-only rows), so job 3's self-join also stops
+    // re-computing the whole prefix pipeline per side. The CALLER owns
+    // the stageDir lifecycle (files are UUID-fresh per call).
+    val stageDir = s.conf.get("spark.graft.jaccard.stageDir", "")
+    def staged(df: DataFrame, name: String): DataFrame =
+      if (stageDir.isEmpty) df
+      else {
+        val path = s"$stageDir/${name}_${java.util.UUID.randomUUID()}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        System.gc() // nudge the cleaner: prior stage's shuffles are done
+        s.read.parquet(path)
+      }
     // The df table joins back against every shingle instance, so it is
     // broadcast when — and only when — it is measured to be model-sized.
     // Catalyst can't size the aggregate statically (it shuffle-sorts 10×
@@ -523,12 +549,21 @@ object LlmOps {
     // shingle dictionary grows with the corpus — the plain shuffle
     // equi-join, which never puts corpus-scale data on the driver.
     // JaccardSpec exercises both branches.
-    // dfreq is corpus-scale in the OPEN-vocab regime (most 3-shingles
-    // are unique, so its row count tracks total shingle volume) — it
-    // honors the same [[dedupCacheLevel]] dial as the shingle cache;
-    // under `none` the probe and the join each re-run the aggregation.
-    val dfreq = persistAtLevel(
-      tok.groupBy("h").agg(count(lit(1)).as("df")), dedupCacheLevel(s))
+    // r15: dfreq keeps ONLY df > 1 rows. A shingle absent from the
+    // table has df = 1 by construction, so a LEFT join + coalesce(df,1)
+    // reproduces the (df, h) rank order EXACTLY — and in the open-vocab
+    // regime, where most 3-shingles are unique, this turns a
+    // corpus-scale table (row count tracking total shingle volume)
+    // into a model-scale one (only REPEATED shingles: the dup-pair and
+    // Zipf-head tail), which usually re-enters the broadcast gate —
+    // deleting the tok-by-h join exchange entirely. The prefix stage's
+    // own df > 1 filter already declared these rows the only useful
+    // ones; this moves that knowledge up to where the bytes are.
+    // Still honors the [[dedupCacheLevel]] dial; under `none` the
+    // probe and the join each re-run the aggregation.
+    val dfreq = persistAtLevel(staged(
+      tok.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > 1),
+      "dfreq"), dedupCacheLevel(s))
     // hashed keys are a fixed 8 bytes, so the byte estimate is exact
     // (8 + the 64 B/row HashedRelation-slot overhead)
     val probe = dfreq.agg(count(lit(1)).as("rows"),
@@ -543,14 +578,19 @@ object LlmOps {
         broadcast(dfreq)
       else dfreq
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5
-    val prefix = tok.join(dfJoin, "h")
-      .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      // a df=1 shingle lives in one doc's prefix only — it can never
-      // produce a pair, so drop it before the inverted-index join
-      .filter(col("df") > 1)
-      .select(col("h"), col("doc_id"), col("sz"), col("rk"))
+    // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5.
+    // LEFT join + coalesce: absent key ⟺ df = 1 (see the dfreq note) —
+    // the rank order is bit-identical to the full-table inner join
+    val prefix = staged(
+      tok.join(dfJoin, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(1L)))
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+        // a df=1 shingle lives in one doc's prefix only — it can never
+        // produce a pair, so drop it before the inverted-index join
+        .filter(col("df") > 1)
+        .select(col("h"), col("doc_id"), col("sz"), col("rk")),
+      "prefix")
     // Candidate pairs via the prefix ⋈ prefix equi-join (the inverted
     // index realized as a join). The r5 alternative — groupBy(g) +
     // collect_list + in-row pair enumeration, to build each posting
@@ -830,6 +870,19 @@ object LlmOps {
     val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
     require(probe == "single" || probe == "multi" || probe == "exact",
       s"spark.graft.simhash.dedupProbe must be single|multi|exact, got $probe")
+    // armed pre-flight advisory (see [[embedCandidateEstimate]]): price
+    // the candidate stream before the join pays for it
+    val budget = s.conf.get("spark.graft.simhash.candBudget", "0").toLong
+    if (budget > 0) {
+      val est = embedCandidateEstimate(s, d)
+      if (est > budget)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"q7H candidate estimate $est rows exceeds " +
+            s"spark.graft.simhash.candBudget=$budget under probe=$probe; " +
+            s"proceeding — consider probe=single (1x candidates) or " +
+            s"routing boundary-complete asks to the exact operators " +
+            s"(q7N PPJoin / q76-q77 block-grid)")
+    }
     if (probe == "exact") return pairs(s, d).select("id_a", "id_b")
     val (_, bits) = simhashGeom(s, d)
     val banded = embedBanded(s, d).select("vec_id", "band", "bval")
@@ -842,6 +895,58 @@ object LlmOps {
     val b = banded.select(col("vec_id").as("id_b"), col("band"), col("bval"))
     a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+  }
+
+  /** Cheap PRE-FLIGHT estimate of [[embedCandidates]]'s row count under
+    * the session's CURRENT probe conf and geometry (VERDICT r14 #2 —
+    * candidate volume is the operator's cost driver, and a forced
+    * `multi` at a big decade can be ~(bits+1)× a single-mode run that
+    * already took minutes; an operator should be able to price the run
+    * before paying for it). EXACT, not a model: the band join's output
+    * size is fully determined by the bucket histogram —
+    *  - `single`: Σ_bucket c·(c−1)/2;
+    *  - `multi`: that plus the Hamming-1 cross terms
+    *    Σ_k Σ_v c(v)·c(v⊕2^k)/2 per band (the XOR relation is
+    *    symmetric, so each unordered cross pair survives the
+    *    id_a < id_b filter exactly once);
+    *  - `exact`: n·(n−1)/2 (the block-grid enumerates every pair).
+    * AnnSpec pins bit-for-bit equality with the real count in all
+    * three modes. Cost: one histogram aggregation over the banded view
+    * (a corpus pass, but ~bands·n 12-byte rows — no pair-scale
+    * anything), vs the join itself which can be thousands of times
+    * larger. The same arithmetic backs the Scale `embdedup` campaign's
+    * large decades, where the real join is too big to count at all.
+    *
+    * `spark.graft.simhash.candBudget` (rows, default 0 = off) arms a
+    * runtime advisory in [[embedCandidates]]: when the estimate
+    * exceeds the budget, the operator logs the estimate, the budget,
+    * and the cheaper-mode suggestion BEFORE the join runs — a
+    * pre-flight check, not a failure (the run proceeds; the caller
+    * asked for it).
+    */
+  def embedCandidateEstimate(s: SparkSession, d: String): Long = {
+    val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
+    require(probe == "single" || probe == "multi" || probe == "exact",
+      s"spark.graft.simhash.dedupProbe must be single|multi|exact, got $probe")
+    if (probe == "exact") {
+      val n = simhashN(s, d)
+      return n * (n - 1) / 2
+    }
+    val (_, bits) = simhashGeom(s, d)
+    val hist = embedBanded(s, d).groupBy("band", "bval").count()
+    val same = hist.agg(coalesce(sum(expr("count * (count - 1) DIV 2")),
+      lit(0L))).head().getLong(0)
+    val cross = if (probe == "single") 0L else {
+      val h2 = hist.select(col("band"), col("bval").as("bv2"),
+        col("count").as("c2"))
+      hist.select(col("band"), col("count").as("c1"),
+          explode(array((0 until bits).map(k =>
+            col("bval").bitwiseXOR(lit(1 << k))): _*)).as("bv2"))
+        .join(h2, Seq("band", "bv2"))
+        .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)))
+        .head().getLong(0) / 2
+    }
+    same + cross
   }
 
   /** q7H's candidate pairs WITH vectors, ready for the exact-cosine

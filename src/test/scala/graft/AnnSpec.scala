@@ -318,6 +318,27 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
   }
 
+  test("r15 pre-flight candidate estimator is EXACT in all three probe modes") {
+    // the bucket-histogram arithmetic (Σ c·(c−1)/2 + Hamming-1 cross
+    // terms) fully determines the band join's output size, so the
+    // estimate must equal the real count bit-for-bit — this is what
+    // makes it an honest pre-flight price, not a model
+    import graft.operators.LlmOps
+    for (probe <- Seq("single", "multi", "exact")) {
+      spark.conf.set("spark.graft.simhash.dedupProbe", probe)
+      try {
+        val est = LlmOps.embedCandidateEstimate(spark, sf0001)
+        val real = LlmOps.embedCandidates(spark, sf0001).count()
+        assert(est == real, s"probe=$probe: estimate $est vs real $real")
+        assert(est > 0)
+      } finally spark.conf.unset("spark.graft.simhash.dedupProbe")
+    }
+    // the advisory dial parses and the run still proceeds under it
+    spark.conf.set("spark.graft.simhash.candBudget", "1")
+    try assert(LlmOps.embedCandidates(spark, sf0001).count() > 0)
+    finally spark.conf.unset("spark.graft.simhash.candBudget")
+  }
+
   test("r14 n-scaled SimHash geometry: the occupancy/bands law and the conf pins") {
     import graft.operators.LlmOps
     // fixture n=500 ≤ 16·256 → the (4,4) construction every recall
