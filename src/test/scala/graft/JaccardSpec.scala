@@ -106,6 +106,33 @@ class JaccardSpec extends AnyFunSuite {
     }
   }
 
+  test("r15 staged-footprint dial: checkpointed candidate stage returns " +
+    "identical pairs") {
+    // spark.graft.jaccard.stageDir checkpoints dfreq and the prefix
+    // table to parquet in separate jobs (lineage cut → a disk-bound
+    // host's peak scratch is max-not-sum of the corpus exchanges); the
+    // result must be bit-identical to the in-one-job plan — it is the
+    // same dataflow with materialization boundaries inserted.
+    val base = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("spark.graft.jaccard.stageDir", dir)
+    try {
+      graft.operators.LlmOps.release(spark)
+      val stagedRows = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stagedRows == base, "staged branch disagrees")
+      // the checkpoint actually landed: both intermediates on disk
+      val staged = new java.io.File(dir).listFiles().map(_.getName)
+      assert(staged.exists(_.startsWith("dfreq_")) &&
+        staged.exists(_.startsWith("prefix_")), staged.mkString(","))
+    } finally {
+      spark.conf.unset("spark.graft.jaccard.stageDir")
+      graft.operators.LlmOps.release(spark)
+    }
+  }
+
   test("q7N candidates meet on equi-joins — never a cartesian/nested-loop") {
     val p = SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001)
       .queryExecution.executedPlan.toString
