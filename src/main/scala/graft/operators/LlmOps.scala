@@ -579,16 +579,26 @@ object LlmOps {
       else dfreq
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // prefix length = sz - ceil(3·sz/5) + 1, ceil spelled (3·sz+4) div 5.
-    // LEFT join + coalesce: absent key ⟺ df = 1 (see the dfreq note) —
-    // the rank order is bit-identical to the full-table inner join
+    // The rank window runs over the df>1 HITS ONLY (r15) — yet computes
+    // each hit's rank in the FULL (df, h) order exactly: a df=1 shingle
+    // is absent from the df>1-only table, and under (df, h) every
+    // (1, ·) row sorts strictly before every (≥2, ·) row, so a hit's
+    // full rank = (#df=1 shingles in the doc) + (rank among the doc's
+    // hits) = (sz − n2) + r2. df=1 rows were dropped AFTER the window
+    // anyway (they can never produce a pair) — this drops them BEFORE
+    // it, collapsing the window exchange + sort from every shingle
+    // instance in the corpus (2.9 B rows at the 50M-doc decade — the
+    // r14/r15 ENOSPC stage, exchange + sort spill ≈ 70 GB) to just the
+    // repeated-shingle instances (~20-30× fewer in the open-vocab
+    // regime). Bit-identical candidates; JaccardSpec's brute-force
+    // re-proof and the random-corpora property cover the rewrite.
     val prefix = staged(
-      tok.join(dfJoin, Seq("h"), "left")
-        .withColumn("df", coalesce(col("df"), lit(1L)))
-        .withColumn("rk", row_number().over(wDoc))
+      tok.join(dfJoin, "h")
+        .withColumn("r2", row_number().over(wDoc))
+        .withColumn("n2",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("rk", col("sz") - col("n2") + col("r2"))
         .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-        // a df=1 shingle lives in one doc's prefix only — it can never
-        // produce a pair, so drop it before the inverted-index join
-        .filter(col("df") > 1)
         .select(col("h"), col("doc_id"), col("sz"), col("rk")),
       "prefix")
     // Candidate pairs via the prefix ⋈ prefix equi-join (the inverted
