@@ -529,9 +529,22 @@ object LlmOps {
     def staged(df: DataFrame, name: String): DataFrame =
       if (stageDir.isEmpty) df
       else {
+        // GC nudge BEFORE and AFTER the write: the ContextCleaner only
+        // deletes a finished stage's shuffle files once its
+        // ShuffleDependency is collected, and the default
+        // spark.cleaner.periodicGC.interval is 30 MIN — far longer
+        // than the window between staged jobs. The post-write nudge
+        // can fire while the just-finished job's references are still
+        // reachable (measured in the r15 50M-doc run: a stale 26 GB
+        // agg shuffle survived its nudge and coexisted with the next
+        // join's 23 GB — a forced GC freed 48 GB instantly), so the
+        // next stage nudges again before spending disk. Deployments
+        // should also set spark.cleaner.periodicGC.interval=2min for
+        // disk-bound runs (tools/run_scale.sh does).
+        System.gc()
         val path = s"$stageDir/${name}_${java.util.UUID.randomUUID()}.parquet"
         df.write.mode("overwrite").parquet(path)
-        System.gc() // nudge the cleaner: prior stage's shuffles are done
+        System.gc()
         s.read.parquet(path)
       }
     // The df table joins back against every shingle instance, so it is

@@ -33,6 +33,7 @@ exec java -cp "$CP" $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.legacy.parquet.nanosAsLong=true \
+  -Dspark.cleaner.periodicGC.interval=2min \
   -XX:ReservedCodeCacheSize=512m \
   -Xmx"$MEM" \
   ${SCALE_EXTRA_OPTS:-} \
