@@ -36,15 +36,15 @@ BIG7 = {"q7F_lang_id", "q7G_ann_ivf", "q7S_ann_ivfpq", "q7T_bpe_train",
         "q7N_dedup_jaccard", "q7R_dedup_components", "q7A_dedup_minhash"}
 
 PAIRED = [
-    ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 3.2),
-    ("q7G+q7S", ["q7G_ann_ivf", "q7S_ann_ivfpq"], 2.7),
-    ("q7T+q7U", ["q7T_bpe_train", "q7U_bpe_tokenize"], 1.0),
+    ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 2.7),
+    ("q7G+q7S", ["q7G_ann_ivf", "q7S_ann_ivfpq"], 2.4),
+    ("q7T+q7U", ["q7T_bpe_train", "q7U_bpe_tokenize"], 0.9),
     # round 10: the whole shingle family rides q7A's cache — order-
     # invariant subtotal, same flag rule (BASELINE.md "Paired pin —
     # shingle family")
     ("shingle-family", ["q7A_dedup_minhash", "q7N_dedup_jaccard",
                         "q7P_decontaminate", "q7R_dedup_components",
-                        "q7W_dedup_spans"], 5.9),
+                        "q7W_dedup_spans"], 5.2),
 ]
 
 def main():
@@ -77,7 +77,13 @@ def main():
     run_total = sum(qs[q] for q in both)
     pinned_total = sum(pins[q] for q in both)
     ratio = run_total / pinned_total
-    scale = ratio if abs(ratio - 1) > 0.15 else 1.0
+    # normalization trigger 10% (r15, was 15%): the same r15 HEAD read
+    # 40.84s and 46.84s whole-registry totals twenty minutes apart on an
+    # idle host -- a 14.7% benign window spread that sat exactly in the
+    # 15% rule's blind spot and flagged a big-7 row (q7A x1.28) with no
+    # plan change anywhere. Per-query regressions are PLAN defects and
+    # therefore relative; scale earlier.
+    scale = ratio if abs(ratio - 1) > 0.10 else 1.0
     print(f"run {run_total:.2f}s vs pinned {pinned_total:.2f}s "
           f"(ratio {ratio:.3f}, scale {scale:.3f}); "
           f"{len(both)} pinned, {len(set(qs) - set(pins))} unpinned")
