@@ -339,6 +339,67 @@ class VecIngestSpec extends AnyFunSuite {
     assert(want.keySet.exists(_ >= 1000000L), "gap ids must be in play")
   }
 
+  test("r15 retrainAndSwap retrains an IN-PLACE-grown lake — the release path") {
+    // The other swap tests grow the lake under a NEW dir, where the
+    // model caches retrain by key; here the lake dir ITSELF grows
+    // (appended parquet, same path), the shape where — without the
+    // API's model-cache drop — the swap would silently re-attach with
+    // the condemned models and the registry would diverge from the
+    // grown lake's batch index.
+    val lake = tmpDir("graft-s15-inplace-lake")
+    val base = graft.sources.Tables.embeddings(spark, sf0001)
+    base.write.mode("overwrite").parquet(s"$lake/embeddings.parquet")
+    val src = tmpDir("graft-s15-inplace-src")
+    base.select("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(src)
+    val url = s"jdbc:derby:${tmpDir("graft-s15-inplace-db")}/db;create=true"
+    val q1 = VecIngest.attach(readVecs(src), url,
+      tmpDir("graft-s15-inplace-ckpt"), spark, lake)
+    try q1.processAllAvailable() finally q1.stop()
+    val oldCents = LlmOps.ivfModel(spark, lake)._1.map(_.cid).toSet
+
+    // grow IN PLACE: drifted arrivals appended to the same lake path
+    val drifted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("label"), transform(col("embedding"), x => x + lit(5.0f))
+        .as("embedding"))
+    drifted.write.mode("append").parquet(s"$lake/embeddings.parquet")
+    drifted.select("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val (q2, baseline2) = VecIngest.retrainAndSwap(Some(q1), readVecs(src),
+      url, tmpDir("graft-s15-inplace-ckpt2"), spark, lake)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(baseline2 > 0)
+
+    // the models actually RETRAINED (the doubled, bimodal lake trains
+    // a different quantizer geometry/centroid set than the base lake)
+    val newCents = LlmOps.ivfModel(spark, lake)._1.map(_.cid).toSet
+    assert(newCents != oldCents || LlmOps.ivfModel(spark, lake)._1.size
+      != oldCents.size, "swap reused the condemned models")
+
+    // and the registry equals the GROWN lake's batch index under the
+    // NEW models — impossible if any row kept the old encoding
+    val pq2 = LlmOps.pqModel(spark, lake)
+    val want = LlmOps.pqIndex(spark, lake).collect().map { r =>
+      val packed = r.getSeq[Int](r.fieldIndex("codes"))
+        .foldLeft(0L)((acc, c) => (acc << 8) | c)
+      r.getLong(r.fieldIndex("n_id")) ->
+        ((r.getInt(r.fieldIndex("cid")), packed,
+          r.getDouble(r.fieldIndex("nn"))))
+    }.toMap
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", VecIngest.TABLE).load()
+      .select("vec_id", "cid", "codes_packed", "nsq")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.toMap
+    assert(got.size == want.size && got == want,
+      s"in-place swap registry diverges from the grown lake's index " +
+        s"(first diff: ${(want.keySet ++ got.keySet).toSeq.sorted
+          .find(k => want.get(k) != got.get(k))})")
+    assert(pq2.m <= 8 && pq2.ks <= 256)
+  }
+
   test("S15: packed codes round-trip and the cell ids come from the model") {
     val (cents, _) = LlmOps.ivfModel(spark, sf0001)
     val pq = LlmOps.pqModel(spark, sf0001)
