@@ -1130,7 +1130,12 @@ object Scale {
       huge: Boolean = false): Unit = {
     val scales = Seq((1, 5000), (10, 50000)) ++
       (if (big || huge) Seq((100, 500000)) else Nil) ++
-      (if (huge) Seq((1000, 5000000)) else Nil)
+      (if (huge) Seq((1000, 5000000)) else Nil) ++
+      // SPARK_GRAFT_EMB_VECS: one ad-hoc extra point sized to the host
+      // (r15: the 400× run extending the measured multi-mode envelope
+      // past the 100× decade) — same row format, mult = n/5000
+      sys.env.get("SPARK_GRAFT_EMB_VECS").map(_.toInt)
+        .map(n => Seq((n / 5000, n))).getOrElse(Nil)
     // SPARK_GRAFT_SOLO: only the largest selected decade (re-measurement
     // runs over a reused corpus — the openvocab convention)
     val selected =
