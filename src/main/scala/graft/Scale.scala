@@ -1054,7 +1054,11 @@ object Scale {
     // by the caller's probe loop — assert the two agree rather than
     // silently estimating a different mode than the row reports.
     val probe = s.conf.get("spark.graft.simhash.dedupProbe", "single")
-    require((probe == "multi") == multi,
+    // exact equality (ADVICE r15): `(probe == "multi") == multi` let
+    // dedupProbe=exact through when multi=false, so a future probe-loop
+    // extension would record the n(n-1)/2 exact-mode count in a row
+    // labeled as single-mode band-join arithmetic
+    require(probe == (if (multi) "multi" else "single"),
       s"campaign probe arg multi=$multi vs conf dedupProbe=$probe")
     LlmOps.embedCandidateEstimate(s, dir)
   }

@@ -186,6 +186,31 @@ object AqlGen {
             Seq(Path(Seq("user_id"))), Nil)))
         Some(filter1.fold(sub)(f => Bin("&", f, sub)))
       }
+    // r16 nested-LET-in-subQuery shape (VERDICT r15 #7): the subQuery
+    // body declares its OWN binding — named to SHADOW the outer LET
+    // when one exists — and the inner filter references the name both
+    // bare (→ the INNER binding under lexical scoping) and row-anchored
+    // `_.name` (→ the inner rows' JSON prop, never any binding). These
+    // are the exact shapes the r13 LET expansion and the r15
+    // row-anchoring fix (bf31e21) changed; the 120-query differential
+    // now covers them structurally, not just as AqlSpec unit pins.
+    useNestedLet <- Gen.oneOf(true, false)
+    nestedTag <- tagG
+    nestedCut <- Gen.chooseNum(-300, 300)
+    nestedBody <- numExprG(1)
+    filterN = if (!useNestedLet) filter
+      else {
+        val nm = if (lets.nonEmpty) lets.head._1 else "x0"
+        val innerFilter: Expr = Bin("&",
+          Bin("<", Path(Seq(nm)), NumLit(nestedCut.toDouble, true)),
+          Bin(">=", Bin("??", RowPath(Seq(nm)), NumLit(0, true)),
+            NumLit(0, true)))
+        val innerQ = Query(Tag(nestedTag), Some(innerFilter),
+          Seq(Path(Seq("user_id"))), Nil, Nil, None,
+          Seq(nm -> nestedBody))
+        val sub: Expr = Bin("IN", Path(Seq("user_id")), SubQuery(innerQ))
+        Some(filter.fold(sub)(f => Bin("&", f, sub)))
+      }
     n <- Gen.chooseNum(0, 3)
     sels0 <- Gen.listOfN(n, Gen.frequency(
       3 -> numExprG(1), 2 -> jsonPathG, 1 -> caseG, 1 -> interpG))
@@ -201,7 +226,7 @@ object AqlGen {
           else Gen.someOf(Path(Seq("event_type")), Path(Seq("user_id")))
             .map(_.toList: List[Expr])
     lim <- Gen.option(Gen.chooseNum(1, 500))
-  } yield Query(from, filter, sels, aggs, by, lim, lets)
+  } yield Query(from, filterN, sels, aggs, by, lim, lets)
 
   // ---------- renderer (fully parenthesized → unambiguous) ----------
   private val isoFmt = java.time.format.DateTimeFormatter

@@ -114,6 +114,31 @@ class AqlOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("the fuzz corpus emits the r16 nested-LET-in-subQuery shapes " +
+    "(incl. inner-shadows-outer)") {
+    // VERDICT r15 #7: the differential's value is only as wide as the
+    // generator's shape coverage — pin that the pinned-seed corpus
+    // actually contains subQuery bodies with their OWN LET, and at
+    // least one whose inner name SHADOWS an outer binding (the exact
+    // scoping the r13 expansion + r15 row-anchoring changed).
+    def subQueries(e: Aql.Expr): Seq[Aql.Query] = e match {
+      case Aql.SubQuery(q) =>
+        q +: q.filter.toSeq.flatMap(subQueries)
+      case Aql.Bin(_, l, r) => subQueries(l) ++ subQueries(r)
+      case Aql.Un(_, x) => subQueries(x)
+      case _ => Nil
+    }
+    val pairs = AqlGen.samples(N).flatMap(q =>
+      q.filter.toSeq.flatMap(subQueries).map(inner => (q, inner)))
+    val nested = pairs.filter(_._2.lets.nonEmpty)
+    assert(nested.size >= 10,
+      s"nested-LET-in-subQuery underrepresented: ${nested.size} of $N")
+    assert(nested.exists { case (outer, inner) =>
+      outer.lets.map(_._1).toSet
+        .intersect(inner.lets.map(_._1).toSet).nonEmpty },
+      "no inner-LET-shadows-outer-LET query in the corpus")
+  }
+
   test(s"cross-engine differential: DuckDB agrees on the same $N queries") {
     val haveDuck =
       try new ProcessBuilder("python3", "-c", "import duckdb")

@@ -67,6 +67,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 injected graft_simhash_bands rejects a short planes array in SQL text " +
+    "(error, not garbage)") {
+    // VERDICT r15 #1: the kernel is handed to EVERY SQL user of an
+    // extension-built session, and UnsafeArrayData.getDouble is not
+    // bounds-checked — before the r15 guard a malformed planes literal
+    // returned silent garbage under codegen. Pin the guard on the
+    // DEPLOYMENT path itself (SQL text through GraftExtensions, not a
+    // register() call): geometry needs bands*bits*64 = 128 doubles,
+    // the call supplies 127.
+    withExtendedSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_simhash_bands(array(1.0D), array_repeat(1.0D, 127), 2, 1)")
+          .collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+      assert(msgs.exists(m => m.contains("graft_simhash_bands") && m.contains("128")),
+        s"expected the guard's named error, got: ${msgs.mkString(" | ")}")
+      // bits outside [1,31] (shift wrap) and bands < 1 through the same path
+      intercept[Exception](s.sql(
+        "SELECT graft_simhash_bands(array(1.0D), array_repeat(1.0D, 4096), 2, 32)").collect())
+      intercept[Exception](s.sql(
+        "SELECT graft_simhash_bands(array(1.0D), array_repeat(1.0D, 128), 0, 1)").collect())
+      // and the well-formed neighbor still computes (the guard is not over-eager)
+      assert(s.sql(
+        "SELECT graft_simhash_bands(array(1.0D), array_repeat(1.0D, 128), 2, 1)")
+        .head().getSeq[Int](0) == Seq(1, 1))
+    }
+  }
+
   test("the injected list covers the full kernel surface (no kernel left session-only)") {
     // every graft_* temp function the library registers per-session,
     // minus the declared UDAF exception, must be injectable

@@ -127,9 +127,17 @@ class JaccardSpec extends AnyFunSuite {
       val staged = new java.io.File(dir).listFiles().map(_.getName)
       assert(staged.exists(_.startsWith("dfreq_")) &&
         staged.exists(_.startsWith("prefix_")), staged.mkString(","))
+      // release() owns the staged scratch (ADVICE r15): a long-lived
+      // session rebuilding q7N must not accumulate UUID-fresh parquet
+      graft.operators.LlmOps.release(spark)
+      val left = new java.io.File(dir).listFiles().map(_.getName)
+      assert(!left.exists(n => n.startsWith("dfreq_") ||
+        n.startsWith("prefix_")), s"release left staged files: ${left.mkString(",")}")
     } finally {
       spark.conf.unset("spark.graft.jaccard.stageDir")
       graft.operators.LlmOps.release(spark)
+      // the temp dir itself is the test's to remove (empty post-release)
+      new java.io.File(dir).delete()
     }
   }
 

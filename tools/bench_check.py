@@ -87,6 +87,17 @@ def main():
     print(f"run {run_total:.2f}s vs pinned {pinned_total:.2f}s "
           f"(ratio {ratio:.3f}, scale {scale:.3f}); "
           f"{len(both)} pinned, {len(set(qs) - set(pins))} unpinned")
+    if scale != 1.0:
+        # ADVICE r15: once normalization engages, a genuinely uniform
+        # regression is scaled away and flagged by no per-query rule --
+        # nothing gates the absolute total. Make that visible in CI
+        # logs instead of silently absorbing it: a slow host reads this
+        # and moves on; a real whole-run regression reads this and
+        # investigates (or re-pins with a written triage).
+        print(f"  WARN: whole-run drift {100 * (ratio - 1):+.1f}% absorbed by "
+              f"normalization -- per-query rules below judge PLAN drift "
+              f"only; adjudicate the absolute total by hand (host load vs "
+              f"real uniform regression) before trusting a clean run")
     flags = []
     for q in both:
         p = pins[q] * scale

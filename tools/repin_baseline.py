@@ -19,8 +19,14 @@ def main():
     d = json.loads(open(path).read())
     qs = d["queries"]
     text = open("BASELINE.md").read()
+    # Read pins from the per-query table only (same anchoring as the
+    # --write path below) so a future section sharing the row shape
+    # can't inject bogus "pinned" entries into the drift report.
+    tbl_hdr = text.index("| query | pinned sec |")
+    tbl_end = text.index("| **total** |", tbl_hdr)
     old = {m.group(1): float(m.group(2))
-           for m in re.finditer(r"\| (q\w+) \| ([\d.]+) \|", text)}
+           for m in re.finditer(r"\| (q\w+) \| ([\d.]+) \|",
+                                text[tbl_hdr:tbl_end])}
     missing = [q for q in old if q not in qs]
     extra = [q for q in qs if q not in old]
     if missing:
@@ -40,10 +46,20 @@ def main():
         return 0
     def repl(m):
         return f"| {m.group(1)} | {qs[m.group(1)]:.3f} |"
-    text = re.sub(r"\| (q\w+) \| [\d.]+ \|", repl, text)
+    # Anchor the rewrite to the per-query table's own line range
+    # (ADVICE r15): a file-wide re.sub over the `| qXX | n.nn |` row
+    # shape would silently rewrite any future table/history section
+    # that happens to share it. Locate the table by its unique header,
+    # end at its `| **total** |` row, and substitute only in between.
+    hdr = text.index("| query | pinned sec |")
+    end = text.index("| **total** |", hdr)
+    end = text.index("\n", end) + 1  # include the total row's line
+    block = text[hdr:end]
+    block = re.sub(r"\| (q\w+) \| [\d.]+ \|", repl, block)
     total = sum(qs[q] for q in old)
-    text = re.sub(r"\| \*\*total\*\* \| \*\*[\d.]+\*\* \|",
-                  f"| **total** | **{total:.1f}** |", text)
+    block = re.sub(r"\| \*\*total\*\* \| \*\*[\d.]+\*\* \|",
+                   f"| **total** | **{total:.1f}** |", block)
+    text = text[:hdr] + block + text[end:]
     open("BASELINE.md", "w").write(text)
     print(f"BASELINE.md re-pinned: {len(old)} rows, total {total:.1f}s")
     return 0
