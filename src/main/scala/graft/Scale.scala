@@ -1833,6 +1833,120 @@ object Scale {
     }
   }
 
+  /** `pipeline` — the batch training-data pipeline composed END-TO-END
+    * as one measured campaign (VERDICT r15 #3): dedup → quality →
+    * decontaminate → split → pack → mix over ONE corpus, per-stage wall
+    * + rows in/out, the nightly-run shape of a real 100 TB pipeline.
+    *
+    * Corpus: the openvocab Zipf generator at `SPARK_GRAFT_PIPE_DOCS`
+    * docs (default 2M, distributed generation — vocab keeps the 0.4·n
+    * law), or an existing documents dir via `SPARK_GRAFT_PIPE_DIR`.
+    *
+    * The quality gate is CALIBRATED on the corpus first (the CCNet
+    * shape — percentile cuts of the measured signal distributions, the
+    * onboarding pass a platform runs once per corpus): approx p90 of
+    * the two repetition signals, p5 of the stopword score, p95 of the
+    * unigram CE — the fixture Thresholds defaults sit on a different
+    * scale than open-vocab CE entirely. Signals materialize ONCE; the
+    * gate then filters the same persisted table (pinned ≡ qualityStage
+    * in PipelineSpec).
+    *
+    * Footprint discipline: each stage persists, is counted (the timed
+    * action), and the PREVIOUS stage unpersists once its successor is
+    * materialized — peak = adjacent-stage max, the max-not-sum
+    * arithmetic of the r15 stageDir dial applied at the composition
+    * level. Stage 1's wall includes shingling + the PPJoin candidate
+    * join + verify + CC contraction (cold caches — the honest
+    * composed-run cost, same scope as the openvocab rows).
+    */
+  private def pipelineCampaign(s: SparkSession): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Pipeline
+    val nDocsEnv = sys.env.get("SPARK_GRAFT_PIPE_DOCS").map(_.toInt)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PIPE_DIR", {
+      val n = nDocsEnv.getOrElse(2000000)
+      val v = (n.toLong * 2 / 5).toInt
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-scale-pipe").toString
+      writeDocs(zipfCorpusDist(s, n.toLong, v, seed = 97L), tmp)
+      tmp
+    })
+    LlmOps.release(s)
+    val tAll0 = System.nanoTime()
+    val input = graft.sources.Tables.documents(s, dir)
+    val nInput = input.count()
+
+    // CONSTRUCTION is inside every timed block (the vecloop-accounting
+    // lesson, r15 ADVICE #2, applied from day one here): dedupStage's
+    // componentStars runs the candidate join + CC contraction eagerly
+    // at construction, and mixStage's distributed rank runs its min/max
+    // probe job — timing only the count would hide both.
+    val ((dedup, nDedup), tDedup) = timed {
+      val df = Pipeline.dedupStage(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (df, df.count())
+    }
+
+    val sig = Pipeline.qualitySignals(dedup)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cuts, tCalib) = timed {
+      val r = sig.agg(
+        expr("approx_percentile(top_bp, 0.9)"),
+        expr("approx_percentile(dup2_bp, 0.9)"),
+        expr("approx_percentile(score_bp, 0.05)"),
+        expr("approx_percentile(ce_nats, 0.95)")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val th = Pipeline.Thresholds(
+      topBpMax = cuts._1, dup2BpMax = cuts._2, scoreBpMin = cuts._3,
+      ceMax = Some(cuts._4),
+      // openvocab lang labels rotate l0..l3; weight them like the
+      // fixture mix so the interleave is non-uniform here too
+      weights = Seq("l0" -> 4L, "l1" -> 2L, "l2" -> 2L))
+    val qual = sig
+      .filter(col("top_bp") <= th.topBpMax &&
+        col("dup2_bp") <= th.dup2BpMax &&
+        col("score_bp") >= th.scoreBpMin &&
+        col("ce_nats") <= th.ceMax.get)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (nQual, tQual) = timed(qual.count())
+    sig.unpersist()
+
+    val dec = Pipeline.decontamStage(s, dir, qual, th)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (nDec, tDec) = timed(dec.count())
+    qual.unpersist()
+    dedup.unpersist()
+
+    val sp = Pipeline.splitStage(dec).persist(StorageLevel.MEMORY_AND_DISK)
+    val (nTrain, tSplit) = timed(
+      sp.filter(col("split") === "train").count())
+    val pk = Pipeline.packStage(sp, th).persist(StorageLevel.MEMORY_AND_DISK)
+    val (nChunks, tPack) = timed(pk.count())
+    dec.unpersist(); sp.unpersist()
+    val ((nMix, mixSum), tMix) = timed {
+      val mx = Pipeline.mixStage(pk, th)
+      val r = mx.agg(count(lit(1)), sum(col("mix_key"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    pk.unpersist()
+    val tTotal = (System.nanoTime() - tAll0) / 1e9
+    println(f"""{"mode":"pipeline","docs":$nInput,""" +
+      f""""dedup_rows":$nDedup,"dedup_sec":$tDedup%.1f,""" +
+      f""""calib_sec":$tCalib%.1f,"cut_top_bp":${cuts._1},""" +
+      f""""cut_dup2_bp":${cuts._2},"cut_score_bp":${cuts._3},""" +
+      f""""cut_ce":${cuts._4}%.4f,""" +
+      f""""quality_rows":$nQual,"quality_sec":$tQual%.1f,""" +
+      f""""decontam_rows":$nDec,"decontam_sec":$tDec%.1f,""" +
+      f""""train_rows":$nTrain,"split_sec":$tSplit%.1f,""" +
+      f""""chunks":$nChunks,"pack_sec":$tPack%.1f,""" +
+      f""""mix_rows":$nMix,"mix_keysum":$mixSum,"mix_sec":$tMix%.1f,""" +
+      f""""total_sec":$tTotal%.1f}""")
+    LlmOps.release(s)
+  }
+
   def main(args: Array[String]): Unit = {
     val s = session()
     args.headOption.getOrElse("openvocab") match {
@@ -1856,6 +1970,7 @@ object Scale {
       case "ingestdiag" => useRocksDb(s); ingestdiag(s)
       case "vecingest" => useRocksDb(s); vecingest(s)
       case "vecloop"   => vecloop(s)
+      case "pipeline"  => pipelineCampaign(s)
       case other       => sys.error(s"unknown mode $other")
     }
     s.stop()

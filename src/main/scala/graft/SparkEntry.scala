@@ -24,7 +24,7 @@ object SparkEntry {
     ScansEtl.queries ++ Filters.queries ++ OffsetBounds.queries ++
       Projections.queries ++ Joins.queries ++ Aggregations.queries ++
       Windows.queries ++ SortsSets.queries ++ Subqueries.queries ++
-      LlmOps.queries
+      LlmOps.queries ++ Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +34,5 @@ object SparkEntry {
     ScansEtl.oracle ++ Filters.oracle ++ OffsetBounds.oracle ++
       Projections.oracle ++ Joins.oracle ++ Aggregations.oracle ++
       Windows.oracle ++ SortsSets.oracle ++ Subqueries.oracle ++
-      LlmOps.oracle
+      LlmOps.oracle ++ Pipeline.oracle
 }

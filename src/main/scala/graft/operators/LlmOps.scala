@@ -203,7 +203,7 @@ object LlmOps {
     }
   }
 
-  private type DfCache = scala.collection.concurrent.TrieMap[(Long, String), Cached]
+  private[graft] type DfCache = scala.collection.concurrent.TrieMap[(Long, String), Cached]
 
   /** Every persisted-DataFrame cache funnels through this instead of
     * bare `getOrElseUpdate`: that path could run `build` twice and leak
@@ -212,7 +212,7 @@ object LlmOps {
     * finishes (the second caller would otherwise redo the work);
     * callers of other keys proceed untouched.
     */
-  private def cachedDf(cache: DfCache,
+  private[graft] def cachedDf(cache: DfCache,
                        s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
     val key = (sessionKey(s), d)
     cache.get(key) match {
@@ -259,6 +259,7 @@ object LlmOps {
     trainNCache.keys.filter(_._1 == key).foreach(trainNCache.remove)
     hierCache.keys.filter(_._1 == key).foreach(hierCache.remove)
     BpeTrain.release(key) // the q7T/q7U shared merge list
+    Pipeline.release(key) // the composed pipeline's mid-stage cache
     // delete this session's staged q7N checkpoints (ADVICE r15):
     // release already means "done with this session's dedup artifacts"
     // — a DataFrame held across release recomputes from caches but
@@ -1972,8 +1973,14 @@ object LlmOps {
     (cur, rounds)
   }
 
-  private def componentSizes(s: SparkSession, d: String): DataFrame = {
-    val stars = cachedDf(ccCache, s, d) {
+  /** q7R's converged star-edge table `(u = child, v = component root)`,
+    * one row per NON-root member — cached per (session, sfDir). Shared
+    * with [[Pipeline]]'s dedup stage: survivors are exactly the docs
+    * absent from `u` (roots + singletons), so the composed pipeline and
+    * the q7R registry entry contract the SAME graph once per session.
+    */
+  private[graft] def componentStars(s: SparkSession, d: String): DataFrame =
+    cachedDf(ccCache, s, d) {
       val edges = jaccardPairs(s, d)
         .select(col("id_a").as("u"), col("id_b").as("v"))
       // r13 fast path, the third application of the driver-local-below-
@@ -2008,12 +2015,13 @@ object LlmOps {
         case None => connectedComponentsWithRounds(edges)._1
       }
     }
+
+  private def componentSizes(s: SparkSession, d: String): DataFrame =
     // star edges are (child, root): one row per non-root member, so the
     // component size is the child count plus the root itself
-    stars.groupBy(col("v").as("rep"))
+    componentStars(s, d).groupBy(col("v").as("rep"))
       .agg((count(lit(1)) + lit(1L)).as("n_members"))
       .orderBy("rep")
-  }
 
   /** `spark.graft.cc.localLimit` — the edge count (near-dup survivor
     * pairs) below which q7R's components run driver-local (default

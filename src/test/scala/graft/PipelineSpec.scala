@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** The composed training-data pipeline (VERDICT r15 #3): q7N/q7R dedup →
+  * q7O/q7D/q7V quality → q7P decontaminate → q7J split → q7K pack → q7L
+  * mix as ONE DAG. The load-bearing pin: the composed DAG's per-stage
+  * outputs equal a stage-by-stage run with parquet MATERIALIZATION
+  * BOUNDARIES between stages — composition (shared caches, reused
+  * exchanges, slim columns) must be a pure optimization, never a
+  * semantics change.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  test("composed DAG ≡ stage-by-stage with parquet boundaries between stages") {
+    graft.operators.LlmOps.release(spark)
+    val d = sf0001
+    val composed = Pipeline.stages(spark, d).toMap
+    val dir = tmpDir("graft-pipe")
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    try {
+      val dedup = mat(Pipeline.dedupStage(spark, d), "dedup")
+      assert(rows(dedup) == rows(composed("1_dedup")), "dedup stage diverged")
+      val qual = mat(Pipeline.qualityStage(dedup), "qual")
+      assert(rows(qual) == rows(composed("2_quality")), "quality stage diverged")
+      val dec = mat(Pipeline.decontamStage(spark, d, qual), "dec")
+      assert(rows(dec) == rows(composed("3_decontam")), "decontam stage diverged")
+      val sp = mat(Pipeline.splitStage(dec), "sp")
+      assert(rows(sp) == rows(composed("4_split")), "split stage diverged")
+      val pk = mat(Pipeline.packStage(sp), "pk")
+      assert(rows(pk) == rows(composed("5_pack")), "pack stage diverged")
+      val mx = Pipeline.mixStage(pk)
+      assert(rows(mx) == rows(composed("6_mix")), "mix stage diverged")
+      // and no stage is vacuously equal: the fixture corpus survives
+      // (shrinking) through every gate
+      val counts = Seq(composed("0_input"), dedup, qual, dec).map(_.count())
+      assert(counts.head > 0 && counts == counts.sorted.reverse,
+        s"doc stages must shrink monotonically from a non-empty input: $counts")
+      assert(pk.count() > 0 && mx.count() == pk.count(),
+        "pack must emit chunks; mix reorders, never drops")
+    } finally graft.operators.LlmOps.release(spark)
+  }
+
+  test("q7X funnel rows are exactly the per-stage counts and checksums") {
+    graft.operators.LlmOps.release(spark)
+    try {
+      val d = sf0001
+      val st = Pipeline.stages(spark, d).toMap
+      val fun = SparkEntry.queries("q7X_pipeline_funnel")(spark, d)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      import org.apache.spark.sql.functions._
+      def agg(df: DataFrame, key: String): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col(key)).cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(fun("0_input") == agg(st("0_input"), "doc_id"))
+      assert(fun("1_dedup") == agg(st("1_dedup"), "doc_id"))
+      assert(fun("2_quality") == agg(st("2_quality"), "doc_id"))
+      assert(fun("3_decontam") == agg(st("3_decontam"), "doc_id"))
+      assert(fun("4_split_train") ==
+        agg(st("4_split").filter(col("split") === "train"), "doc_id"))
+      assert(fun("5_pack") == agg(st("5_pack"), "chunk_tokens"))
+      assert(fun("6_mix") == agg(st("6_mix"), "mix_key"))
+      assert(fun.size == 7)
+    } finally graft.operators.LlmOps.release(spark)
+  }
+
+  test("q7Y schedule is the head-100 of the mix stage in interleave order") {
+    graft.operators.LlmOps.release(spark)
+    try {
+      val d = sf0001
+      import org.apache.spark.sql.functions._
+      val sched = SparkEntry.queries("q7Y_pipeline_schedule")(spark, d).collect()
+      val want = Pipeline.stages(spark, d).toMap.apply("6_mix")
+        .orderBy("mix_key", "lang", "source", "chunk").collect().take(100)
+      assert(sched.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+      assert(sched.nonEmpty)
+      // interleave sanity: the schedule is mix_key-sorted and the head
+      // over-represents the heavy-weight lang exactly as q7L's virtual
+      // time dictates (weight w ⇒ every 840/w key units)
+      val keys = sched.map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted))
+    } finally graft.operators.LlmOps.release(spark)
+  }
+
+  test("qualityStage ≡ qualitySignals gated by the same thresholds") {
+    // the campaign calibrates on qualitySignals then gates it directly
+    // (one materialized pass); the registry path runs qualityStage.
+    // Pin the two spellings identical so calibration can never drift
+    // from the gate.
+    graft.operators.LlmOps.release(spark)
+    try {
+      import org.apache.spark.sql.functions._
+      val dedup = Pipeline.dedupStage(spark, sf0001)
+      val th = Pipeline.Defaults
+      val viaSignals = Pipeline.qualitySignals(dedup)
+        .filter(col("top_bp") <= th.topBpMax &&
+          col("dup2_bp") <= th.dup2BpMax &&
+          col("score_bp") >= th.scoreBpMin &&
+          col("ce_nats") <= th.ceMax.get)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("tokens"))
+      assert(rows(viaSignals) == rows(Pipeline.qualityStage(dedup)))
+    } finally graft.operators.LlmOps.release(spark)
+  }
+
+  test("both registry entries declare oracle SQL (full cross-engine chain)") {
+    assert(SparkEntry.oracleSql.contains("q7X_pipeline_funnel"))
+    assert(SparkEntry.oracleSql.contains("q7Y_pipeline_schedule"))
+    assert(SparkEntry.queries.contains("q7X_pipeline_funnel"))
+    assert(SparkEntry.queries.contains("q7Y_pipeline_schedule"))
+  }
+}

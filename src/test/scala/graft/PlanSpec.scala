@@ -111,6 +111,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7X/q7Y: the composed pipeline plans no cartesian and no " +
+    "corpus-wide nested loop — the only cross is the 1-row CE total") {
+    // r16: the end-to-end funnel chains six stages; a regression that
+    // turned any stage's join into a cartesian would still return
+    // correct rows at fixture scale — pin the plan, not just values.
+    for (name <- Seq("q7X_pipeline_funnel", "q7Y_pipeline_schedule")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // BroadcastNestedLoopJoin appears ONLY as the Cross of the 1-row
+      // unigram-model total (the q7V broadcast-scalar shape) — never
+      // an inner/outer nested loop over data-scale sides
+      val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl.forall(_.contains("Cross")), s"$name:\n$p")
+      // the packing/rank windows stay shard-partitioned inside the
+      // composition too: every window spec names its partition keys (a
+      // blanket no-SinglePartition pin would misfire on the funnel's
+      // own one-row global aggregates, which are metadata-scale)
+      val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.forall(_.contains("lang")), s"$name:\n${wins.mkString("\n")}")
+    }
+  }
+
+  test("pipeline quality stage: exactly TWO explodes, ONE corpus-scale " +
+    "(doc, token) exchange — structural, not optimizer-dependent") {
+    // the composition's headline exchange saving (Pipeline scaladoc):
+    // the r16 first cut referenced one tf subtree three times and
+    // relied on ReuseExchange — which did NOT fire under the composed
+    // pipeline's cached upstream (three separate explode→(doc,w)
+    // shuffles, measured). The rewrite needs no reuse: topc folds into
+    // the CE groupBy and the vocab freq comes from its own explode
+    // whose exchange is vocab-bounded by map-side combine. Pin the
+    // OPTIMIZED plan (no AQE reuse-node repetition noise): two explodes
+    // total, and exactly one of them feeds a (doc_id, w) aggregate.
+    val df = graft.operators.Pipeline.qualityStage(
+      graft.operators.Pipeline.dedupStage(spark, sf0001))
+    val p = df.queryExecution.optimizedPlan.toString
+    val explodes = p.linesIterator.count(_.contains("Generate explode(toks"))
+    assert(explodes == 2, s"want 2 explodes, got $explodes:\n$p")
+    val docWAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate [doc_id") && l.contains(", w#"))
+    assert(docWAggs == 1, s"want 1 (doc_id, w) aggregate, got $docWAggs:\n$p")
+  }
+
   test("q7K: the packing window partitions by the (lang, source) shard — " +
     "never a global single-partition running sum") {
     val p = plan("q7K_pack_sequences")
