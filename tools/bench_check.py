@@ -33,7 +33,10 @@ STORE_MB_MAX = 256    # persisted mem+disk high-water
 # (all seven are >1s, so 1.25x dominates in practice).
 BIG7_FLAG = 1.25
 BIG7 = {"q7F_lang_id", "q7G_ann_ivf", "q7S_ann_ivfpq", "q7T_bpe_train",
-        "q7N_dedup_jaccard", "q7R_dedup_components", "q7A_dedup_minhash"}
+        "q7N_dedup_jaccard", "q7R_dedup_components", "q7A_dedup_minhash",
+        # r16: the composed pipeline is now the registry's second most
+        # expensive row -- same refresh-every-round + 1.25x discipline
+        "q7X_pipeline_funnel"}
 
 PAIRED = [
     ("q7N+q7R", ["q7N_dedup_jaccard", "q7R_dedup_components"], 2.7),
@@ -45,6 +48,11 @@ PAIRED = [
     ("shingle-family", ["q7A_dedup_minhash", "q7N_dedup_jaccard",
                         "q7P_decontaminate", "q7R_dedup_components",
                         "q7W_dedup_spans"], 5.2),
+    # round 16: the composed pipeline rides the jaccard/stars caches
+    # q7N/q7R build, so its rows are order-dependent the same way --
+    # the order-invariant subtotal is the binding pin
+    ("pipeline-family", ["q7N_dedup_jaccard", "q7R_dedup_components",
+                         "q7X_pipeline_funnel", "q7Y_pipeline_schedule"], 7.1),
 ]
 
 def main():
