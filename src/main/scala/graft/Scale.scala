@@ -1887,15 +1887,17 @@ object Scale {
       (df, df.count())
     }
 
-    val sig = Pipeline.qualitySignals(dedup)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val (cuts, tCalib) = timed {
-      val r = sig.agg(
+    // construction inside the block: qualitySignals' auto vocab-gate
+    // probe (r16) is an eager pass at construction time
+    val ((sig, cuts), tCalib) = timed {
+      val sg = Pipeline.qualitySignals(dedup)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r = sg.agg(
         expr("approx_percentile(top_bp, 0.9)"),
         expr("approx_percentile(dup2_bp, 0.9)"),
         expr("approx_percentile(score_bp, 0.05)"),
         expr("approx_percentile(ce_nats, 0.95)")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      (sg, (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     }
     val th = Pipeline.Thresholds(
       topBpMax = cuts._1, dup2BpMax = cuts._2, scoreBpMin = cuts._3,
@@ -1933,7 +1935,8 @@ object Scale {
     }
     pk.unpersist()
     val tTotal = (System.nanoTime() - tAll0) / 1e9
-    println(f"""{"mode":"pipeline","docs":$nInput,""" +
+    val bvMode = s.conf.get("spark.graft.pipeline.broadcastVocab", "auto")
+    println(f"""{"mode":"pipeline","vocab_bcast":"$bvMode","docs":$nInput,""" +
       f""""dedup_rows":$nDedup,"dedup_sec":$tDedup%.1f,""" +
       f""""calib_sec":$tCalib%.1f,"cut_top_bp":${cuts._1},""" +
       f""""cut_dup2_bp":${cuts._2},"cut_score_bp":${cuts._3},""" +

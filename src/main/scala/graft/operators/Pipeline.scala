@@ -135,7 +135,44 @@ object Pipeline {
         // avoids a second reference to freq (which would duplicate its
         // whole explode subtree, the same non-reuse trap as tf)
         val total = t.agg(sum(size(col("toks"))).cast("long").as("n"))
-        tf.join(freq, "w").crossJoin(broadcast(total))
+        // tf ⋈ freq is the calibration pass's one skew-exposed exchange:
+        // freq is VOCAB-bounded but its join key is Zipf-headed (the
+        // corpus head token is a single hot w partition — measured r16,
+        // calib scaled 10.1× per 4× docs at 2M with the plain join), so
+        // broadcast it under a measured gate, the q7N dfreq pattern:
+        // `spark.graft.pipeline.broadcastVocab` ∈ auto (default) | on |
+        // off. `auto` prices the table with ONE probe pass (explode +
+        // map-side HLL + length sum — partial-aggregated, no shuffle
+        // beyond a row per task) and broadcasts iff the estimated
+        // HashedRelation footprint (avg key len + 8 B count + 64 B slot
+        // overhead per entry) fits `broadcastVocabMaxBytes` (default
+        // 128 MB) and rows fit `broadcastVocabLimit` (default 4M).
+        // Broadcast removes BOTH the corpus-scale tf-by-w re-exchange
+        // and the skew; over the gate (a 50M-doc open-vocab corpus has
+        // a ~20M-token dictionary) the plain shuffle join stands and
+        // AQE's skew split bounds the hot task.
+        val freqSide = broadcastVocabMode(t.sparkSession) match {
+          case "on"  => broadcast(freq)
+          case "off" => freq
+          case _ =>
+            val s = t.sparkSession
+            val limit = s.conf.get(
+              "spark.graft.pipeline.broadcastVocabLimit", "4000000").toLong
+            val maxBytes = s.conf.get(
+              "spark.graft.pipeline.broadcastVocabMaxBytes",
+              (128L * 1024 * 1024).toString).toLong
+            val pr = t.select(explode(col("toks")).as("w"))
+              .agg(approx_count_distinct(col("w")).as("v"),
+                sum(length(col("w"))).cast("long").as("b"),
+                count(lit(1)).as("i")).head()
+            val vEst = pr.getLong(0)
+            val avgLen = if (pr.getLong(2) == 0) 0L
+              else pr.getLong(1) / math.max(pr.getLong(2), 1L)
+            if (vEst <= limit && vEst * (avgLen + 72L) <= maxBytes)
+              broadcast(freq)
+            else freq
+        }
+        tf.join(freqSide, "w").crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(max(col("c")).as("topc"),
             round(sum(col("c") * -log(col("cw") / col("n"))) /
@@ -276,6 +313,13 @@ object Pipeline {
     val mx = mixStage(pk)
     Seq("0_input" -> input, "1_dedup" -> dedup, "2_quality" -> qual,
       "3_decontam" -> dec, "4_split" -> sp, "5_pack" -> pk, "6_mix" -> mx)
+  }
+
+  private def broadcastVocabMode(s: SparkSession): String = {
+    val m = s.conf.get("spark.graft.pipeline.broadcastVocab", "auto")
+    require(m == "auto" || m == "on" || m == "off",
+      s"spark.graft.pipeline.broadcastVocab must be auto|on|off, got $m")
+    m
   }
 
   private val pipeCache: LlmOps.DfCache =

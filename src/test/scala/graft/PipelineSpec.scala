@@ -114,6 +114,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.operators.LlmOps.release(spark)
   }
 
+  test("vocab broadcast gate: on ≡ off ≡ auto (identical quality output)") {
+    // r16 calibration dial: the tf ⋈ freq join broadcasts the
+    // vocab-bounded frequency table under a measured gate (the Zipf
+    // head token is a hot key in the shuffled spelling — 10.1× calib
+    // scaling per 4× docs, SCALE_r16). The gate must be a pure plan
+    // choice: all three modes return bit-identical rows.
+    graft.operators.LlmOps.release(spark)
+    val key = "spark.graft.pipeline.broadcastVocab"
+    try {
+      val dedup = Pipeline.dedupStage(spark, sf0001)
+      spark.conf.set(key, "off")
+      val off = rows(Pipeline.qualityStage(dedup))
+      spark.conf.set(key, "on")
+      assert(rows(Pipeline.qualityStage(dedup)) == off, "on != off")
+      spark.conf.set(key, "auto")
+      assert(rows(Pipeline.qualityStage(dedup)) == off, "auto != off")
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException](Pipeline.qualityStage(dedup))
+      assert(off.nonEmpty)
+    } finally {
+      spark.conf.unset(key)
+      graft.operators.LlmOps.release(spark)
+    }
+  }
+
   test("both registry entries declare oracle SQL (full cross-engine chain)") {
     assert(SparkEntry.oracleSql.contains("q7X_pipeline_funnel"))
     assert(SparkEntry.oracleSql.contains("q7Y_pipeline_schedule"))

@@ -152,6 +152,11 @@ class PlanSpec extends AnyFunSuite {
     val docWAggs = p.linesIterator.count(l =>
       l.contains("Aggregate [doc_id") && l.contains(", w#"))
     assert(docWAggs == 1, s"want 1 (doc_id, w) aggregate, got $docWAggs:\n$p")
+    // and under the auto vocab gate (fixture vocab ≈ 30 tokens, far
+    // inside the 4M-row/128MB budget) the tf ⋈ freq join BROADCASTS —
+    // the r16 dial that deletes the Zipf-head-skewed w re-exchange
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"), exec)
   }
 
   test("q7K: the packing window partitions by the (lang, source) shard — " +
