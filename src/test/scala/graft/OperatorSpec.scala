@@ -20,7 +20,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("registry: every declared entry runs and returns rows at sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 103) // 93 oracle + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T + q7U (SURVEY.md §7.5)
+    assert(qs.size == 105) // 95 oracle (incl. r16's q7X/q7Y) + q44 + q4E + q7A + q7C + q7E + q7G + q7H + q7S + q7T + q7U (SURVEY.md §7.5)
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
