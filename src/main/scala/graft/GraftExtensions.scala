@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SimhashBands, SortedIntersect, SortedIntersectGe, VecSub}
+import graft.functions.{BigramSet, BigramStatsExpr, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SimhashBands, SortedIntersect, SortedIntersectGe, TokenCountsExpr, VecSub}
 
 /** Cluster-wide registration of the graft codegen kernels via the
   * standard Spark extension point:
@@ -25,7 +25,7 @@ import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEnco
   * CLONES from, so `spark.sql("SELECT graft_dot(a, b) …")` works in SQL
   * text with no Scala imports at all.
   *
-  * Injected here are the ten Catalyst `Expression` kernels (all
+  * Injected here are the twelve Catalyst `Expression` kernels (all
   * codegen'd, all whole-stage-codegen friendly):
   *
   *  - `graft_dot(a, b)` — double-array dot product (q76/q77/q78/q7C).
@@ -45,6 +45,10 @@ import graft.functions.{BigramSet, DotProduct, IvfTop, MinHashSig, PqAdc, PqEnco
   *  - `graft_simhash_bands(e, planes, bands, bits)` — all SimHash LSH
   *    band values in one pass (q7C/q7H's bucketing; O(1)-size plan at
   *    any n-scaled geometry).
+  *  - `graft_token_counts(toks)` — per-doc distinct-token counts in-row
+  *    (q7O/q7V/pipeline quality: deletes the (doc, token) exchange).
+  *  - `graft_bigram_stats(toks)` — adjacent-bigram count + distinct
+  *    count in one pass (q7O's duplicate-bigram fraction).
   *
   * The one non-Expression function, the `graft_minhash` UDAF (the
   * explode-based aggregation spelling kept for parity testing), stays
@@ -87,5 +91,13 @@ object GraftExtensions {
     ("graft_bigrams", classOf[BigramSet],
       args => BigramSet(args.head)),
     ("graft_simhash_bands", classOf[SimhashBands],
-      args => SimhashBands(args.head, args(1), args(2), args(3))))
+      args => SimhashBands(args.head, args(1), args(2), args(3))),
+    // r16: the in-row text-statistics pair — per-doc token counts
+    // (deletes the corpus-scale (doc, token) exchange of q7O/q7V and
+    // the pipeline calibration) and adjacent-bigram stats (replaces
+    // the interpreted five-collection HOF spelling)
+    ("graft_token_counts", classOf[TokenCountsExpr],
+      args => TokenCountsExpr(args.head)),
+    ("graft_bigram_stats", classOf[BigramStatsExpr],
+      args => BigramStatsExpr(args.head)))
 }

@@ -1700,27 +1700,30 @@ object LlmOps {
     // bigram fraction — as exact integer basis points, rolled up per
     // lang with a keep verdict (top ≤ 1400 bp AND dup-2gram ≤ 650 bp;
     // the p90s of this corpus, so the filter genuinely splits it).
-    // Top-token count comes from explode → two-level agg: the
-    // (doc, token) partial aggregation combines map-side, so the
-    // exchange carries one row per distinct (doc, token), never raw
-    // token volume — the scale path. Bigram stats are pure in-row array
-    // ops. All arithmetic integer (§7.4.3), both engines bit-agree.
+    // r16 kernel rewrite: per-doc token counts compute IN-ROW
+    // (graft_token_counts — within-doc counting needs no cross-row
+    // data), deleting the old explode → groupBy(doc_id, w) exchange
+    // whose row count tracked distinct (doc, token) volume; what
+    // shuffles now is one already-per-doc-collapsed aggregate. Bigram
+    // stats are the one-pass graft_bigram_stats kernel (was an
+    // interpreted five-collection HOF). All arithmetic integer
+    // (§7.4.3), both engines bit-agree.
     "q7O_quality_repetition" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      val tokStats = tf.groupBy("doc_id").agg(
-        max(col("c")).as("topc"),
-        sum(col("c")).as("n_tokens"))
-      val biStats = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr(
-          """filter(zip_with(split(text, ' '),
-            |              slice(split(text, ' '), 2, size(split(text, ' '))),
-            |              (a, b) -> concat(a, ' ', b)),
-            |       x -> x IS NOT NULL)""".stripMargin).as("bg"))
+      graft.functions.TokenCounts.register(s)
+      graft.functions.BigramStats.register(s)
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      val tokStats = t
+        .select(col("doc_id"),
+          explode(expr("graft_token_counts(toks)")).as("tc"))
+        .groupBy("doc_id").agg(
+          max(col("tc.c")).as("topc"),
+          sum(col("tc.c")).as("n_tokens"))
+      val biStats = t
         .select(col("doc_id"), col("lang"),
-          size(col("bg")).as("nbg"),
-          size(array_distinct(col("bg"))).as("dbg"))
+          expr("graft_bigram_stats(toks)").as("bs"))
+        .select(col("doc_id"), col("lang"),
+          col("bs.nbg").as("nbg"), col("bs.dbg").as("dbg"))
       tokStats.join(biStats, "doc_id")
         .withColumn("top_bp", expr("(topc * 10000L) div n_tokens"))
         .withColumn("dup2_bp", expr(
@@ -1807,20 +1810,26 @@ object LlmOps {
     // unigram model — per doc, the mean cross-entropy -ln p(w) of its
     // tokens under corpus unigram frequencies. Rare-token soup scores
     // HIGH, boilerplate scores LOW; published pipelines keep the middle
-    // of the distribution. CCNet's KenLM 5-gram becomes the fully
-    // distributed vocab-bounded analog: token counting collapses to
-    // (doc, token, tf) FIRST (the q7O two-level shape — the exchange
-    // carries distinct pairs, never raw token volume), the frequency
-    // table is a vocab-bounded agg joined back on the token, and the
-    // corpus total is a 1-row broadcast. ROUND(…,4) on the one double
-    // aggregate per §7.4.3.
+    // of the distribution. r16 kernel rewrite (the Pipeline quality
+    // shape): per-doc (token, tf) pairs compute IN-ROW via
+    // graft_token_counts — the old explode → groupBy(doc, lang, w)
+    // corpus-scale exchange is gone; the frequency table aggregates
+    // its OWN explode (the one irreducible global-vocabulary shuffle),
+    // joins back on the token, and the corpus total is an in-row sum
+    // broadcast as one row. ROUND(…,4) on the one double aggregate per
+    // §7.4.3.
     "q7V_quality_unigram_ce" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
+      graft.functions.TokenCounts.register(s)
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      val tf = t
         .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
-      val freq = tf.groupBy("w").agg(sum(col("tf")).as("c"))
-      val total = freq.agg(sum(col("c")).as("n"))
+          explode(expr("graft_token_counts(toks)")).as("tc"))
+        .select(col("doc_id"), col("lang"),
+          col("tc.w").as("w"), col("tc.c").as("tf"))
+      val freq = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val total = t.agg(sum(size(col("toks"))).cast("long").as("n"))
       tf.join(freq, "w").crossJoin(broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(

@@ -22,10 +22,11 @@ import graft.sources.Tables
   *   mix (q7L weighted interleave, over CHUNKS).
   *
   * What composition buys that stage-at-a-time execution pays twice:
-  *  - ONE corpus-scale (doc, token) exchange feeds the q7O top-token
-  *    signal AND the q7V cross-entropy (standalone, each operator pays
-  *    its own); the vocab model's exchange is vocab-bounded by map-side
-  *    combine — see [[perDocSignals]] for why this is structural, not
+  *  - ZERO (doc, token) exchanges: per-doc token counts compute IN-ROW
+  *    (the `graft_token_counts` kernel) for the q7O top-token signal
+  *    AND the q7V cross-entropy; the only corpus-scale shuffle in the
+  *    quality stage is the irreducible global-vocabulary aggregation —
+  *    see [[perDocSignals]] for why this is structural, not
   *    optimizer-dependent;
   *  - the dedup stage contracts the SAME cached pair graph q7R's
   *    registry entry uses ([[LlmOps.componentStars]]), and the
@@ -95,36 +96,45 @@ object Pipeline {
     * is SLIM: text is gone, downstream stages move 4 columns.
     */
   /** Per-doc signal table shared by [[qualitySignals]] and
-    * [[qualityStage]] — ONE corpus-scale (doc, token) exchange by
-    * construction, not by optimizer grace: the r16 first cut referenced
-    * one `tf` subtree from three consumers and relied on ReuseExchange
-    * to collapse them, but under the composed pipeline's cached
-    * upstream the exchanges did NOT canonical-match (measured: three
-    * separate explode→(doc,w) shuffles in the executed plan). Now the
-    * plan needs no reuse: `topc` folds into the CE groupBy (same
-    * grouping key — one aggregation instead of a separate branch), and
-    * the vocab frequency table comes from its OWN explode whose
-    * map-side combine collapses to vocab-bounded partials before the
-    * exchange — a second explode's worth of scan CPU, but never a
-    * second corpus-scale shuffle. PlanSpec pins the optimized plan at
-    * exactly two explodes.
+    * [[qualityStage]] — ZERO (doc, token) exchanges by construction,
+    * not by optimizer grace. The r16 first cut referenced one
+    * explode→groupBy(doc_id, w) `tf` subtree from three consumers and
+    * relied on ReuseExchange to collapse them; under the composed
+    * pipeline's cached upstream the exchanges did NOT canonical-match
+    * (measured: three separate corpus-scale shuffles). The second cut
+    * made the plan need no reuse (topc folded into the CE groupBy,
+    * freq from its own explode). The third cut deletes the (doc, w)
+    * exchange ENTIRELY: within-doc counts are a one-row computation,
+    * so `explode(graft_token_counts(toks))` produces the (w, c) pairs
+    * in-row and the only corpus-scale shuffle left in the whole stage
+    * is the irreducible global-vocabulary aggregation (whose exchange
+    * carries per-task distinct partials), with the gated broadcast
+    * join deleting even the corpus-side re-exchange when the vocab
+    * table fits. The bigram signal is the in-row
+    * `graft_bigram_stats` kernel (was an interpreted five-collection
+    * HOF). PlanSpec pins the plan shape.
     */
   private def perDocSignals(docs: DataFrame, withCe: Boolean): DataFrame = {
+    graft.functions.TokenCounts.register(docs.sparkSession)
+    graft.functions.BigramStats.register(docs.sparkSession)
     val t = docs.select(col("doc_id"), col("lang"), col("source"),
       split(col("text"), " ").as("toks"))
     val base = LlmOps.withQualityStats(t, "toks")
-      .withColumn("bg", expr(
-        """filter(zip_with(toks,
-          |              slice(toks, 2, size(toks)),
-          |              (a, b) -> concat(a, ' ', b)),
-          |       x -> x IS NOT NULL)""".stripMargin))
-      .withColumn("nbg", size(col("bg")))
-      .withColumn("dbg", size(array_distinct(col("bg"))))
+      .withColumn("bs", expr("graft_bigram_stats(toks)"))
+      .withColumn("nbg", col("bs.nbg"))
+      .withColumn("dbg", col("bs.dbg"))
       .withColumn("dup2_bp", expr(
         "IF(nbg = 0, CAST(0 AS BIGINT), ((nbg - dbg) * 10000L) div nbg)"))
       .select("doc_id", "lang", "source", "n_tokens", "score_bp", "dup2_bp")
-    val tf = t.select(col("doc_id"), explode(col("toks")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    // r16 kernel rewrite: within-doc counts need no cross-row data, so
+    // graft_token_counts computes the (w, c) pairs IN-ROW and the old
+    // explode → groupBy(doc_id, w) corpus-scale exchange is GONE — the
+    // quality stage's only corpus-scale shuffle left is the
+    // irreducible global-vocabulary aggregation below (and the gated
+    // join deletes even its corpus-side re-exchange when freq fits)
+    val tf = t.select(col("doc_id"),
+        explode(expr("graft_token_counts(toks)")).as("tc"))
+      .select(col("doc_id"), col("tc.w").as("w"), col("tc.c").as("c"))
     val per =
       if (withCe) {
         // instance counts per token — identical values to aggregating
@@ -156,11 +166,23 @@ object Pipeline {
           case "off" => freq
           case _ =>
             val s = t.sparkSession
-            val limit = s.conf.get(
-              "spark.graft.pipeline.broadcastVocabLimit", "4000000").toLong
-            val maxBytes = s.conf.get(
+            // parse failures name the conf (the candBudget precedent,
+            // ADVICE r15 — a bare .toLong throws a raw
+            // NumberFormatException with no hint which knob was bad)
+            def longConf(key: String, dflt: String): Long = {
+              val raw = s.conf.get(key, dflt)
+              try raw.toLong
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"$key must be a long, got '$raw'")
+              }
+            }
+            val limit = longConf(
+              "spark.graft.pipeline.broadcastVocabLimit", "4000000")
+            val maxBytes = longConf(
               "spark.graft.pipeline.broadcastVocabMaxBytes",
-              (128L * 1024 * 1024).toString).toLong
+              (128L * 1024 * 1024).toString)
             val pr = t.select(explode(col("toks")).as("w"))
               .agg(approx_count_distinct(col("w")).as("v"),
                 sum(length(col("w"))).cast("long").as("b"),

@@ -50,7 +50,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |               array(array(3.0D), array(4.0D), array(5.0D), array(6.0D))) AS adc,
           |  graft_vec_sub(array(5.0D, 3.0D), array(2.0D, 4.0D)) AS vsub,
           |  graft_simhash_bands(array(1.0D), array_repeat(1.0D, 128), 2, 1) AS bands,
-          |  graft_simhash_bands(array(-1.0D), array_repeat(1.0D, 128), 2, 1) AS bands_neg
+          |  graft_simhash_bands(array(-1.0D), array_repeat(1.0D, 128), 2, 1) AS bands_neg,
+          |  graft_token_counts(array('a', 'b', 'a')) AS tok_counts,
+          |  graft_bigram_stats(array('a', 'b', 'a', 'b')) AS bg_stats
           |""".stripMargin).head()
       assert(row.getDouble(0) == 32.0)
       assert(row.getInt(1) == graft.functions.MinHash.K)
@@ -64,6 +66,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // all-(+1) planes: dot(e, plane) = ±1.0, sign sets bit 0 per band
       assert(row.getSeq[Int](8) == Seq(1, 1))
       assert(row.getSeq[Int](9) == Seq(0, 0))
+      // r16 kernels: first-occurrence token counts; 3 bigrams, 2 distinct
+      val tc = row.getSeq[org.apache.spark.sql.Row](10)
+        .map(r => (r.getString(0), r.getInt(1)))
+      assert(tc == Seq(("a", 2), ("b", 1)))
+      val bs = row.getStruct(11)
+      assert(bs.getInt(0) == 3 && bs.getInt(1) == 2)
     }
   }
 
@@ -108,6 +116,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.functions.PqKernels.register(s)
     graft.functions.Bigrams.register(s)
     graft.functions.SimhashBands.register(s)
+    graft.functions.TokenCounts.register(s)
+    graft.functions.BigramStats.register(s)
     val sessionRegistered = s.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val injected = GraftExtensions.kernels.map(_._1).toSet

@@ -419,6 +419,72 @@ class KernelSpec extends AnyFunSuite {
     assert(bgBytes("aé".getBytes("UTF-8")) == Seq("aé"))
   }
 
+  test("r16 graft_token_counts equals the explode→groupBy spelling it replaced " +
+    "(same (w, c) set per doc), random token arrays + edge cases") {
+    graft.functions.TokenCounts.register(spark)
+    import spark.implicits._
+    val tokGen: Gen[List[String]] = Gen.listOf(Gen.frequency(
+      (6, Gen.oneOf("the", "a", "of", "tok1", "tok2", "中文", "é")),
+      (2, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      (1, Gen.const(""))))
+    val params = Gen.Parameters.default
+    val rows = (0 until 200).map(i =>
+      (i.toLong, tokGen.pureApply(params, org.scalacheck.rng.Seed(100L + i)))) ++
+      Seq((9001L, List[String]()), (9002L, List("x")), (9003L, List("x", "x", "x")))
+    val df = rows.toDF("doc_id", "toks")
+    val viaKernel = df.select(col("doc_id"),
+        explode(expr("graft_token_counts(toks)")).as("tc"))
+      .select(col("doc_id"), col("tc.w"), col("tc.c").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaAgg = df.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaKernel == viaAgg)
+    // first-occurrence order within a doc (deterministic output)
+    val ord = Seq((1L, List("b", "a", "b", "c", "a"))).toDF("doc_id", "toks")
+      .select(expr("graft_token_counts(toks)").as("tc")).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getInt(1)))
+    assert(ord == Seq(("b", 2), ("a", 2), ("c", 1)))
+  }
+
+  test("r16 graft_bigram_stats equals the HOF spelling it replaced " +
+    "(nbg = filtered zip_with size, dbg = its distinct size)") {
+    graft.functions.BigramStats.register(spark)
+    import spark.implicits._
+    val tokGen: Gen[List[String]] = Gen.listOf(Gen.frequency(
+      (6, Gen.oneOf("x", "y", "z", "中")),
+      (2, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      // pathological: tokens CONTAINING the separator — distinctness
+      // must still be judged on the concatenated string, as the old
+      // spelling did
+      (1, Gen.const("a b")),
+      (1, Gen.const(""))))
+    val params = Gen.Parameters.default
+    val rows = (0 until 200).map(i =>
+      tokGen.pureApply(params, org.scalacheck.rng.Seed(200L + i))) ++
+      Seq(List[String](), List("x"), List("x", "x", "x", "x"),
+        // concat-collision shape: ("a b", "c") and ("a", "b c") both
+        // concat to "a b c" — old spelling counts ONE distinct bigram
+        List("a b", "c", "a", "b c"))
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "toks")
+    val got = df.select(col("doc_id"),
+        expr("graft_bigram_stats(toks)").as("bs"),
+        expr(
+          """filter(zip_with(toks,
+            |              slice(toks, 2, size(toks)),
+            |              (a, b) -> concat(a, ' ', b)),
+            |       x -> x IS NOT NULL)""".stripMargin).as("bg"))
+      .select(col("doc_id"), col("bs.nbg"), col("bs.dbg"),
+        size(col("bg")).as("nbg2"), size(array_distinct(col("bg"))).as("dbg2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3) && r.getInt(2) == r.getInt(4),
+        s"doc=${r.getLong(0)}: kernel (${r.getInt(1)},${r.getInt(2)}) vs " +
+          s"HOF (${r.getInt(3)},${r.getInt(4)})")
+    }
+  }
+
   test("graft_simhash_bands equals the per-plane IF-chain spelling it replaced, every geometry") {
     // The r14 banding kernel must be bit-identical to the SQL tree —
     // same seeded ±1 planes, same `>= 0` sign test, same bit order —

@@ -133,25 +133,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("pipeline quality stage: exactly TWO explodes, ONE corpus-scale " +
-    "(doc, token) exchange — structural, not optimizer-dependent") {
-    // the composition's headline exchange saving (Pipeline scaladoc):
-    // the r16 first cut referenced one tf subtree three times and
-    // relied on ReuseExchange — which did NOT fire under the composed
-    // pipeline's cached upstream (three separate explode→(doc,w)
-    // shuffles, measured). The rewrite needs no reuse: topc folds into
-    // the CE groupBy and the vocab freq comes from its own explode
-    // whose exchange is vocab-bounded by map-side combine. Pin the
-    // OPTIMIZED plan (no AQE reuse-node repetition noise): two explodes
-    // total, and exactly one of them feeds a (doc_id, w) aggregate.
+  test("pipeline quality stage: ZERO (doc, token) exchanges — per-doc " +
+    "counts are in-row (graft_token_counts), structural not optimizer-dependent") {
+    // the composition's headline exchange saving (Pipeline scaladoc),
+    // in three measured cuts: (1) one tf subtree referenced three
+    // times relied on ReuseExchange, which did NOT fire under the
+    // cached upstream (three corpus-scale shuffles); (2) the
+    // restructure needed no reuse but still paid ONE (doc_id, w)
+    // exchange; (3) the graft_token_counts kernel computes within-doc
+    // counts in-row, deleting it entirely. Pin the OPTIMIZED plan (no
+    // AQE reuse-node repetition noise): exactly one kernel explode,
+    // exactly one plain explode (the irreducible global-vocabulary
+    // aggregation's input), and ZERO (doc_id, w) aggregates anywhere.
     val df = graft.operators.Pipeline.qualityStage(
       graft.operators.Pipeline.dedupStage(spark, sf0001))
     val p = df.queryExecution.optimizedPlan.toString
-    val explodes = p.linesIterator.count(_.contains("Generate explode(toks"))
-    assert(explodes == 2, s"want 2 explodes, got $explodes:\n$p")
+    val kernelExplodes = p.linesIterator.count(
+      _.contains("Generate explode(graft_token_counts(toks"))
+    assert(kernelExplodes == 1, s"want 1 kernel explode, got $kernelExplodes:\n$p")
+    val plainExplodes = p.linesIterator.count(_.contains("Generate explode(toks"))
+    assert(plainExplodes == 1, s"want 1 plain explode, got $plainExplodes:\n$p")
     val docWAggs = p.linesIterator.count(l =>
       l.contains("Aggregate [doc_id") && l.contains(", w#"))
-    assert(docWAggs == 1, s"want 1 (doc_id, w) aggregate, got $docWAggs:\n$p")
+    assert(docWAggs == 0, s"want 0 (doc_id, w) aggregates, got $docWAggs:\n$p")
     // and under the auto vocab gate (fixture vocab ≈ 30 tokens, far
     // inside the 4M-row/128MB budget) the tf ⋈ freq join BROADCASTS —
     // the r16 dial that deletes the Zipf-head-skewed w re-exchange

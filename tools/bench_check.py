@@ -52,7 +52,7 @@ PAIRED = [
     # q7N/q7R build, so its rows are order-dependent the same way --
     # the order-invariant subtotal is the binding pin
     ("pipeline-family", ["q7N_dedup_jaccard", "q7R_dedup_components",
-                         "q7X_pipeline_funnel", "q7Y_pipeline_schedule"], 7.1),
+                         "q7X_pipeline_funnel", "q7Y_pipeline_schedule"], 6.7),
 ]
 
 def main():
