@@ -1936,7 +1936,10 @@ object Scale {
     pk.unpersist()
     val tTotal = (System.nanoTime() - tAll0) / 1e9
     val bvMode = s.conf.get("spark.graft.pipeline.broadcastVocab", "auto")
-    println(f"""{"mode":"pipeline","vocab_bcast":"$bvMode","docs":$nInput,""" +
+    val bvMax = s.conf.get("spark.graft.pipeline.broadcastVocabMaxBytes",
+      (128L * 1024 * 1024).toString)
+    println(f"""{"mode":"pipeline","vocab_bcast":"$bvMode",""" +
+      f""""vocab_bcast_max_bytes":$bvMax,"docs":$nInput,""" +
       f""""dedup_rows":$nDedup,"dedup_sec":$tDedup%.1f,""" +
       f""""calib_sec":$tCalib%.1f,"cut_top_bp":${cuts._1},""" +
       f""""cut_dup2_bp":${cuts._2},"cut_score_bp":${cuts._3},""" +
