@@ -1520,7 +1520,7 @@ object Scale {
       graft.streaming.VecIngest.retrainAndSwap(Some(q1), readVecs(),
         url, s"$tmp/ck2", s, lake1)
     }
-    // time the REPLAY alone (ADVICE r14: the old block also timed
+    // time the REPLAY alone (ADVICE r15: the old block also timed
     // recallNow — ten exact full-corpus 5-NN truth scans — so the
     // recorded wall measured mostly the recall evaluation)
     val (recAfter, postRatio, dueAfter, tReplay) = try {
@@ -1863,14 +1863,21 @@ object Scale {
     import org.apache.spark.storage.StorageLevel
     import graft.operators.Pipeline
     val nDocsEnv = sys.env.get("SPARK_GRAFT_PIPE_DOCS").map(_.toInt)
-    val dir = sys.env.getOrElse("SPARK_GRAFT_PIPE_DIR", {
+    // the stage-1 dial (VERDICT r16 #2): SPARK_GRAFT_PIPE_DEDUP=banded
+    // routes dedupStage through the MinHash-banded pair graph
+    val dedupMode = sys.env.getOrElse("SPARK_GRAFT_PIPE_DEDUP", "exact")
+    s.conf.set("spark.graft.pipeline.dedupMode", dedupMode)
+    val generated = if (sys.env.contains("SPARK_GRAFT_PIPE_DIR")) None else {
       val n = nDocsEnv.getOrElse(2000000)
       val v = (n.toLong * 2 / 5).toInt
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-scale-pipe").toString
       writeDocs(zipfCorpusDist(s, n.toLong, v, seed = 97L), tmp)
-      tmp
-    })
+      System.err.println(s"[scale] generated pipeline corpus at $tmp" +
+        " (deleted at campaign end unless SPARK_GRAFT_PIPE_KEEP is set)")
+      Some(tmp)
+    }
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PIPE_DIR", generated.get)
     LlmOps.release(s)
     val tAll0 = System.nanoTime()
     val input = graft.sources.Tables.documents(s, dir)
@@ -1938,7 +1945,8 @@ object Scale {
     val bvMode = s.conf.get("spark.graft.pipeline.broadcastVocab", "auto")
     val bvMax = s.conf.get("spark.graft.pipeline.broadcastVocabMaxBytes",
       (128L * 1024 * 1024).toString)
-    println(f"""{"mode":"pipeline","vocab_bcast":"$bvMode",""" +
+    println(f"""{"mode":"pipeline","dedup_mode":"$dedupMode",""" +
+      f""""vocab_bcast":"$bvMode",""" +
       f""""vocab_bcast_max_bytes":$bvMax,"docs":$nInput,""" +
       f""""dedup_rows":$nDedup,"dedup_sec":$tDedup%.1f,""" +
       f""""calib_sec":$tCalib%.1f,"cut_top_bp":${cuts._1},""" +
@@ -1951,6 +1959,21 @@ object Scale {
       f""""mix_rows":$nMix,"mix_keysum":$mixSum,"mix_sec":$tMix%.1f,""" +
       f""""total_sec":$tTotal%.1f}""")
     LlmOps.release(s)
+    // reclaim the generated scratch corpus (ADVICE r16: repeated
+    // campaign runs accumulated multi-GB temp dirs) — best-effort, and
+    // SPARK_GRAFT_PIPE_KEEP preserves it for a follow-up run over the
+    // SAME corpus (e.g. the exact-vs-banded funnel pair, via
+    // SPARK_GRAFT_PIPE_DIR)
+    generated.foreach { g =>
+      if (sys.env.contains("SPARK_GRAFT_PIPE_KEEP"))
+        System.err.println(s"[scale] generated corpus kept at $g")
+      else try {
+        val hp = new org.apache.hadoop.fs.Path(g)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      } catch { case _: java.io.IOException =>
+        System.err.println(s"[scale] temp corpus delete failed, reclaim $g by hand")
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -246,7 +246,8 @@ object LlmOps {
     // unpersists its own result when it lands (nothing leaks until
     // session end) — release never waits on a running Spark job and
     // never holds a lock another session's keys build under
-    Seq(simCache, shingleCache, jaccardCache, ccCache).foreach { c =>
+    Seq(simCache, shingleCache, jaccardCache, ccCache,
+        bandedCcCache).foreach { c =>
       c.keys.filter(_._1 == key).foreach { k =>
         c.remove(k).foreach(_.invalidate())
       }
@@ -261,11 +262,15 @@ object LlmOps {
     BpeTrain.release(key) // the q7T/q7U shared merge list
     Pipeline.release(key) // the composed pipeline's mid-stage cache
     // delete this session's staged q7N checkpoints (ADVICE r15):
-    // release already means "done with this session's dedup artifacts"
-    // — a DataFrame held across release recomputes from caches but
-    // CANNOT re-read a deleted checkpoint, same caller-owned lifecycle
-    // the stageDir scaladoc declares. Best-effort: scratch teardown
-    // must never turn a green query into a thrown release.
+    // release already means "done with this session's dedup artifacts".
+    // A staged plan is ROOTED at the checkpoint's parquet scan — there
+    // is no lineage behind it to recompute — so a DataFrame handle held
+    // across release, or a still-running job reading the staged files,
+    // fails with FileNotFoundException once the path is gone (ADVICE
+    // r16): release must not race an in-flight q7N build on the same
+    // session; it is the end-of-lifecycle call the stageDir scaladoc
+    // declares. Best-effort: scratch teardown must never turn a green
+    // query into a thrown release.
     stagePaths.remove(key).foreach { paths =>
       val conf = s.sessionState.newHadoopConf()
       paths.foreach { p =>
@@ -1829,7 +1834,9 @@ object LlmOps {
           col("tc.w").as("w"), col("tc.c").as("tf"))
       val freq = t.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val total = t.agg(sum(size(col("toks"))).cast("long").as("n"))
+      // coalesce: NULL on an empty corpus (r16 what's-wrong #1)
+      val total = t.agg(
+        coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("n"))
       tf.join(freq, "w").crossJoin(broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(
@@ -1990,8 +1997,78 @@ object LlmOps {
     */
   private[graft] def componentStars(s: SparkSession, d: String): DataFrame =
     cachedDf(ccCache, s, d) {
-      val edges = jaccardPairs(s, d)
-        .select(col("id_a").as("u"), col("id_b").as("v"))
+      starsFromEdges(s, jaccardPairs(s, d)
+        .select(col("id_a").as("u"), col("id_b").as("v")))
+    }
+
+  /** The banded twin of [[componentStars]] (VERDICT r16 #2): the same
+    * star contraction (same local-union-find gate) over
+    * [[bandedJaccardPairs]] — the composed pipeline's
+    * `dedupMode=banded` stage-1 graph. Cached per (session, sfDir)
+    * beside the exact one; released together.
+    */
+  private[graft] def bandedComponentStars(s: SparkSession, d: String): DataFrame =
+    cachedDf(bandedCcCache, s, d) {
+      // the pair table is consumed only by this build (probe collect,
+      // then either the local union-find or the round-materialized
+      // loop), so its persist is build-local, the dfreq convention —
+      // nothing session-scoped to leak
+      val pairs = bandedJaccardPairs(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try starsFromEdges(s,
+        pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      finally pairs.unpersist(blocking = false)
+    }
+
+  private val bandedCcCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Cached]
+
+  /** q7A's MinHash-LSH candidate stage VERIFIED at q7N's exact
+    * threshold (word-3-shingle Jaccard ≥ 3/5): the banded near-dup edge
+    * set. Banding only PRUNES — a pair reaches verify only when one of
+    * the 32 bands' 2-slot signatures collides — and verify applies the
+    * same exact predicate as [[jaccardPairs]] (the threshold-aware
+    * graft_isect_ge_sorted walk), so banded edges ⊆ exact edges.
+    * Consequence (BandedDedupSpec pins both directions): banded
+    * components REFINE exact components, every banded component's min
+    * is ≥ its enclosing exact component's min, so the banded dedup may
+    * KEEP an extra near-dup (missed band ⇒ missed edge) but never
+    * drops a doc the exact dedup keeps — the safe failure direction
+    * for a training corpus. The 100 TB trade: the exact PPJoin's
+    * candidate join grew 8.1× per 4× docs and was 74% of the composed
+    * wall at 5M docs (SCALE_r16); the band equi-join's candidate count
+    * follows collision geometry, not prefix overlap.
+    */
+  private[graft] def bandedJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    MinHash.register(s)
+    SortedIntersect.register(s)
+    // empty shingle sets out BEFORE banding (the q7A lesson): an empty
+    // set's in-row signature is all-Long.MaxValue — one hot bucket in
+    // every band, a quadratic self-join
+    val sets = shingled(s, d).filter(size(col("shingles")) >= 1)
+    val nBands = MinHash.K / 2
+    val sig = sets.select(col("doc_id"),
+      expr("graft_minhash_row(shingles)").as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(bandSql(nBands))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
+      .withColumn("inter", expr("graft_isect_ge_sorted(ga, gb, 3, 5)"))
+      .filter(col("inter") >= 0)
+      .select("id_a", "id_b")
+  }
+
+  /** Star-edge fixpoint over an arbitrary `(u, v)` edge table — the
+    * body [[componentStars]] and [[bandedComponentStars]] share.
+    */
+  private def starsFromEdges(s: SparkSession, edges: DataFrame): DataFrame = {
       // r13 fast path, the third application of the driver-local-below-
       // a-budget argument (BPE merges, then the quantizers): the edge
       // set is the near-dup SURVIVOR pairs — a vanishing fraction of the

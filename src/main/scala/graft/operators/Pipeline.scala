@@ -77,16 +77,104 @@ object Pipeline {
 
   val Defaults: Thresholds = Thresholds()
 
+  /** [[Thresholds]] from `spark.graft.pipeline.*` confs (VERDICT r16
+    * #1): the gates lived only in code, so a platform could not re-gate
+    * a corpus without recompiling — inconsistent with the repo's own
+    * conf discipline (broadcastVocab, candBudget, localVocabLimit).
+    * Defaults are IDENTICAL to [[Defaults]], so with nothing set the
+    * q7X/q7Y oracle rows are bit-identical to r16. `ceMax` accepts a
+    * double or `none` (gate off); `weights` is `lang:w,lang:w` with
+    * long weights. Parse failures name the conf (the candBudget
+    * pattern — a bare .toLong names nothing).
+    */
+  def thresholdsFromConf(s: SparkSession): Thresholds = {
+    val dflt = Defaults
+    val ceKey = "spark.graft.pipeline.ceMax"
+    val ceRaw = s.conf.get(ceKey, dflt.ceMax.map(_.toString).getOrElse("none"))
+    val ce =
+      if (ceRaw.equalsIgnoreCase("none")) None
+      else try Some(ceRaw.toDouble)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ceKey must be a double or 'none', got '$ceRaw'")
+      }
+    val wKey = "spark.graft.pipeline.weights"
+    val wRaw = s.conf.get(wKey,
+      dflt.weights.map { case (l, w) => s"$l:$w" }.mkString(","))
+    val weights = wRaw.split(",").toSeq.filter(_.nonEmpty).map { p =>
+      p.split(":") match {
+        case Array(l, w) if l.nonEmpty =>
+          try l -> w.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$wKey entries must be lang:long, got '$p'")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"$wKey entries must be lang:long, got '$p'")
+      }
+    }
+    val packBudget = longConf(s, "spark.graft.pipeline.packBudget",
+      dflt.packBudget)
+    require(packBudget > 0,
+      s"spark.graft.pipeline.packBudget must be > 0, got $packBudget")
+    Thresholds(
+      topBpMax = longConf(s, "spark.graft.pipeline.topBpMax", dflt.topBpMax),
+      dup2BpMax = longConf(s, "spark.graft.pipeline.dup2BpMax", dflt.dup2BpMax),
+      scoreBpMin = longConf(s, "spark.graft.pipeline.scoreBpMin", dflt.scoreBpMin),
+      ceMax = ce,
+      deconMinShared = longConf(s, "spark.graft.pipeline.deconMinShared",
+        dflt.deconMinShared),
+      evalIdMax = longConf(s, "spark.graft.pipeline.evalIdMax", dflt.evalIdMax),
+      packBudget = packBudget,
+      weights = weights)
+  }
+
+  private def longConf(s: SparkSession, key: String, dflt: Long): Long = {
+    val raw = s.conf.get(key, dflt.toString)
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$key must be a long, got '$raw'")
+    }
+  }
+
+  /** `spark.graft.pipeline.dedupMode` — the stage-1 dial (VERDICT r16
+    * #2): `exact` (default, the q7N PPJoin pair graph) or `banded` (the
+    * q7A MinHash-LSH candidate graph verified at the SAME exact Jaccard
+    * threshold). Banding only prunes candidates, so banded edges ⊆
+    * exact edges: banded dedup may KEEP extra near-dups but never drops
+    * a doc the exact dedup keeps (BandedDedupSpec pins both
+    * directions) — the safe failure direction for a training corpus,
+    * and the scale path once the PPJoin's superlinear growth dominates
+    * the composed wall (74% of it at 5M docs, SCALE_r16).
+    */
+  private[graft] def dedupMode(s: SparkSession): String = {
+    val m = s.conf.get("spark.graft.pipeline.dedupMode", "exact")
+    require(m == "exact" || m == "banded",
+      s"spark.graft.pipeline.dedupMode must be exact|banded, got $m")
+    m
+  }
+
   /** Stage 1 — near-dup removal. Survivors = docs absent from the
     * star-edge child column (component roots keep, every other member
     * drops; the root is the component MINIMUM doc_id, q7R's fixpoint).
     * The anti-join's right side is the star table — near-dup CHILDREN
     * only, a vanishing fraction of the corpus, typically broadcast.
+    * The star graph is exact (q7N) or banded (q7A candidates, exact
+    * verify) per [[dedupMode]].
     */
   def dedupStage(s: SparkSession, d: String): DataFrame =
+    dedupStage(s, d, dedupMode(s))
+
+  def dedupStage(s: SparkSession, d: String, mode: String): DataFrame = {
+    val stars = mode match {
+      case "banded" => LlmOps.bandedComponentStars(s, d)
+      case _        => LlmOps.componentStars(s, d)
+    }
     Tables.documents(s, d).select("doc_id", "lang", "source", "text")
-      .join(LlmOps.componentStars(s, d).select(col("u").as("doc_id")),
-        Seq("doc_id"), "left_anti")
+      .join(stars.select(col("u").as("doc_id")), Seq("doc_id"), "left_anti")
+  }
 
   /** Stage 2 — the three-signal quality gate, ONE corpus exchange.
     * `tf` (distinct (doc, token) counts — map-side combined, the q7O/
@@ -143,8 +231,11 @@ object Pipeline {
           .groupBy("w").agg(count(lit(1)).as("cw"))
         // Σ cw ≡ total token instances ≡ Σ |toks| — the in-row spelling
         // avoids a second reference to freq (which would duplicate its
-        // whole explode subtree, the same non-reuse trap as tf)
-        val total = t.agg(sum(size(col("toks"))).cast("long").as("n"))
+        // whole explode subtree, the same non-reuse trap as tf).
+        // coalesce: NULL on an empty corpus (r16 what's-wrong #1) — 0
+        // keeps the plan alive; the join below has no rows to gate.
+        val total = t.agg(
+          coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("n"))
         // tf ⋈ freq is the calibration pass's one skew-exposed exchange:
         // freq is VOCAB-bounded but its join key is Zipf-headed (the
         // corpus head token is a single hot w partition — measured r16,
@@ -166,26 +257,18 @@ object Pipeline {
           case "off" => freq
           case _ =>
             val s = t.sparkSession
-            // parse failures name the conf (the candBudget precedent,
-            // ADVICE r15 — a bare .toLong throws a raw
-            // NumberFormatException with no hint which knob was bad)
-            def longConf(key: String, dflt: String): Long = {
-              val raw = s.conf.get(key, dflt)
-              try raw.toLong
-              catch {
-                case _: NumberFormatException =>
-                  throw new IllegalArgumentException(
-                    s"$key must be a long, got '$raw'")
-              }
-            }
-            val limit = longConf(
-              "spark.graft.pipeline.broadcastVocabLimit", "4000000")
-            val maxBytes = longConf(
+            val limit = longConf(s,
+              "spark.graft.pipeline.broadcastVocabLimit", 4000000L)
+            val maxBytes = longConf(s,
               "spark.graft.pipeline.broadcastVocabMaxBytes",
-              (128L * 1024 * 1024).toString)
+              128L * 1024 * 1024)
+            // coalesce: sum() over a ZERO-ROW explode (empty corpus, or
+            // all-empty token arrays) is NULL and Row.getLong throws —
+            // a degenerate corpus must trivially decline the broadcast,
+            // not crash the gate (VERDICT r16 what's-wrong #1)
             val pr = t.select(explode(col("toks")).as("w"))
               .agg(approx_count_distinct(col("w")).as("v"),
-                sum(length(col("w"))).cast("long").as("b"),
+                coalesce(sum(length(col("w"))), lit(0L)).cast("long").as("b"),
                 count(lit(1)).as("i")).head()
             val vEst = pr.getLong(0)
             val avgLen = if (pr.getLong(2) == 0) 0L
@@ -296,17 +379,29 @@ object Pipeline {
       .select("mix_key", "lang", "source", "chunk", "n_docs", "chunk_tokens")
   }
 
-  /** The composed DAG under the DEFAULT thresholds, one DataFrame per
-    * stage boundary (each built on the previous — nothing materialized
-    * here; the funnel/schedule actions decide what to run). The quality
-    * output — the point where the corpus collapses to slim rows — is
-    * cached per (session, sfDir) so q7X's seven funnel branches and
-    * q7Y's schedule don't re-pay the corpus-scale stages; released with
-    * the rest of the session's dedup artifacts by [[LlmOps.release]].
+  /** The composed DAG under the conf'd thresholds + dedup mode
+    * ([[thresholdsFromConf]] / [[dedupMode]]; defaults = [[Defaults]] +
+    * exact, so an unconfigured session runs exactly the r16 DAG), one
+    * DataFrame per stage boundary (each built on the previous — nothing
+    * materialized here; the funnel/schedule actions decide what to
+    * run). The quality output — the point where the corpus collapses to
+    * slim rows — is cached per (session, sfDir, gates) so q7X's seven
+    * funnel branches and q7Y's schedule don't re-pay the corpus-scale
+    * stages; released with the rest of the session's dedup artifacts by
+    * [[LlmOps.release]].
     */
   def stages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    // conf-gated (r17): thresholds + dedup mode come from
+    // spark.graft.pipeline.* with defaults == Defaults, and the
+    // mid-stage caches key on BOTH — one session re-gating the same
+    // corpus (the PipelineSpec conf case, or an operator sweeping cuts)
+    // must never be served another gate's cached survivors. The
+    // fingerprint is the case-class render (deterministic) + the mode.
+    val th = thresholdsFromConf(s)
+    val mode = dedupMode(s)
+    val fp = s"$d#$mode#$th"
     val input = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
-    val dedup = dedupStage(s, d)
+    val dedup = dedupStage(s, d, mode)
     // Both mid-stage caches persist a RE-ROOTED plan (the
     // connectedComponentsWithRounds lineage-cut precedent,
     // LlmOps.scala): persist() alone does not cut lineage — analysis
@@ -319,20 +414,20 @@ object Pipeline {
     def cutAndPersist(df: DataFrame): DataFrame =
       s.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val qual = LlmOps.cachedDf(pipeCache, s, d) {
-      cutAndPersist(qualityStage(dedup))
+    val qual = LlmOps.cachedDf(pipeCache, s, fp) {
+      cutAndPersist(qualityStage(dedup, th))
     }
     // the decontam output is cached too: it is the last corpus-JOINED
     // stage (survivor shingles explode against the broadcast eval
     // index), and FIVE funnel branches plus the schedule's rank probe
     // sit downstream of it — uncached, each re-paid the explode+join.
     // Footprint is 4 slim columns over surviving docs.
-    val dec = LlmOps.cachedDf(pipeDecCache, s, d) {
-      cutAndPersist(decontamStage(s, d, qual))
+    val dec = LlmOps.cachedDf(pipeDecCache, s, fp) {
+      cutAndPersist(decontamStage(s, d, qual, th))
     }
     val sp = splitStage(dec)
-    val pk = packStage(sp)
-    val mx = mixStage(pk)
+    val pk = packStage(sp, th)
+    val mx = mixStage(pk, th)
     Seq("0_input" -> input, "1_dedup" -> dedup, "2_quality" -> qual,
       "3_decontam" -> dec, "4_split" -> sp, "5_pack" -> pk, "6_mix" -> mx)
   }
@@ -364,8 +459,13 @@ object Pipeline {
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val st = stages(s, d).toMap
+    // coalesce: sum over a stage with ZERO rows is NULL — an empty
+    // corpus must funnel as 7 rows of zeros, not 7 rows of nulls
+    // (VERDICT r16 what's-wrong #1; on any non-empty stage the value is
+    // unchanged, so the oracle rows are bit-identical)
     def row(stage: String, df: DataFrame, key: Column): DataFrame =
-      df.agg(count(lit(1)).as("n_units"), sum(key).cast("long").as("sum_key"))
+      df.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(key).cast("long"), lit(0L)).as("sum_key"))
         .select(lit(stage).as("stage"), col("n_units"), col("sum_key"))
     Seq(
       row("0_input", st("0_input"), col("doc_id")),

@@ -16,12 +16,17 @@ import graft.operators.Pipeline
   * pass the cross-engine check; an independent from-the-rules model
   * would not.
   *
-  * The CE gate is OFF here (ceMax = None): the model stays all-integer
-  * and the equality airtight — a transcendental score recomputed in a
-  * different summation order can legitimately differ in the 4th
-  * decimal, which is a tolerance question, not a correctness one (the
-  * CE gate is covered by the fixture oracle at three scales and the
-  * on/off/auto value-identity pin).
+  * The CE gate is OFF in the all-stage property (ceMax = None): the
+  * model stays all-integer and the equality airtight — a transcendental
+  * score recomputed in a different summation order can legitimately
+  * differ in the 4th decimal. The CE gate gets its OWN property below
+  * (VERDICT r16 #6) with the tolerance made rigorous: the model
+  * computes the same per-term doubles (long casts + java.lang.Math.log,
+  * exactly Catalyst's arithmetic), differing from any Spark plan only
+  * in SUMMATION ORDER, and the cut is placed at the widest CE gap so
+  * every doc is provably farther from it than the reorder + ROUND(x,4)
+  * error can reach — membership then must match exactly, both sides
+  * populated by construction.
   */
 class PipelinePropertySpec extends AnyFunSuite {
   import SparkTestBase._
@@ -231,6 +236,81 @@ class PipelinePropertySpec extends AnyFunSuite {
         assert(mQual.size < mDedup.size, s"seed=$seed: quality dropped nothing")
         assert(mDec.size < mQual.size, s"seed=$seed: decontam dropped nothing")
         assert(mPack.nonEmpty && mMix.nonEmpty, s"seed=$seed: empty tail")
+        graft.operators.LlmOps.release(spark)
+      }
+    } finally graft.operators.LlmOps.release(spark)
+  }
+
+  /** The model's CE under the exact rule: per-term products are
+    * (double)c · −log((double)cw / (double)n) with long-exact casts —
+    * the same doubles Spark computes up to at most 1 ulp per log call
+    * (java.lang.Math.log may be intrinsified; Catalyst may bind either
+    * Math or StrictMath — both are within 1 ulp of fdlibm), so the
+    * cross-engine divergence is summation order + ≤ k ulps, both
+    * absorbed by the margin below.
+    */
+  private def ceOf(cs: Vector[Doc], survivors: Set[Long]): Map[Long, Double] = {
+    val surv = cs.filter(d => survivors(d.id))
+    val freq = surv.flatMap(_.words).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val n = freq.values.sum.toDouble
+    surv.map { d =>
+      val counts = d.words.groupBy(identity)
+        .map { case (w, xs) => w -> xs.size.toLong }
+      val s = counts.map { case (w, c) => c * -math.log(freq(w) / n) }.sum
+      d.id -> s / d.words.length
+    }.toMap
+  }
+
+  test("CE gate ≡ the model at a proven-safe margin, both sides populated") {
+    // VERDICT r16 #6: the one floating-point gate, covered until now
+    // only by the shared-author DuckDB chain. Margin argument: Spark's
+    // gated value is ROUND(ce, 4) with ce summed in SOME order; the
+    // model's ce uses identical per-term doubles, so |spark_raw −
+    // model| ≤ (k−1)·2ε·Σ|terms|/Σc ≪ 1e-9 (k ≤ doc tokens ≤ 20,
+    // terms ≤ 20·ln(corpus)), and |round(x,4) − x| ≤ 5e-5 + 1 ulp.
+    // Place the cut so every model CE is > 1.5e-4 away and the rounded
+    // Spark value cannot cross it — gate membership must then be
+    // EXACTLY the model's, no tolerance in the assert itself.
+    graft.operators.LlmOps.release(spark)
+    import spark.implicits._
+    try {
+      for (seed <- Seq(11L, 47L)) {
+        val cs = corpus(seed, 140)
+        val dir = tmpDir(s"graft-pipe-ce-$seed")
+        cs.map(d => (d.id, d.words.mkString(" "), d.lang, d.source,
+            d.words.mkString(" ").length.toLong))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+        val mDedup = dedupSurvivors(cs)
+        val ce = ceOf(cs, mDedup)
+        // cut = midpoint of the widest gap in the middle half of the
+        // CE distribution: both sides non-empty by construction, and
+        // the margin assert below proves the stability precondition
+        val sortedCe = ce.values.toVector.sorted
+        val lo = sortedCe.size / 4
+        val hi = sortedCe.size * 3 / 4
+        val (gap, cut) = (lo until hi).map { i =>
+          (sortedCe(i + 1) - sortedCe(i), (sortedCe(i) + sortedCe(i + 1)) / 2)
+        }.maxBy(_._1)
+        assert(gap > 3e-4,
+          s"seed=$seed: widest mid-distribution CE gap $gap too narrow " +
+            "for the margin argument — pick another seed")
+        assert(ce.values.forall(c => math.abs(c - cut) > 1.5e-4))
+
+        // neutralize the integer gates (top/dup2 ≤ 10000 bp always;
+        // score ≥ 0 always): ONLY the CE gate bites
+        val th = Pipeline.Defaults.copy(topBpMax = 10000L,
+          dup2BpMax = 10000L, scoreBpMin = 0L, ceMax = Some(cut))
+        val kept = Pipeline.qualityStage(Pipeline.dedupStage(spark, dir), th)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val mKept = ce.collect { case (id, c) if c <= cut => id }.toSet
+        assert(kept == mKept, s"seed=$seed: CE gate membership diverged " +
+          s"(spark-only ${(kept -- mKept).take(3)}, " +
+          s"model-only ${(mKept -- kept).take(3)})")
+        assert(mKept.nonEmpty && mKept.size < ce.size,
+          s"seed=$seed: the cut must split the corpus")
         graft.operators.LlmOps.release(spark)
       }
     } finally graft.operators.LlmOps.release(spark)

@@ -41,6 +41,19 @@ class PipelineSpec extends AnyFunSuite {
       assert(rows(pk) == rows(composed("5_pack")), "pack stage diverged")
       val mx = Pipeline.mixStage(pk)
       assert(rows(mx) == rows(composed("6_mix")), "mix stage diverged")
+      // round(ce, 4) is the funnel's one float gate, and this test
+      // compares it across DIFFERENT physical plans (cached chain vs
+      // parquet-rooted), which may sum the CE terms in different orders
+      // (ADVICE r16). A plan change moves the rounded value by at most
+      // one 1e-4 step, so the bit-identity above is provably stable iff
+      // no doc's rounded CE sits within that step of the 3.42 cut —
+      // assert it, so a future fixture regeneration that lands a doc on
+      // the boundary fails HERE with a diagnosis, not as a flake.
+      val ces = Pipeline.qualitySignals(dedup)
+        .select("ce_nats").collect().map(_.getDouble(0))
+      assert(ces.nonEmpty && ces.forall(c => math.abs(c - 3.42) >= 2e-4),
+        "a fixture doc's CE is within rounding distance of the cut — " +
+          "cross-plan bit-identity not provable on this corpus")
       // and no stage is vacuously equal: the fixture corpus survives
       // (shrinking) through every gate
       val counts = Seq(composed("0_input"), dedup, qual, dec).map(_.count())
@@ -133,10 +146,86 @@ class PipelineSpec extends AnyFunSuite {
       spark.conf.set(key, "bogus")
       intercept[IllegalArgumentException](Pipeline.qualityStage(dedup))
       assert(off.nonEmpty)
+      // same cross-plan CE-boundary guard as the composed≡staged test
+      // (ADVICE r16): on ≡ off ≡ auto compares broadcast vs shuffle
+      // summation orders through the ROUND(ce,4) gate
+      spark.conf.unset(key)
+      val ces = Pipeline.qualitySignals(dedup)
+        .select("ce_nats").collect().map(_.getDouble(0))
+      assert(ces.forall(c => math.abs(c - 3.42) >= 2e-4),
+        "a fixture doc's CE is within rounding distance of the cut")
     } finally {
       spark.conf.unset(key)
       graft.operators.LlmOps.release(spark)
     }
+  }
+
+  test("conf surface: spark.graft.pipeline.* re-gates the funnel; defaults unchanged") {
+    // VERDICT r16 #1: the gates must be conf turns, not recompiles —
+    // and with nothing set the funnel must be bit-identical to the
+    // in-code Defaults (the oracle-pinned r16 rows).
+    graft.operators.LlmOps.release(spark)
+    val d = sf0001
+    def byStage(s: Set[Seq[Any]]): Map[Any, Seq[Any]] =
+      s.map(r => r.head -> r).toMap
+    try {
+      val defRows = rows(Pipeline.funnel(spark, d))
+      // a maximal score floor: only all-distinct stopword-free docs
+      // reach 10000 bp, so the quality gate tightens for real
+      spark.conf.set("spark.graft.pipeline.scoreBpMin", "10000")
+      val strict = rows(Pipeline.funnel(spark, d))
+      assert(strict != defRows, "a non-default score gate must change the funnel")
+      // stages UPSTREAM of the re-gated one are untouched
+      assert(byStage(strict)("0_input") == byStage(defRows)("0_input"))
+      assert(byStage(strict)("1_dedup") == byStage(defRows)("1_dedup"))
+      val nQual = (s: Set[Seq[Any]]) =>
+        byStage(s)("2_quality")(1).asInstanceOf[Long]
+      assert(nQual(strict) < nQual(defRows),
+        "the stricter floor must shrink the quality stage")
+      spark.conf.unset("spark.graft.pipeline.scoreBpMin")
+      assert(rows(Pipeline.funnel(spark, d)) == defRows,
+        "unset confs must restore the default funnel bit-identically")
+      // ceMax=none disables the CE gate (the calibration posture)
+      spark.conf.set("spark.graft.pipeline.ceMax", "none")
+      val unCe = rows(Pipeline.funnel(spark, d))
+      assert(nQual(unCe) >= nQual(defRows))
+      spark.conf.unset("spark.graft.pipeline.ceMax")
+      // parse failures NAME the conf (the candBudget pattern)
+      spark.conf.set("spark.graft.pipeline.ceMax", "bogus")
+      val e = intercept[IllegalArgumentException](Pipeline.funnel(spark, d))
+      assert(e.getMessage.contains("spark.graft.pipeline.ceMax"))
+      spark.conf.unset("spark.graft.pipeline.ceMax")
+      spark.conf.set("spark.graft.pipeline.weights", "en-4")
+      val e2 = intercept[IllegalArgumentException](Pipeline.funnel(spark, d))
+      assert(e2.getMessage.contains("spark.graft.pipeline.weights"))
+      spark.conf.unset("spark.graft.pipeline.weights")
+      spark.conf.set("spark.graft.pipeline.packBudget", "0")
+      val e3 = intercept[IllegalArgumentException](Pipeline.funnel(spark, d))
+      assert(e3.getMessage.contains("spark.graft.pipeline.packBudget"))
+    } finally {
+      Seq("scoreBpMin", "ceMax", "weights", "packBudget", "dedupMode")
+        .foreach(k => spark.conf.unset(s"spark.graft.pipeline.$k"))
+      graft.operators.LlmOps.release(spark)
+    }
+  }
+
+  test("degenerate corpus: q7X funnels 7 rows of zeros, q7Y schedules nothing") {
+    // VERDICT r16 what's-wrong #1: sum() over zero rows is NULL — the
+    // probe's Row.getLong and the funnel checksums must coalesce, so an
+    // empty documents table degrades to an all-zero funnel, not a crash.
+    graft.operators.LlmOps.release(spark)
+    import spark.implicits._
+    val dir = tmpDir("graft-pipe-empty")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val fun = SparkEntry.queries("q7X_pipeline_funnel")(spark, dir).collect()
+      assert(fun.length == 7, s"funnel must keep its 7 stage rows, got ${fun.length}")
+      assert(fun.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+        "every stage of an empty corpus is 0 units / 0 checksum")
+      assert(SparkEntry.queries("q7Y_pipeline_schedule")(spark, dir).count() == 0L)
+    } finally graft.operators.LlmOps.release(spark)
   }
 
   test("both registry entries declare oracle SQL (full cross-engine chain)") {
