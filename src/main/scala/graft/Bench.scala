@@ -120,6 +120,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] target/bench.json write failed: ${e.getMessage}")
     }
+    // Compact summary printed LAST (VERDICT r16 #4): the driver
+    // snapshots only the TAIL of stdout, and the full per-query line
+    // outgrew it two rounds running (BENCH_r15/r16 "parsed": null —
+    // 61/105 rows recoverable by regex). The tail must END with a short
+    // self-contained JSON line that always parses; the full per-query
+    // map stays in the line above and in target/bench.json (committed
+    // per round as BENCHFULL_r{N}.json, the authoritative sweep).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","provenance":"$prov; compact tail line, full per-query map in target/bench.json","n_queries":${names.length},"failures":$fs,"value":$total}""")
     spark.stop()
   }
 }

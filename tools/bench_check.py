@@ -79,8 +79,17 @@ def main():
     else:
         print("unrecognized bench format: no 'queries' dict, no 'tail'")
         return 2
+    # Anchor the pin parse to the per-query table's own span (ADVICE
+    # r16), the same anchoring repin_baseline.py uses: a future
+    # BASELINE.md section sharing the `| qXX | n.nn |` row shape (a
+    # history table, a per-host appendix) must not inject bogus pins
+    # into the CI-gating rule.
+    btext = open("BASELINE.md").read()
+    tbl_hdr = btext.index("| query | pinned sec |")
+    tbl_end = btext.index("| **total** |", tbl_hdr)
     pins = {m.group(1): float(m.group(2))
-            for m in re.finditer(r"\| (q\w+) \| ([\d.]+) \|", open("BASELINE.md").read())}
+            for m in re.finditer(r"\| (q\w+) \| ([\d.]+) \|",
+                                 btext[tbl_hdr:tbl_end])}
     both = [q for q in qs if q in pins]
     run_total = sum(qs[q] for q in both)
     pinned_total = sum(pins[q] for q in both)
