@@ -90,16 +90,27 @@ object Joins {
     }),
 
     // theta/range join: same user, e2 strictly within 1h after e1.
-    // Equi key (user_id) + range conjunct → shuffle on user, range filter
-    // inside the join — never a cartesian product.
+    // r17 (guide §2.4): the join spelling (equi key + range conjunct)
+    // materialized the whole PAIR STREAM — every (a, b) match crossed
+    // the join just to be counted — and shuffled/broadcast the events
+    // table twice (once per side). The pair count per user is exactly
+    // Σ_a |{b : a < b ≤ a + 1h}|, i.e. a RANGE-frame count over each
+    // user's time-sorted events, so ONE exchange on user_id + one sort
+    // replaces the self-join, the pair stream never exists as rows, and
+    // the groupBy reuses the window's partitioning (no second
+    // exchange). Frame [cur+1µs, cur+1h] over integer µs ≡ the old
+    // (b_us > a_us AND b_us <= a_us + 1h) predicate; the isNotNull
+    // filter reproduces the inner join's null-key drop. Users with zero
+    // pairs produced no join rows before → filter n_pairs > 0.
     "q36_join_theta" -> ((s, d) => {
-      val ev = Tables.eventsUs(s, d).select("user_id", "ts_us")
-      val a = ev.toDF("user_id", "a_us")
-      val b = ev.toDF("user_id_b", "b_us")
-      a.join(b, a("user_id") === b("user_id_b") &&
-          b("b_us") > a("a_us") && b("b_us") <= a("a_us") + hourUs)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(1L, hourUs)
+      Tables.eventsUs(s, d).select("user_id", "ts_us")
+        .filter(col("user_id").isNotNull)
+        .withColumn("cnt", count(lit(1)).over(w))
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum(col("cnt")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
         .orderBy("user_id")
     }),
 

@@ -1193,22 +1193,26 @@ object LlmOps {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
-    // TF-IDF top-10 (doc, term): tf ⋈ df ⋈ broadcast N, idf = ln((N+1)/(df+1))
+    // TF-IDF top-10 (doc, term): tf ⋈ df ⋈ broadcast N, idf = ln((N+1)/(df+1)).
+    // r17 kernel rewrite (the r16 q7O/q7V shape, guide §2.4): within-doc
+    // term counts need no cross-row data, so tf computes IN-ROW via
+    // graft_token_counts — the old explode → groupBy(doc_id, term)
+    // corpus-scale exchange (shared by both branches via ReuseExchange,
+    // the r5 finding) is DELETED outright. df counts tf's per-doc-
+    // distinct rows per term: its partial agg collapses map-side to the
+    // per-task term vocabulary, so the df exchange is vocab-scale; the
+    // only corpus-scale exchange left is tf's own re-key by term for the
+    // join (3 slim columns). The df branch re-runs the kernel explode
+    // (one extra projected scan) — at 100 TB a second scan pass is the
+    // cheaper side of shipping every distinct (doc, term) row through an
+    // exchange, the same trade q7F documents. Values identical: kernel
+    // (w, c) pairs ARE the per-doc counts (KernelSpec parity pin).
     "q74_text_tfidf" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df = rows-per-term of tf (a (doc, term) appears in tf exactly
-      // once), counted over the NON-NULL tf column rather than lit(1)
-      // (identical value — tf is never null): referencing tf stops
-      // Catalyst from pruning the count out of this branch's aggregate,
-      // which would un-canonicalize it against the join branch and block
-      // stage reuse (the r5 finding). With both branches canonical-equal
-      // AQE dedupes the (doc_id, term) exchange and the corpus is
-      // exploded ONCE (PlanSpec pins it) — and unlike the single-scan
-      // count() OVER (PARTITION BY term) spelling, per-task input stays
-      // bounded (a stopword's window group at 100 TB is the whole
-      // corpus; this stays two partial aggs over one shared shuffle).
+      graft.functions.TokenCounts.register(s)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("graft_token_counts(split(text, ' '))")).as("tc"))
+        .select(col("doc_id"), col("tc.w").as("term"), col("tc.c").as("tf"))
       val df = tf.groupBy("term")
         .agg(count(when(col("tf") > 0, true)).as("df"))
       val n = Tables.documents(s, d).agg(countDistinct(col("doc_id")).as("n"))
@@ -1834,9 +1838,15 @@ object LlmOps {
           col("tc.w").as("w"), col("tc.c").as("tf"))
       val freq = t.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
+      // r17 (guide §2.4): the total re-aggregates FREQ (Σ c ≡ Σ |toks|
+      // exactly — integer counts) instead of re-scanning the corpus; the
+      // second reference to freq shares its shuffle via ReuseExchange
+      // (both subtrees end at the canonical-equal vocab exchange — the
+      // r5 q74 finding), so only a vocab-scale re-aggregation runs twice
+      // and the corpus is scanned twice, not three times.
       // coalesce: NULL on an empty corpus (r16 what's-wrong #1)
-      val total = t.agg(
-        coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("n"))
+      val total = freq.agg(
+        coalesce(sum(col("c")), lit(0L)).cast("long").as("n"))
       tf.join(freq, "w").crossJoin(broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(

@@ -225,62 +225,65 @@ object Pipeline {
       .select(col("doc_id"), col("tc.w").as("w"), col("tc.c").as("c"))
     val per =
       if (withCe) {
-        // instance counts per token — identical values to aggregating
-        // tf's c by w, without a second reference to tf's exchange
+        val s = t.sparkSession
+        // r17 (guide §1.2/§2.4): the vocabulary table is computed ONCE —
+        // explode + map-side-combined count, PERSISTED — and one
+        // vocab-scale probe job over the materialized table replaces
+        // THREE former corpus passes: (a) the auto-gate's separate
+        // explode + HLL pricing pass (the probe now reads EXACT rows and
+        // exact key bytes from the table the join needs anyway), (b) the
+        // corpus re-scan for the token total (Σ cw over the persisted
+        // vocab ≡ Σ |toks| exactly, integer counts), and (c) the
+        // 1-row crossJoin(broadcast(total)) — the total is a driver
+        // literal now. Footprint: the vocab table itself (model-scale
+        // when broadcast-eligible, dictionary-scale otherwise,
+        // MEMORY_AND_DISK so it spills rather than evicts); released
+        // with the session's other dedup artifacts via
+        // [[LlmOps.release]] → [[release]].
         val freq = t.select(explode(col("toks")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
-        // Σ cw ≡ total token instances ≡ Σ |toks| — the in-row spelling
-        // avoids a second reference to freq (which would duplicate its
-        // whole explode subtree, the same non-reuse trap as tf).
-        // coalesce: NULL on an empty corpus (r16 what's-wrong #1) — 0
-        // keeps the plan alive; the join below has no rows to gate.
-        val total = t.agg(
-          coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        registerFreqPersist(LlmOps.sessionKey(s), freq)
+        // coalesce: sums over a ZERO-ROW vocab (empty corpus, or
+        // all-empty token arrays) are NULL and Row.getLong throws — a
+        // degenerate corpus must trivially decline the broadcast, not
+        // crash the gate (VERDICT r16 what's-wrong #1)
+        val pr = freq.agg(count(lit(1)).as("rows"),
+          coalesce(sum(length(col("w"))), lit(0L)).cast("long").as("bytes"),
+          coalesce(sum(col("cw")), lit(0L)).cast("long").as("n")).head()
+        val (vRows, keyBytes, total) =
+          (pr.getLong(0), pr.getLong(1), pr.getLong(2))
         // tf ⋈ freq is the calibration pass's one skew-exposed exchange:
         // freq is VOCAB-bounded but its join key is Zipf-headed (the
         // corpus head token is a single hot w partition — measured r16,
         // calib scaled 10.1× per 4× docs at 2M with the plain join), so
         // broadcast it under a measured gate, the q7N dfreq pattern:
         // `spark.graft.pipeline.broadcastVocab` ∈ auto (default) | on |
-        // off. `auto` prices the table with ONE probe pass (explode +
-        // map-side HLL + length sum — partial-aggregated, no shuffle
-        // beyond a row per task) and broadcasts iff the estimated
-        // HashedRelation footprint (avg key len + 8 B count + 64 B slot
-        // overhead per entry) fits `broadcastVocabMaxBytes` (default
-        // 128 MB) and rows fit `broadcastVocabLimit` (default 4M).
-        // Broadcast removes BOTH the corpus-scale tf-by-w re-exchange
-        // and the skew; over the gate (a 50M-doc open-vocab corpus has
-        // a ~20M-token dictionary) the plain shuffle join stands and
-        // AQE's skew split bounds the hot task.
-        val freqSide = broadcastVocabMode(t.sparkSession) match {
+        // off. `auto` broadcasts iff the EXACT HashedRelation footprint
+        // (exact key bytes + 8 B count + 64 B slot overhead per entry)
+        // fits `broadcastVocabMaxBytes` (default 128 MB) and rows fit
+        // `broadcastVocabLimit` (default 4M). Broadcast removes BOTH
+        // the corpus-scale tf-by-w re-exchange and the skew; over the
+        // gate (a 50M-doc open-vocab corpus has a ~20M-token
+        // dictionary) the plain shuffle join stands and AQE's skew
+        // split bounds the hot task.
+        val freqSide = broadcastVocabMode(s) match {
           case "on"  => broadcast(freq)
           case "off" => freq
           case _ =>
-            val s = t.sparkSession
             val limit = longConf(s,
               "spark.graft.pipeline.broadcastVocabLimit", 4000000L)
             val maxBytes = longConf(s,
               "spark.graft.pipeline.broadcastVocabMaxBytes",
               128L * 1024 * 1024)
-            // coalesce: sum() over a ZERO-ROW explode (empty corpus, or
-            // all-empty token arrays) is NULL and Row.getLong throws —
-            // a degenerate corpus must trivially decline the broadcast,
-            // not crash the gate (VERDICT r16 what's-wrong #1)
-            val pr = t.select(explode(col("toks")).as("w"))
-              .agg(approx_count_distinct(col("w")).as("v"),
-                coalesce(sum(length(col("w"))), lit(0L)).cast("long").as("b"),
-                count(lit(1)).as("i")).head()
-            val vEst = pr.getLong(0)
-            val avgLen = if (pr.getLong(2) == 0) 0L
-              else pr.getLong(1) / math.max(pr.getLong(2), 1L)
-            if (vEst <= limit && vEst * (avgLen + 72L) <= maxBytes)
+            if (vRows <= limit && keyBytes + vRows * 72L <= maxBytes)
               broadcast(freq)
             else freq
         }
-        tf.join(freqSide, "w").crossJoin(broadcast(total))
+        tf.join(freqSide, "w")
           .groupBy("doc_id")
           .agg(max(col("c")).as("topc"),
-            round(sum(col("c") * -log(col("cw") / col("n"))) /
+            round(sum(col("c") * -log(col("cw") / lit(total).cast("double"))) /
               sum(col("c")), 4).as("ce_nats"))
       } else tf.groupBy("doc_id").agg(max(col("c")).as("topc"))
     base.join(per, "doc_id")
@@ -444,12 +447,27 @@ object Pipeline {
   private val pipeDecCache: LlmOps.DfCache =
     scala.collection.concurrent.TrieMap.empty
 
-  private[operators] def release(key: Long): Unit =
+  /** Persisted vocab tables created by [[perDocSignals]], per session —
+    * they have no cache handle of their own (the quality-stage plan
+    * embeds them), so release-time unpersist needs an explicit registry
+    * (the q7N stagePaths pattern).
+    */
+  private val freqPersists =
+    scala.collection.concurrent.TrieMap.empty[Long, List[DataFrame]]
+  private def registerFreqPersist(key: Long, df: DataFrame): Unit =
+    freqPersists.synchronized {
+      freqPersists(key) = df :: freqPersists.getOrElse(key, Nil)
+    }
+
+  private[operators] def release(key: Long): Unit = {
     Seq(pipeCache, pipeDecCache).foreach { c =>
       c.keys.filter(_._1 == key).foreach { k =>
         c.remove(k).foreach(_.invalidate())
       }
     }
+    freqPersists.synchronized { freqPersists.remove(key) }
+      .foreach(_.foreach(_.unpersist(blocking = false)))
+  }
 
   /** q7X — the pipeline FUNNEL: one all-integer row per stage (units
     * surviving + a stage checksum), the artifact an operator reads to

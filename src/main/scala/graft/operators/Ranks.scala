@@ -37,10 +37,24 @@ object Ranks {
   def rowNumber(df: DataFrame, part: Seq[String], ordLead: Column,
                 ordRest: Seq[Column], buckets: Int, as: String): DataFrame = {
     val mm = df.agg(min(ordLead).cast("double"), max(ordLead).cast("double")).head()
-    if (mm.isNullAt(0))
+    val stats = if (mm.isNullAt(0)) None else Some((mm.getDouble(0), mm.getDouble(1)))
+    rowNumber(df, part, ordLead, ordRest, buckets, as, stats)
+  }
+
+  /** Same contract with the min/max probe PRE-COMPUTED (r17, guide §1.2
+    * "don't compute things you can fold into an existing pass"): a caller
+    * that already runs an aggregation job over `df` (q56's ntile needs
+    * the row count) passes the lead-key range from that same job instead
+    * of paying a second full-scan probe here. `stats = None` declares the
+    * input empty (min was NULL).
+    */
+  def rowNumber(df: DataFrame, part: Seq[String], ordLead: Column,
+                ordRest: Seq[Column], buckets: Int, as: String,
+                stats: Option[(Double, Double)]): DataFrame = {
+    if (stats.isEmpty)
       // empty input: any rank column satisfies the contract vacuously
       return df.withColumn(as, lit(1L))
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val (mn, mx) = stats.get
     val bucket =
       if (mx > mn)
         least(floor((ordLead.cast("double") - mn) / ((mx - mn) / buckets)),

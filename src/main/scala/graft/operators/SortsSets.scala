@@ -30,16 +30,35 @@ object SortsSets {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
         .limit(20)),
 
-    // grouped top-k: row_number ≤ 3 per orderpriority (window filter —
-    // one shuffle on the group key, no per-group driver loop)
+    // grouped top-k: row_number ≤ 3 per orderpriority. r17 two-phase
+    // (the q78 shape, guide §2.5): the one-window spelling put each
+    // priority's ENTIRE group in a single task — 5 groups = 5 tasks
+    // sorting 1/5 of the table each no matter the cluster size. Phase 1
+    // ranks within (group, salt) — salt is a DETERMINISTIC hash of the
+    // unique key (never rand(): re-run tasks must re-derive the same
+    // salt, SPARK-38388), so per-task input is bounded and the exchange
+    // spreads over group·salts partitions — and keeps each salt's top-3,
+    // a provable superset of the global top-3 (any subset rank ≤ the
+    // full-data rank under the same total order). Phase 2 ranks the
+    // ≤ 3·salts survivors per group exactly; ranks ≤ 3 equal the
+    // one-window ranks because every higher-ranked row also survived
+    // phase 1. Salt count follows the session's partitioning conf —
+    // scale-adaptive, not a local constant.
     "q62_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val salts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("salt"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(salts)))
+        .withColumn("rn", row_number().over(wLocal))
+        .filter(col("rn") <= 3)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey", "rn")
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 

@@ -115,9 +115,16 @@ object Windows {
     "q56_win_ntile" -> ((s, d) => {
       val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-      val total = base.count()
+      // ONE metadata probe (r17): count + lead-key range in a single
+      // column-pruned job — rowNumber's own min/max probe would re-scan.
+      val pre = base.agg(count(lit(1)),
+        min(col("c_acctbal")).cast("double"),
+        max(col("c_acctbal")).cast("double")).head()
+      val total = pre.getLong(0)
+      val stats = if (pre.isNullAt(1)) None
+        else Some((pre.getDouble(1), pre.getDouble(2)))
       val ranked = Ranks.rowNumber(base, Nil, col("c_acctbal"),
-        Seq(col("c_custkey")), buckets, "rn")
+        Seq(col("c_custkey")), buckets, "rn", stats)
       // ntile(k): first (N mod k) tiles hold ceil(N/k) rows, the rest
       // floor(N/k); invert that boundary function at the row's global rank.
       val k = 4
@@ -132,20 +139,22 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
-    // first/last value in an explicit full frame per user-day
-    "q57_win_first_last_value" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("day_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // first/last value in an explicit full frame per user-day.
+    // r17 (guide §2.3 "aggregate before you shuffle"): the window +
+    // DISTINCT spelling shuffled every event row into the window sort
+    // and then paid a SECOND exchange for the distinct; first/last over
+    // the full frame under the unique (ts_us, event_id) order are
+    // exactly min_by/max_by on that key, so one groupBy computes them
+    // with map-side partial aggregation — the one exchange carries a
+    // 4-column partial state per (user, day) per task, not every event.
+    "q57_win_first_last_value" -> ((s, d) =>
       ev(s, d)
         .withColumn("day_id", expr("ts_us div 86400000000"))
-        .select(col("user_id"), col("day_id"), col("ts_us"), col("event_id"), col("value"))
-        .withColumn("first_v", first(col("value")).over(w))
-        .withColumn("last_v", last(col("value")).over(w))
-        .select("user_id", "day_id", "first_v", "last_v")
-        .distinct()
-        .orderBy("user_id", "day_id")
-    }),
+        .groupBy("user_id", "day_id")
+        .agg(
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("first_v"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("last_v"))
+        .orderBy("user_id", "day_id")),
 
     // gap-based sessionization (30 min) — see [[sessionize]].
     "q58_sessionize" -> ((s, d) =>

@@ -136,23 +136,27 @@ class PlanSpec extends AnyFunSuite {
   test("pipeline quality stage: ZERO (doc, token) exchanges — per-doc " +
     "counts are in-row (graft_token_counts), structural not optimizer-dependent") {
     // the composition's headline exchange saving (Pipeline scaladoc),
-    // in three measured cuts: (1) one tf subtree referenced three
-    // times relied on ReuseExchange, which did NOT fire under the
-    // cached upstream (three corpus-scale shuffles); (2) the
-    // restructure needed no reuse but still paid ONE (doc_id, w)
-    // exchange; (3) the graft_token_counts kernel computes within-doc
-    // counts in-row, deleting it entirely. Pin the OPTIMIZED plan (no
-    // AQE reuse-node repetition noise): exactly one kernel explode,
-    // exactly one plain explode (the irreducible global-vocabulary
-    // aggregation's input), and ZERO (doc_id, w) aggregates anywhere.
+    // in three measured cuts + the r17 refinement: (1) one tf subtree
+    // referenced three times relied on ReuseExchange, which did NOT
+    // fire under the cached upstream (three corpus-scale shuffles);
+    // (2) the restructure needed no reuse but still paid ONE
+    // (doc_id, w) exchange; (3) the graft_token_counts kernel computes
+    // within-doc counts in-row, deleting it entirely; (r17) the
+    // global-vocabulary aggregation is computed ONCE, PERSISTED, and
+    // probed exactly — the live plan reads it as an InMemoryRelation,
+    // so the only plain corpus explode left sits behind the persisted
+    // vocab build (it prints inside the InMemoryRelation's cached-plan
+    // rendering, not in the live tree). Pin the OPTIMIZED plan:
+    // exactly one kernel explode, the vocab as a persisted relation,
+    // and ZERO (doc_id, w) aggregates anywhere.
     val df = graft.operators.Pipeline.qualityStage(
       graft.operators.Pipeline.dedupStage(spark, sf0001))
     val p = df.queryExecution.optimizedPlan.toString
     val kernelExplodes = p.linesIterator.count(
       _.contains("Generate explode(graft_token_counts(toks"))
     assert(kernelExplodes == 1, s"want 1 kernel explode, got $kernelExplodes:\n$p")
-    val plainExplodes = p.linesIterator.count(_.contains("Generate explode(toks"))
-    assert(plainExplodes == 1, s"want 1 plain explode, got $plainExplodes:\n$p")
+    assert(p.contains("InMemoryRelation [w#"),
+      s"vocab table must be the persisted relation:\n$p")
     val docWAggs = p.linesIterator.count(l =>
       l.contains("Aggregate [doc_id") && l.contains(", w#"))
     assert(docWAggs == 0, s"want 0 (doc_id, w) aggregates, got $docWAggs:\n$p")
@@ -203,13 +207,18 @@ class PlanSpec extends AnyFunSuite {
   // equi+range joins to a nested-loop pass or break q37's single-window
   // as-of emulation — the silent-regression class q13 demonstrated.
 
-  test("q36: theta join keys on user_id with the range as a join-side " +
-    "conjunct — an equi join, never a cartesian or nested loop") {
+  test("q36: the theta pair count is ONE per-user range-frame window — " +
+    "no join operator, no pair stream, no single-partition exchange (r17)") {
     val p = plan("q36_join_theta")
+    // r17 rewrite: the pair count per user is a RANGE-frame count over
+    // the user's time-sorted events — the self-join (which materialized
+    // every pair just to count it, and shuffled/broadcast events twice)
+    // is gone entirely, the q37 precedent.
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), p)
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win.contains("user_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("q37: the as-of emulation is union + ONE per-user window pass — " +
@@ -233,6 +242,26 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q57: first/last per user-day is ONE min_by/max_by aggregation — " +
+    "no window pass, no distinct exchange (r17)") {
+    val p = plan("q57_win_first_last_value")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("min_by") && p.contains("max_by"), p)
+    // partial aggregation must reach the map side: the one exchange
+    // carries per-(user, day) partial states, never every event row
+    assert(p.contains("partial_min_by") || p.contains("Partial"), p)
+  }
+
+  test("q62: grouped top-k is the two-phase salted shape — per-task input " +
+    "bounded, never one window task per priority group (r17)") {
+    val p = plan("q62_topk_per_group")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.size >= 2, p)
+    // phase 1 must partition by (group, salt): a bare per-group window
+    // (5 tasks holding the whole table) has no salt anywhere
+    assert(wins.exists(_.contains("salt")), p)
+  }
+
   test("q55: the trailing-1h range frame partitions by user — pruned " +
     "events scan, no single-partition exchange") {
     val p = plan("q55_win_range_time")
@@ -245,12 +274,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("q74: tf and df branches share one corpus explode — the " +
-    "(doc, term) exchange is reused, not recomputed") {
+  test("q74: tf computes IN-ROW (graft_token_counts) — zero (doc, term) " +
+    "aggregates/exchanges; only the vocab-scale df agg and the term " +
+    "re-key shuffle (r17)") {
+    // r17 rewrite (the r16 q7O/q7V kernel shape): the old explode →
+    // groupBy(doc_id, term) corpus-scale exchange — previously shared
+    // by both branches via ReuseExchange — is deleted outright. The df
+    // branch re-runs the kernel explode (one extra projected scan, the
+    // q7F trade) instead of shipping every distinct (doc, term) row.
     val df = SparkEntry.queries("q74_text_tfidf")(spark, sf0001)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    val p = df.queryExecution.optimizedPlan.toString
+    val docTermAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate [doc_id") && l.contains(", term#"))
+    assert(docTermAggs == 0, s"want 0 (doc_id, term) aggregates, got $docTermAggs:\n$p")
+    val kernelExplodes = p.linesIterator.count(
+      _.contains("Generate explode(graft_token_counts("))
+    assert(kernelExplodes == 2, s"want 2 kernel explodes (tf + df branch), " +
+      s"got $kernelExplodes:\n$p")
+    // the global top-10 stays a TakeOrderedAndProject, never a full sort
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), p)
   }
 
   test("q7F: no exchange carries corpus-sized (doc, bg) rows — both " +
