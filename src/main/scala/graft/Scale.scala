@@ -293,9 +293,9 @@ object Scale {
       val sh = LlmOps.shingled(s, dir)
         .filter(size(col("shingles")) >= 1)
         .withColumn("sz", size(col("shingles")))
-      val (cand, dfreq) = LlmOps.jaccardCandidates(s, sh)
+      val (cand, scratch) = LlmOps.jaccardCandidates(s, sh)
       val (nCand, tCand) = timed(cand.count())
-      dfreq.unpersist()
+      scratch.foreach(_.unpersist())
       // release BEFORE timing q7N so the wall includes shingling —
       // the same cold-cache scope as the closed10x measurement
       LlmOps.release(s)
@@ -342,9 +342,9 @@ object Scale {
     val sh = LlmOps.shingled(s, dir)
       .filter(size(col("shingles")) >= 1)
       .withColumn("sz", size(col("shingles")))
-    val (cand, dfreq) = LlmOps.jaccardCandidates(s, sh)
+    val (cand, scratch) = LlmOps.jaccardCandidates(s, sh)
     val (nCand, _) = timed(cand.count())
-    dfreq.unpersist()
+    scratch.foreach(_.unpersist())
     LlmOps.release(s)
     val (nPairs, tN) = timed(
       SparkEntry.queries("q7N_dedup_jaccard")(s, dir).count())

@@ -342,12 +342,13 @@ object LlmOps {
       // which is strictly more scans of the raw corpus. Released by
       // [[release]] (Bench calls it between passes, so the build is
       // still charged to the first consumer each pass).
-      // array_sort: the set is ORDER-SORTED once per doc so the q7N
+      // array-sorted: the set is ORDER-SORTED once per doc so the q7N
       // verify can count intersections with the linear codegen'd
       // graft_isect_sorted walk instead of array_intersect's per-row
       // hash set.
       // Every other consumer (q7A MinHash, q7P explode) is
       // order-insensitive.
+      graft.functions.Shingles.register(s)
       persistAtLevel(
         Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -359,8 +360,20 @@ object LlmOps {
     * shared by [[shingled]] and the S12 streaming near-dup stage
     * (graft.streaming.StreamOps.nearDupCandidates), so stream and batch
     * band the SAME sets.
+    *
+    * r17: the [[graft.functions.Shingles]] codegen kernel (one pass,
+    * TreeSet-ordered — KernelSpec-pinned against the old four-collection
+    * SQL spelling kept as [[ShingleSqlRef]]); callers must
+    * [[graft.functions.Shingles.register]] first ([[shingled]], the
+    * streaming stages and LlmIngest do).
     */
-  private[graft] val ShingleSql: String =
+  private[graft] val ShingleSql: String = "graft_shingles(w)"
+
+  /** Pre-r17 SQL spelling of [[ShingleSql]] — the kernel's parity
+    * reference (KernelSpec) and the deployment fallback where the
+    * extension jar is absent.
+    */
+  private[graft] val ShingleSqlRef: String =
     """array_sort(array_distinct(filter(
       |  zip_with(
       |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
@@ -470,7 +483,7 @@ object LlmOps {
     val sh = shingled(s, d)
       .filter(size(col("shingles")) >= 1)
       .withColumn("sz", size(col("shingles")))
-    val (cand, dfreq) = jaccardCandidates(s, sh)
+    val (cand, scratch) = jaccardCandidates(s, sh)
     val out = cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("ga")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("gb")), "id_b")
@@ -491,35 +504,37 @@ object LlmOps {
       .select(col("id_a"), col("id_b"),
         expr("(cast(inter AS bigint) * 10000) div uni").as("jac_bp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // dfreq's persist is LOCAL to this build (not a session-scoped
-    // cache): both registry consumers (q7N, q7R) read the PAIR table —
-    // nothing rejoins dfreq after it materializes — so the pair table
-    // is materialized eagerly (it is tiny: three longs per near-dup
-    // pair, and both consumers would materialize it on first action
-    // anyway; under this key's own build guard, like the probe) and
-    // dfreq's blocks are freed immediately after (ADVICE r7). Accepted
-    // trade: a PLAN-only consumer (graft.Explain) of q7N/q7R executes
-    // the build once per (session, sfDir) just to read the plan.
-    // try/finally: a failed materialization must still release BOTH
-    // persists — dfreq has no other handle (no cache entry since r8),
-    // and a half-built `out` would otherwise pin its partial blocks
-    // until session end on every retried build.
+    // The scratch persists (dfreq + the r17 prefix table) are LOCAL to
+    // this build (not a session-scoped cache): both registry consumers
+    // (q7N, q7R) read the PAIR table — nothing rejoins them after it
+    // materializes — so the pair table is materialized eagerly (it is
+    // tiny: three longs per near-dup pair, and both consumers would
+    // materialize it on first action anyway; under this key's own build
+    // guard, like the probe) and the scratch blocks are freed
+    // immediately after (ADVICE r7). Accepted trade: a PLAN-only
+    // consumer (graft.Explain) of q7N/q7R executes the build once per
+    // (session, sfDir) just to read the plan.
+    // try/finally: a failed materialization must still release ALL
+    // persists — the scratch frames have no other handle (no cache
+    // entry since r8), and a half-built `out` would otherwise pin its
+    // partial blocks until session end on every retried build.
     try out.count()
     catch {
       case e: Throwable => out.unpersist(blocking = false); throw e
-    } finally dfreq.unpersist(blocking = false)
+    } finally scratch.foreach(_.unpersist(blocking = false))
     out
   }
 
   /** The PPJoin candidate stage of [[buildJaccardPairs]], over a
     * (doc_id, shingles, sz) set table: returns the candidate (id_a,
-    * id_b) pairs and the dfreq table backing them — still PERSISTED;
-    * the caller unpersists it once the candidates are consumed.
+    * id_b) pairs and the scratch tables backing them (dfreq + the r17
+    * prefix table) — still PERSISTED; the caller unpersists them once
+    * the candidates are consumed.
     * `private[graft]` so the scale probe ([[graft.Scale]]) can measure
     * candidates/doc on synthetic corpora without duplicating the join.
     */
   private[graft] def jaccardCandidates(
-      s: SparkSession, sh: DataFrame): (DataFrame, DataFrame) = {
+      s: SparkSession, sh: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // Dictionary-hash the shingles ONCE at the explode (xxhash64 → one
     // 8-byte key) and run every candidate-stage exchange on the hash:
     // the dfreq aggregation and the tok ⋈ dfreq rank join both shuffle
@@ -667,7 +682,23 @@ object LlmOps {
     // repeated-shingle instances (~20-30× fewer in the open-vocab
     // regime). Bit-identical candidates; JaccardSpec's brute-force
     // re-proof and the random-corpora property cover the rewrite.
-    val prefix = staged(
+    // `spark.graft.jaccard.prefixPersist` (r17, default false): persist
+    // the prefix table so the self-join below reads cached blocks twice
+    // instead of executing the whole tok → dfreq-join → double-window
+    // pipeline twice — neither plan-time ReuseExchange nor AQE stage
+    // reuse dedupes the two aliased subplans in practice (read in the
+    // r17 executed plan: two full chains, zero ReusedExchange). The
+    // dial is SCALE-dependent, hence off by default: at fixture scale
+    // the duplicate sides run as concurrent AQE stages on an idle
+    // local[32] (interleaved A/B at sf0.1: persist min 3.38 s vs 2.74 s
+    // — the persist serializes the build into the wall), while a
+    // disk-bound or fully-loaded run pays the duplicate pipeline twice
+    // in CPU and scratch (the r14 ENOSPC arithmetic) and should set
+    // true — or stageDir, whose parquet checkpoint subsumes this (the
+    // staged read-back is already computed once).
+    val prefixPersistOn =
+      s.conf.get("spark.graft.jaccard.prefixPersist", "false").toBoolean
+    val prefix = persistAtLevel(staged(
       tok.join(dfJoin, "h")
         .withColumn("r2", row_number().over(wDoc))
         .withColumn("n2",
@@ -675,7 +706,7 @@ object LlmOps {
         .withColumn("rk", col("sz") - col("n2") + col("r2"))
         .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
         .select(col("h"), col("doc_id"), col("sz"), col("rk")),
-      "prefix")
+      "prefix"), if (prefixPersistOn) dedupCacheLevel(s) else None)
     // Candidate pairs via the prefix ⋈ prefix equi-join (the inverted
     // index realized as a join). The r5 alternative — groupBy(g) +
     // collect_list + in-row pair enumeration, to build each posting
@@ -707,7 +738,7 @@ object LlmOps {
             (col("a.sz") + col("b.sz")) * 3)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    (cand, dfreq)
+    (cand, Seq(dfreq, prefix))
   }
 
   /** Fixed ±1 random hyperplanes for SimHash bucketing (q7C/q7H):
@@ -1457,6 +1488,14 @@ object LlmOps {
         .select(col("doc_id"), col("lang"), explode(expr(BigramSql)).as("bg"))
       val prof = langProfileTop(docBg.select("lang", "bg"), 20)
         .select(col("lang").as("cand"), col("bg"))
+      // r17 A/B note (kept the window): replacing the per-doc argmax
+      // rank window with a two-level min_by(cand, (-score, cand))
+      // aggregation — equal values by construction — MEASURED SLOWER in
+      // an interleaved same-JVM A/B at sf0.1 (min 1.61 s vs 1.09 s over
+      // 4 alternating reps): the extra aggregation level adds an
+      // exchange of struct-ordered partial states whose per-row struct
+      // allocation + comparison costs more than the one rank sort it
+      // deletes. The window shape stands.
       val predW = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("cand"))
       docBg.join(broadcast(prof), "bg")

@@ -120,12 +120,14 @@ object LlmIngest {
     * broadcast-join sweep instead; this index exists so the STREAM can
     * decontaminate per-row, statelessly.
     */
-  def evalShingleHashes(evalDocs: DataFrame): Array[Long] =
+  def evalShingleHashes(evalDocs: DataFrame): Array[Long] = {
+    graft.functions.Shingles.register(evalDocs.sparkSession)
     evalDocs
       .select(split(col("text"), " ").as("w"))
       .select(explode(expr(LlmOps.ShingleSql)).as("g"))
       .select(xxhash64(col("g")).as("h")).distinct()
       .collect().map(_.getLong(0)).sorted
+  }
 
   /** Adds `n_eval_shared`: how many of the doc's distinct shingles
     * appear anywhere in the eval suite — q7P's contamination statistic
@@ -134,13 +136,15 @@ object LlmIngest {
     * it runs identically on stream and batch; no streaming aggregation,
     * no watermark coupling).
     */
-  def withContamination(docs: DataFrame, evalHashes: Array[Long]): DataFrame =
+  def withContamination(docs: DataFrame, evalHashes: Array[Long]): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
     docs
       .withColumn("w", split(col("text"), " ")) // ShingleSql reads `w`
       .withColumn("n_eval_shared", size(array_intersect(
         expr(s"transform(${LlmOps.ShingleSql}, x -> xxhash64(x))"),
         typedLit(evalHashes.toSeq))))
       .drop("w")
+  }
 
   /** Drops docs sharing ≥ `maxShared` shingles with the eval suite. */
   def decontaminate(docs: DataFrame, evalHashes: Array[Long],

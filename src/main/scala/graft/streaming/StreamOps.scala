@@ -207,6 +207,7 @@ object StreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.MinHash.register(spark)
+    graft.functions.Shingles.register(spark)
     val nBands = graft.functions.MinHash.K / 2
     val banded = docs
       .select(col("doc_id"), col("ts_t"), split(col("text"), " ").as("w"))
@@ -305,6 +306,7 @@ object StreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.MinHash.register(spark)
+    graft.functions.Shingles.register(spark)
     val nBands = graft.functions.MinHash.K / 2
     val banded = docs
       .select(col("doc_id"), col("ts_t"), split(col("text"), " ").as("w"))

@@ -106,6 +106,26 @@ class JaccardSpec extends AnyFunSuite {
     }
   }
 
+  test("r17 prefix-persist dial: cached prefix table returns identical " +
+    "pairs") {
+    // spark.graft.jaccard.prefixPersist=true caches the prefix table so
+    // the candidate self-join reads it twice instead of executing the
+    // prefix pipeline twice — a scale dial (off by default at fixture
+    // scale; see the jaccardCandidates comment). Pairs must be
+    // bit-identical either way.
+    def rows() = {
+      graft.operators.LlmOps.release(spark)
+      SparkEntry.queries("q7N_dedup_jaccard")(spark, sf0001).collect().toSeq
+    }
+    val dflt = rows()
+    spark.conf.set("spark.graft.jaccard.prefixPersist", "true")
+    try assert(rows() == dflt, "prefixPersist branches disagree on results")
+    finally {
+      spark.conf.unset("spark.graft.jaccard.prefixPersist")
+      graft.operators.LlmOps.release(spark)
+    }
+  }
+
   test("r15 staged-footprint dial: checkpointed candidate stage returns " +
     "identical pairs") {
     // spark.graft.jaccard.stageDir checkpoints dfreq and the prefix

@@ -384,6 +384,51 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingles equals the four-collection SQL spelling it replaced " +
+    "(values AND sorted order), unicode and edge cases included (r17)") {
+    graft.functions.Shingles.register(spark)
+    import spark.implicits._
+    val gen: Gen[String] = Gen.frequency(
+      (8, Gen.listOf(Gen.frequency(
+        (20, Gen.alphaNumChar), (6, Gen.const(' ')),
+        (1, Gen.oneOf('é', 'ß', 'λ', '中', '文')))).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.alphaChar.map(_.toString)))
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).map(i =>
+      gen.pureApply(params, org.scalacheck.rng.Seed(1000L + i))) ++
+      Seq("", "a", "a b", "a b c", "a b c d", "a a a a a", "x y x y x y",
+        "中 文 中 文", " a  b ", "a b c a b c", "aa ab ba bb aa ab")
+    val got = texts.toDF("text")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("kernel", expr(graft.operators.LlmOps.ShingleSql))
+      .withColumn("ref", expr(graft.operators.LlmOps.ShingleSqlRef))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"text=${r.getString(0)}")
+    }
+  }
+
+  test("graft_shingles interpreted eval matches the sorted-distinct walk " +
+    "directly (r17)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sh(words: String*): Seq[String] = {
+      val arr = graft.functions.Shingles.sortedDistinct(
+        new GenericArrayData(words.map(w =>
+          if (w == null) null else UTF8String.fromString(w)).toArray[Any]))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    assert(sh() == Seq())
+    assert(sh("a", "b") == Seq())
+    assert(sh("a", "b", "c") == Seq("a b c"))
+    assert(sh("b", "a", "b", "a", "b") == Seq("a b a", "b a b"))
+    // a null word nulls (and drops) every window containing it, the old
+    // filter(x IS NOT NULL) semantics
+    assert(sh("a", null, "c", "d", "e") == Seq("c d e"))
+  }
+
   test("graft_bigrams interpreted eval matches the dedup walk directly") {
     import org.apache.spark.unsafe.types.UTF8String
     def bg(s: String): Seq[String] = {

@@ -296,6 +296,18 @@ class PlanSpec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"), p)
   }
 
+  test("q7V: the corpus total re-aggregates the vocab exchange via " +
+    "runtime stage reuse — two corpus scans, not three (r17)") {
+    // the total = freq.agg(sum(c)) spelling references freq twice; the
+    // initial plan shows both subtrees, and AQE dedupes the
+    // canonical-equal vocab exchanges at runtime (the r5 q74 mechanism)
+    val df = SparkEntry.queries("q7V_quality_unigram_ce")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.contains("StageReuse") || p.contains("reused"), p)
+  }
+
   test("q7F: no exchange carries corpus-sized (doc, bg) rows — both " +
     "branches collapse before any shuffle, profile joins broadcast") {
     // Round-13 shape (see the registry comment): the profile branch

@@ -114,6 +114,7 @@ class LlmIngestSpec extends AnyFunSuite {
 
     // expectation built the q7P way: explode + join against the eval
     // union index, distinct shared shingles per train doc
+    graft.functions.Shingles.register(spark)
     val shingleOf = (df: DataFrame) => df
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
