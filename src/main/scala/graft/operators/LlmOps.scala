@@ -77,8 +77,12 @@ object LlmOps {
     */
   private def pairs(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
-    // one column-pruned count to size the grid; metadata-scale
-    val n = v.select("vec_id").count()
+    // corpus count to size the grid — the shared memoized LIMIT-probe
+    // (trainNCache, exact at every size: the probe escalates to a full
+    // count past the sample limit), so the sim family, the simhash
+    // geometry and quantizer training pay ONE probe per (session, dir)
+    // instead of one each (r17, guide §1.2)
+    val n = simhashN(s, d)
     val nb = math.max(1L, (n + SimBlockTarget - 1) / SimBlockTarget).toInt
     val grid = s.range(nb.toLong * nb)
       .select((col("id") / nb).cast("int").as("bi"),

@@ -429,7 +429,16 @@ object Pipeline {
       cutAndPersist(decontamStage(s, d, qual, th))
     }
     val sp = splitStage(dec)
-    val pk = packStage(sp, th)
+    // r17: the PACK output is cached too. mixStage's distributed rank
+    // (Ranks.rowNumber) runs a DRIVER-BLOCKING min/max probe over the
+    // chunk table at plan-build time, so uncached the
+    // dec → split → pack window chain executed once for the probe, once
+    // under the 5_pack funnel branch, once under 6_mix, and once more
+    // for q7Y's schedule. Footprint: one row per (lang, source, chunk)
+    // — chunk-scale, the smallest table in the pipeline.
+    val pk = LlmOps.cachedDf(pipePackCache, s, fp) {
+      cutAndPersist(packStage(sp, th))
+    }
     val mx = mixStage(pk, th)
     Seq("0_input" -> input, "1_dedup" -> dedup, "2_quality" -> qual,
       "3_decontam" -> dec, "4_split" -> sp, "5_pack" -> pk, "6_mix" -> mx)
@@ -446,6 +455,8 @@ object Pipeline {
     scala.collection.concurrent.TrieMap.empty
   private val pipeDecCache: LlmOps.DfCache =
     scala.collection.concurrent.TrieMap.empty
+  private val pipePackCache: LlmOps.DfCache =
+    scala.collection.concurrent.TrieMap.empty
 
   /** Persisted vocab tables created by [[perDocSignals]], per session —
     * they have no cache handle of their own (the quality-stage plan
@@ -460,7 +471,7 @@ object Pipeline {
     }
 
   private[operators] def release(key: Long): Unit = {
-    Seq(pipeCache, pipeDecCache).foreach { c =>
+    Seq(pipeCache, pipeDecCache, pipePackCache).foreach { c =>
       c.keys.filter(_._1 == key).foreach { k =>
         c.remove(k).foreach(_.invalidate())
       }

@@ -60,6 +60,11 @@ class SimGuardSpec extends AnyFunSuite {
   }
 
   test("release() unpersists the session's cached sim tables") {
+    // r17: start from a released state — another suite in the same JVM
+    // (e.g. OperatorSpec) may have left the sf0.001 sim table cached,
+    // in which case q77 below is a cache HIT and the grow-assert fails
+    // on suite ORDER, not on behavior
+    LlmOps.release(spark)
     val before = spark.sparkContext.getPersistentRDDs.size
     SparkEntry.queries("q77_sim_threshold")(spark, sf0001).count()
     assert(spark.sparkContext.getPersistentRDDs.size > before,
