@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSet, BigramStatsExpr, DotProduct, IvfTop, MinHashSig, PqAdc, PqEncode, SimhashBands, SortedIntersect, SortedIntersectGe, TokenCountsExpr, VecSub}
+import graft.functions.{BigramSet, BigramStatsExpr, DotProduct, IvfTop, MinHashSig, ModelLit, ModelVecLit, PqAdc, PqEncode, ShingleSet, SimhashBands, SortedIntersect, SortedIntersectGe, TokenCountsExpr, VecSub, WinnowFpExpr}
 
 /** Cluster-wide registration of the graft codegen kernels via the
   * standard Spark extension point:
@@ -99,5 +99,13 @@ object GraftExtensions {
     ("graft_token_counts", classOf[TokenCountsExpr],
       args => TokenCountsExpr(args.head)),
     ("graft_bigram_stats", classOf[BigramStatsExpr],
-      args => BigramStatsExpr(args.head)))
+      args => BigramStatsExpr(args.head)),
+    // r17: the one-pass shingle/winnowing kernels and the model-literal
+    // resolver (content-addressed driver-side store; SQL-text calls on
+    // an unknown key fail loudly by construction — see ModelLit)
+    ("graft_shingles", classOf[ShingleSet],
+      args => ShingleSet(args.head)),
+    ("graft_winnow_fp", classOf[WinnowFpExpr],
+      args => WinnowFpExpr(args.head)),
+    ("graft_model_lit", classOf[ModelVecLit], ModelLit.builder))
 }

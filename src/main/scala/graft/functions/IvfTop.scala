@@ -131,11 +131,15 @@ case class IvfTop(first: Expression, second: Expression,
 
 object IvfTop {
   /** Idempotent registration, same defensive pattern as the other
-    * kernels (Verify/Bench build their own sessions).
+    * kernels (Verify/Bench build their own sessions). Registers
+    * [[ModelLit]] alongside: the centroid arguments arrive as
+    * `graft_model_lit` leaves since r17.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    ModelLit.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ivf_top",
       args => IvfTop(args.head, args(1), args(2), args(3)),
       "built-in")
+  }
 }

@@ -27,6 +27,7 @@ object PqKernels {
     * own sessions), same defensive pattern as the sibling kernels.
     */
   def register(spark: SparkSession): Unit = {
+    ModelLit.register(spark) // codebook args arrive as model-lit leaves (r17)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_enc",
       args => PqEncode(args.head, args(1), args(2), args(3)),

@@ -137,9 +137,11 @@ object SimhashBands {
   /** Idempotent registration, same defensive pattern as the other
     * kernels (Verify/Bench build their own sessions).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    ModelLit.register(spark) // planes argument arrives as a model-lit leaf (r17)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_bands",
       args => SimhashBands(args.head, args(1), args(2), args(3)),
       "built-in")
+  }
 }

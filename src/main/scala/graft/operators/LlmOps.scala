@@ -905,7 +905,8 @@ object LlmOps {
     // geometry, bit-identical by KernelSpec pin
     v.select(col("vec_id"), col("e"), col("nsq"),
       posexplode(call_function("graft_simhash_bands", col("e"),
-        typedLit(AnnPlanes.flat(bands, bits).toSeq),
+        graft.functions.ModelLit.vec("simhash_planes",
+          AnnPlanes.flat(bands, bits)),
         lit(bands), lit(bits)))
         .as(Seq("band", "bval")))
   }
@@ -1146,26 +1147,39 @@ object LlmOps {
   /** Winnowing document fingerprints (q7E): hash every word 4-gram, then
     * keep each 8-window's minimum hash — the classic MOSS-style
     * selection: ~n/8 fingerprints per doc, guaranteed to share
-    * fingerprints with any doc sharing a long-enough run. All per-row
-    * array expressions (no shuffle until the caller aggregates).
+    * fingerprints with any doc sharing a long-enough run. Per-row, no
+    * shuffle until the caller aggregates; since r17 the whole selection
+    * is ONE codegen'd pass ([[graft.functions.WinnowFp]] — the old
+    * spelling ran six interpreted collection expressions per document,
+    * kept below as [[WinnowSqlRef]] for the KernelSpec parity pin).
     * Public so FingerprintSpec can check set-level properties.
     */
-  def fingerprints(s: SparkSession, d: String): DataFrame =
+  def fingerprints(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WinnowFp.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("grams", expr(
-        """filter(
-          |  zip_with(
-          |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)),
-          |    zip_with(slice(w, 3, greatest(size(w) - 2, 0)),
-          |             slice(w, 4, greatest(size(w) - 3, 0)), (c, e) -> concat(c, ' ', e)),
-          |    (ab, ce) -> concat(ab, ' ', ce)),
-          |  x -> x IS NOT NULL)""".stripMargin))
-      .withColumn("hashes", expr("transform(grams, g -> xxhash64(g))"))
-      .withColumn("fp", expr(
-        "array_distinct(transform(sequence(1, greatest(size(hashes) - 7, 1)), " +
-          "i -> array_min(slice(hashes, i, 8))))"))
-      .select(col("doc_id"), size(col("grams")).as("n_grams"), col("fp"))
+      .select(col("doc_id"),
+        expr("graft_winnow_fp(split(text, ' '))").as("wfp"))
+      .select(col("doc_id"), col("wfp.n_grams").as("n_grams"),
+        col("wfp.fp").as("fp"))
+  }
+
+  /** Pre-r17 SQL spelling of the winnowing selection over a split-words
+    * column `w` — the [[graft.functions.WinnowFp]] kernel's parity
+    * reference (KernelSpec): yields `(grams, fp)`; `n_grams` is
+    * `size(grams)`.
+    */
+  private[graft] val WinnowGramsSqlRef: String =
+    """filter(
+      |  zip_with(
+      |    zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)),
+      |    zip_with(slice(w, 3, greatest(size(w) - 2, 0)),
+      |             slice(w, 4, greatest(size(w) - 3, 0)), (c, e) -> concat(c, ' ', e)),
+      |    (ab, ce) -> concat(ab, ' ', ce)),
+      |  x -> x IS NOT NULL)""".stripMargin
+
+  private[graft] val WinnowFpSqlRef: String =
+    "array_distinct(transform(sequence(1, greatest(size(hashes) - 7, 1)), " +
+      "i -> array_min(slice(hashes, i, 8))))"
 
   /** Dedup shuffle key: digest of the text, NOT the text itself — full
     * document bodies as shuffle keys would ship the whole corpus through
@@ -2252,7 +2266,9 @@ object LlmOps {
     */
   private def ivfTopIdx(cents: Seq[IvfCent], e: Column, p: Int): Column =
     call_function("graft_ivf_top", e,
-      typedLit(cents.map(_.ce)), typedLit(cents.map(_.cnsq)), lit(p))
+      graft.functions.ModelLit.mat("ivf_cents", cents.map(_.ce)),
+      graft.functions.ModelLit.vec("ivf_cnsq", cents.map(_.cnsq).toArray),
+      lit(p))
 
   /** Maps a 0-based kernel index back to the model's cell id. */
   private def cidOfIdx(cents: Seq[IvfCent], idx: Column): Column =
@@ -2395,8 +2411,14 @@ object LlmOps {
     hierAssignIdxWith(hierFor(s, cents), e)
 
   private def hierAssignIdxWith(h: IvfHier, e: Column): Column = {
+    // supers/superCnsq go through ModelLit (rectangular); the per-group
+    // member lists are RAGGED (groups differ in size), so they stay
+    // typedLit — they only matter above the hier threshold (K > 256),
+    // where the member nesting is also the smaller of the two literals
     val sidx = call_function("graft_ivf_top", e,
-      typedLit(h.supers), typedLit(h.superCnsq), lit(1)).getItem(0)
+      graft.functions.ModelLit.mat("ivf_hier_supers", h.supers),
+      graft.functions.ModelLit.vec("ivf_hier_scnsq", h.superCnsq.toArray),
+      lit(1)).getItem(0)
     val widx = call_function("graft_ivf_top", e,
       element_at(typedLit(h.memberCe), sidx + 1),
       element_at(typedLit(h.memberCnsq), sidx + 1), lit(1)).getItem(0)
@@ -2796,7 +2818,8 @@ object LlmOps {
   private[graft] def residCol(cents: Seq[IvfCent], e: Column,
       pidx: Column): Column =
     call_function("graft_vec_sub", e,
-      element_at(typedLit(cents.map(_.ce)), pidx + 1))
+      element_at(graft.functions.ModelLit.mat("ivf_cents", cents.map(_.ce)),
+        pidx + 1))
 
   /** Trains the q7S product quantizer (Jégou/Douze/Schmid, TPAMI 2011)
     * on coarse-cell RESIDUALS — the paper's IVF-ADC scheme. Quantizing
@@ -2904,8 +2927,9 @@ object LlmOps {
       seeds(j % seeds.length).slice(mi * sub, (mi + 1) * sub).toArray
     }
     for (_ <- 1 to PqLloydSteps) {
-      val cbLit = typedLit(cb.map(_.toSeq).toSeq)
-      val cnsqLit = typedLit(cb.map(_.map(x => x * x).sum).toSeq)
+      val cbLit = graft.functions.ModelLit.mat("pq_train_cb", cb.map(_.toSeq))
+      val cnsqLit = graft.functions.ModelLit.vec("pq_train_cnsq",
+        cb.map(_.map(x => x * x).sum))
       val means = train
         .select(col("e"), posexplode(call_function("graft_pq_enc",
           col("e"), cbLit, cnsqLit, lit(ks))).as(Seq("mi", "code")))
@@ -3003,7 +3027,9 @@ object LlmOps {
     val base = Seq(col("vec_id"),
       cidOfIdx(cents, col("pidx")).as("cid"),
       call_function("graft_pq_enc", resid,
-        typedLit(pq.cb), typedLit(pq.cnsq), lit(pq.ks)).as("codes"),
+        graft.functions.ModelLit.mat("pq_cb", pq.cb),
+        graft.functions.ModelLit.vec("pq_cnsq", pq.cnsq.toArray),
+        lit(pq.ks)).as("codes"),
       col("nsq"))
     val cols =
       if (withResid)
@@ -3063,8 +3089,8 @@ object LlmOps {
     val (corpusN, _) = trainCorpus(s, d, lake, sampleLimit)
     val (cents, _) = ivfModel(s, d)
     val pq = pqModel(s, d)
-    val cbLit = typedLit(pq.cb)
-    val centsLit = typedLit(cents.map(_.ce))
+    val cbLit = graft.functions.ModelLit.mat("pq_cb", pq.cb)
+    val centsLit = graft.functions.ModelLit.mat("ivf_cents", cents.map(_.ce))
     // the QUERY set is the declared lake one (vec_id < 10) regardless
     // of payload — payload only widens the rerank refetch source
     val probes = lake.filter(col("vec_id") < 10)

@@ -45,7 +45,15 @@ object OffsetBounds {
     val bounds = upper.toSeq
       .map { case (uid, hi) => (uid, lower.getOrElse(uid, -1L), hi) }
       .toDF("user_id", "lo", "hi")
-    withOffsets(events)
+    // r17 (guide §2.3/§2.4): streams absent from `upper` are EXCLUDED by
+    // the inner bounds join anyway, and `stream_offset` is ranked per
+    // stream — so dropping the un-queried streams BEFORE the ranking
+    // window leaves every surviving row's offset identical while the
+    // window exchange shrinks from the whole corpus to just the queried
+    // streams. The predicate is a scan-pushable IN over the stream key
+    // (PushedFilters: In(user_id)); at 100 TB this is the difference
+    // between shuffling every stream and shuffling the requested ones.
+    withOffsets(events.filter(col("user_id").isin(upper.keys.toSeq: _*)))
       .join(broadcast(bounds), "user_id")
       .filter(col("stream_offset") > col("lo") && col("stream_offset") <= col("hi"))
       .drop("lo", "hi")

@@ -18,6 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Resolved-relation memo, per live session (r17, guide §1.2/§6):
+    * `spark.read.parquet(path)` re-runs file listing + footer schema
+    * resolution on EVERY call, and a registry query references its
+    * tables on every build — jstack-sampled at 38/48 driver samples
+    * inside `DataFrameReader.parquet` during a q7S build loop (~0.4 s
+    * of the 0.67 s build wall was table re-resolution). A catalog
+    * deployment resolves a table's metadata once; this memo gives the
+    * path-based loaders the same property. METADATA only — the plan
+    * still scans parquet on every action (no data is cached), and
+    * every writer in the repo lands corpora in fresh
+    * `createTempDirectory` paths (audited r17), so a memoized file
+    * index can never go stale within a session. Keyed weakly by
+    * session so stopped sessions release their entries.
+    */
+  private val resolvedCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  /** Drops this session's memoized relations under `dir` — the
+    * `spark.catalog.refreshByPath` analogue for the path-based loaders.
+    * Call after changing files under a previously-loaded dir IN PLACE
+    * (the one such path in the repo is VecIngest.retrainAndSwap's
+    * grown-lake contract, which calls this next to its model-cache
+    * drop); fresh-dir writers need nothing.
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val m = resolvedCache.synchronized(resolvedCache.get(spark))
+    if (m != null)
+      m.keys.filter(_.startsWith(s"$dir/")).foreach(m.remove)
+  }
+
   /** Fixture generations have written `events.ts` two ways: Parquet
     * TIMESTAMP(NANOS) (rounds ≤9; Spark 4.x reads it only with
     * `spark.sql.legacy.parquet.nanosAsLong=true` → LongType epoch-ns) and
@@ -30,7 +60,18 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.conf.get("spark.graft.tables.resolveOnce", "true").toBoolean) {
+      val perSession = resolvedCache.synchronized {
+        var m = resolvedCache.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+          resolvedCache.put(spark, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate(s"$dir/$name",
+        spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

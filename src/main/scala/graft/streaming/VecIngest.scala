@@ -242,6 +242,11 @@ object VecIngest {
         s"encoded by the condemned models)")
     old.foreach(_.stop())
     LlmOps.release(s)
+    // the lake at `d` may have GROWN IN PLACE (this API's documented
+    // shape) — drop the session's memoized file-index snapshot so the
+    // retrain reads the grown corpus, not the resolve-once cache (r17;
+    // the refreshByPath analogue, next to the model-cache drop above)
+    graft.sources.Tables.invalidate(s, d)
     val q = attach(vecs, url, ckpt, s, d)
     (q, baselineResid(s, d))
   }

@@ -118,6 +118,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.functions.SimhashBands.register(s)
     graft.functions.TokenCounts.register(s)
     graft.functions.BigramStats.register(s)
+    graft.functions.Shingles.register(s)
+    graft.functions.WinnowFp.register(s)
+    graft.functions.ModelLit.register(s)
     val sessionRegistered = s.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val injected = GraftExtensions.kernels.map(_._1).toSet

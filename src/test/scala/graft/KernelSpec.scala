@@ -410,6 +410,94 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_model_lit carries the exact typedLit value AND dataType " +
+    "(nullability included), and rejects unknown keys (r17)") {
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.ModelLit.register(spark)
+    val flat = Array.tabulate(130)(i => math.sin(i) * 10)
+    val rows = Seq.tabulate(7)(r => Seq.tabulate(13)(c => r * 13.0 + c / 7.0))
+    val vecCol = graft.functions.ModelLit.vec("spec_vec", flat)
+    val matCol = graft.functions.ModelLit.mat("spec_mat", rows)
+    val df = spark.range(3).select(
+      vecCol.as("mv"), typedLit(flat.toSeq).as("tv"),
+      matCol.as("mm"), typedLit(rows).as("tm"))
+    // dataType parity — the driver's schema check sees identical types
+    val sch = df.schema
+    assert(sch("mv").dataType == sch("tv").dataType,
+      s"vec dataType ${sch("mv").dataType} vs typedLit ${sch("tv").dataType}")
+    assert(sch("mm").dataType == sch("tm").dataType,
+      s"mat dataType ${sch("mm").dataType} vs typedLit ${sch("tm").dataType}")
+    // value parity, row by row
+    df.collect().foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+      assert(r.getSeq[Seq[Double]](2) == r.getSeq[Seq[Double]](3))
+    }
+    // interpreted eval parity too (the ModelLitExpr eval path)
+    val ev = graft.functions.ModelVecLit(flat,
+      0L, "x").eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until ev.numElements()).map(ev.getDouble) == flat.toSeq)
+    // unknown key fails loudly, not with garbage
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_model_lit('no-such-key')").collect()
+    }
+    assert(err.getMessage.contains("unknown key") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown key")))
+  }
+
+  test("graft_winnow_fp equals the six-expression SQL spelling it replaced " +
+    "(n_grams AND fp values AND order), unicode and edge cases included (r17)") {
+    graft.functions.WinnowFp.register(spark)
+    import spark.implicits._
+    val gen: Gen[String] = Gen.frequency(
+      (8, Gen.listOf(Gen.frequency(
+        (20, Gen.alphaNumChar), (6, Gen.const(' ')),
+        (1, Gen.oneOf('é', 'ß', 'λ', '中', '文')))).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.alphaChar.map(_.toString)))
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).map(i =>
+      gen.pureApply(params, org.scalacheck.rng.Seed(2000L + i))) ++
+      Seq("", "a", "a b", "a b c", "a b c d", "a b c d e",
+        "a b c d e f g h i j k l", "x y x y x y x y x y x y x y",
+        "中 文 中 文 中 文 中 文", " a  b ", "a a a a a a a a a a a a",
+        (1 to 40).map(i => s"w${i % 5}").mkString(" "))
+    val got = texts.toDF("text")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("k", expr("graft_winnow_fp(w)"))
+      .withColumn("grams", expr(graft.operators.LlmOps.WinnowGramsSqlRef))
+      .withColumn("hashes", expr("transform(grams, g -> xxhash64(g))"))
+      .withColumn("ref_fp", expr(graft.operators.LlmOps.WinnowFpSqlRef))
+      .select(col("text"), col("k.n_grams"), col("k.fp"),
+        size(col("grams")).as("ref_n"), col("ref_fp"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3), s"n_grams text=${r.getString(0)}")
+      assert(r.getSeq[Any](2) == r.getSeq[Any](4), s"fp text=${r.getString(0)}")
+    }
+  }
+
+  test("graft_winnow_fp interpreted eval matches the one-pass walk " +
+    "directly, incl. null-word drops and the empty-grams [null] row (r17)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def wf(words: String*): (Int, Seq[Any]) = {
+      val row = graft.functions.WinnowFp.fingerprint(
+        new GenericArrayData(words.map(w =>
+          if (w == null) null else UTF8String.fromString(w)).toArray[Any]))
+      val arr = row.getArray(1)
+      (row.getInt(0), (0 until arr.numElements()).map(i =>
+        if (arr.isNullAt(i)) null else arr.getLong(i)))
+    }
+    assert(wf() == ((0, Seq(null))))
+    assert(wf("a", "b", "c") == ((0, Seq(null))))
+    val (n1, fp1) = wf("a", "b", "c", "d")
+    assert(n1 == 1 && fp1.size == 1 && fp1.head != null)
+    // a null word drops every 4-window containing it: of the five
+    // windows over 8 words, the two touching index 1 drop
+    val (n2, _) = wf("a", null, "c", "d", "e", "f", "g", "h")
+    assert(n2 == 3)
+  }
+
   test("graft_shingles interpreted eval matches the sorted-distinct walk " +
     "directly (r17)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
